@@ -1,0 +1,125 @@
+"""Deduplication primitives for LLM-scale corpora.
+
+All variants are pure DataFrame plans (no Python in the hot path):
+
+- exact:    md5 fingerprint of normalized text → hash groupBy.
+- shingles: word n-grams via ``transform`` over the token array.
+- minhash:  K salted 60-bit hashes (md5-derived, engine-portable),
+            ``min`` per doc per permutation after an explode —
+            one shuffle on doc_id; LSH bands = md5 of r signature
+            slots; candidates = docs sharing a (band_idx, band_key).
+- simhash:  per-bit weighted vote over token hashes, reassembled to
+            a 32-bit value with band columns for hamming bucketing.
+
+Scale: candidate generation is linear in Σ shingles (explode), the
+band join distributes on (band_idx, band_key) — never an n² compare;
+exact-jaccard verification runs only on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import hash64, tokens
+
+__all__ = [
+    "shingles", "doc_shingles", "minhash_signature",
+    "lsh_band_pairs", "simhash32",
+]
+
+
+def shingles(tok_col: Column, n: int) -> Column:
+    """Distinct word n-grams (space-joined) from a token array."""
+    if n == 1:
+        return F.array_distinct(tok_col)
+    idx = F.sequence(F.lit(0), F.size(tok_col) - n)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tok_col, i + k + 1) for k in range(n)]
+    )
+    return F.array_distinct(
+        F.when(F.size(tok_col) >= n, F.transform(idx, gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def doc_shingles(docs: DataFrame, text_col: str, n: int, id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) exploded view — the unit of candidate generation."""
+    return docs.select(
+        F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle")
+    )
+
+
+def minhash_signature(
+    exploded: DataFrame, num_perm: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """num_perm min-hashes per id from an exploded (id, shingle) view.
+
+    One groupBy(id) with num_perm ``min`` aggregates — map-side
+    partial agg keeps the shuffle at |ids| × num_perm values.
+    """
+    aggs = [
+        F.min(hash64(F.col("shingle"), salt=i)).alias(f"h{i}") for i in range(num_perm)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_pairs(
+    sig: DataFrame, num_perm: int, bands: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs sharing ≥1 LSH band (distinct id1<id2 pairs).
+
+    Band key = md5 of the band's r=num_perm/bands signature slots.
+    The self-join runs on (band_idx, band_key) — hash-distributed,
+    no broadcast of the full signature matrix.
+    """
+    r = num_perm // bands
+    band_rows = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(F.concat_ws("-", *[
+                        F.col(f"h{b * r + k}").cast("string") for k in range(r)
+                    ])).alias("band_key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        .distinct()
+    )
+
+
+def simhash32(exploded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """32-bit simhash per id from an exploded (id, shingle) view.
+
+    For each bit b: vote +1/−1 by token-hash bit b (token multiplicity
+    weighted), set bit where the vote is positive. 32 conditional-sum
+    aggregates in a single groupBy — one shuffle.
+    """
+    h = hash64(F.col("shingle"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(32)
+    ]
+    voted = exploded.groupBy(id_col).agg(*votes)
+    value = None
+    for b in range(32):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        value = bit if value is None else value + bit
+    return voted.select(F.col(id_col), value.alias("simhash"))

@@ -1,0 +1,73 @@
+"""Multimodal (binary) column plumbing.
+
+Images/audio/video ride as opaque ``binary`` columns with typed
+metadata. The Spark-side shape is real and tested — schema, Arrow
+batch flow through ``mapInPandas``, partition-preserving transforms —
+while the actual codec step is STUBBED (no image/audio libraries in
+this container): ``decode_image`` raises ``NotImplementedError`` and
+``fake_decode_meta`` produces deterministic pseudo-metadata from the
+bytes so pipelines are testable end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["with_binary_payload", "extract_meta", "decode_image"]
+
+META_SCHEMA = (
+    "doc_id bigint, n_bytes int, magic string, "
+    "fake_width int, fake_height int, content_sha1 string"
+)
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Treat a text column as a binary payload column ``payload``
+    (stand-in for real image/audio bytes in the synthetic corpus)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+
+
+def decode_image(payload: bytes):
+    """Real codec hook — requires an image library not present here.
+
+    STUB: the Spark plumbing around it (``extract_meta``) is real;
+    swap this for PIL/libvips when available.
+    """
+    raise NotImplementedError("image decoding requires an image library (e.g. PIL)")
+
+
+def _fake_decode_meta(payload: bytes) -> tuple[int, int]:
+    """Deterministic pseudo width/height derived from content bytes."""
+    digest = hashlib.sha1(payload).digest()
+    return 16 + digest[0] % 64, 16 + digest[1] % 64
+
+
+def extract_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched metadata extraction over binary payloads.
+
+    ``mapInPandas`` keeps the batch shape: one pandas frame per Arrow
+    batch, vectorized per-batch work, no per-row Python dispatch. At
+    scale this is the pattern for decode/resize/frame-sample stages.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = [_fake_decode_meta(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": [len(p) for p in payloads],
+                    "magic": [bytes(p[:4]).hex() for p in payloads],
+                    "fake_width": [d[0] for d in dims],
+                    "fake_height": [d[1] for d in dims],
+                    "content_sha1": [hashlib.sha1(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, META_SCHEMA)

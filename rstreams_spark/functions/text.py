@@ -1,0 +1,61 @@
+"""Text analysis column expressions (JVM-side, no Python UDFs).
+
+Everything here is a Catalyst expression built from
+``pyspark.sql.functions`` — whole-stage-codegen friendly, scales with
+the scan. Each helper has an exactly-equivalent DuckDB SQL form in
+``rstreams_spark/queries`` so the driver's oracle can replay it.
+
+The word-count/normalization pipeline mirrors the reference's
+shakespeare examples (reference example/tpipe.rs:75-99: strip
+punctuation, lowercase, split on whitespace, fold counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "norm_text", "tokens", "hash64", "md5_fingerprint",
+    "bpe_ish_tokens", "STOPWORDS",
+]
+
+# small per-language stopword lists for the lang-id heuristic; kept
+# short + lowercase so the same literals inline into DuckDB SQL
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "un", "una", "por", "para"],
+    "zh": ["de", "shi", "bu", "le", "wo", "ni", "ta", "men", "zai", "you"],
+}
+
+
+def norm_text(col: Column) -> Column:
+    """lowercase, collapse every non-alphanumeric run to one space."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """whitespace tokens of the normalized text (no empties)."""
+    return F.filter(F.split(norm_text(col), " "), lambda x: x != F.lit(""))
+
+
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """BPE-ish lexer: letter runs, digit runs, single symbols."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def hash64(col: Column, salt: int = 0) -> Column:
+    """Deterministic 60-bit hash identical across Spark and DuckDB:
+    first 15 hex chars of md5('<salt>:'||s) parsed base-16."""
+    payload = F.concat(F.lit(f"{salt}:"), col)
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_fingerprint(col: Column) -> Column:
+    """Content fingerprint of the normalized text."""
+    return F.md5(norm_text(col))

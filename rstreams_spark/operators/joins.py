@@ -1,0 +1,137 @@
+"""Keyed joins, Spark-first.
+
+Parity targets:
+- ``interval_join`` — reference src/join.rs:21-140
+  (``inner_join_streams``): records from two keyed streams match
+  when keys are equal AND ``|t_left - t_right| < high_water_mark``
+  (``within_window``, reference src/lib.rs:38-41, strict ``<``).
+- ``stream_table_join`` — reference src/join.rs:142-156
+  (``join_stream_table``): enrich each record with the latest table
+  value for its key (left join; misses yield NULL, the reference's
+  ``Option<T>``).
+- ``asof_join`` — scale-friendly generalization: latest right-side
+  record at-or-before each left record (what the reference's
+  pruning loop approximates for ordered streams).
+
+Scale notes: the interval join is an *equi*-join on the key — one
+hash shuffle per side, range predicate evaluated post-match, AQE
+skew-join splits hot keys. The table side of ``stream_table_join``
+is latest-per-key (bounded by key cardinality) and is explicitly
+``broadcast()`` so the fact stream never shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["interval_join", "stream_table_join", "asof_join"]
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    high_water_mark: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Keyed join within a time band: |t_l - t_r| < high_water_mark.
+
+    ``high_water_mark`` is an SQL interval string (e.g. ``'1 hour'``).
+    Strict inequality matches reference ``within_window``
+    (src/lib.rs:38-41). Columns from both sides are kept; ambiguous
+    names get ``l_``/``r_`` disambiguation only when they collide.
+    """
+    lcols = set(left.columns)
+    r = right
+    for c in right.columns:
+        if c in lcols:
+            r = r.withColumnRenamed(c, f"r_{c}")
+    r_key = f"r_{right_key}" if right_key in lcols else right_key
+    r_ts = f"r_{right_ts}" if right_ts in lcols else right_ts
+
+    band = F.expr(f"INTERVAL {high_water_mark}")
+    cond = (
+        (F.col(left_key) == F.col(r_key))
+        & (F.col(left_ts) > F.col(r_ts) - band)
+        & (F.col(left_ts) < F.col(r_ts) + band)
+    )
+    return left.join(r, cond, how)
+
+
+def stream_table_join(
+    stream: DataFrame,
+    stream_key: str,
+    table: DataFrame,
+    table_key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Enrich stream records with table values for their key.
+
+    The table is broadcast: latest-per-key tables are bounded by key
+    cardinality, so shipping them to every executor avoids shuffling
+    the (unbounded) fact side entirely — the Spark analog of the
+    reference's shared in-memory ``RTable`` lookup.
+    """
+    cond = stream[stream_key] == table[table_key]
+    return stream.join(F.broadcast(table), cond, how).drop(table[table_key])
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: Sequence[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Latest right record at-or-before each left record (per key).
+
+    Composition of existing ops: union the two sides tagged by
+    origin, one window sort per key carries right-side values forward
+    (``last(..., ignorenulls)``) — a single shuffle on ``key``, no
+    per-row lookups. ``tolerance`` (interval string) drops matches
+    older than ``left_ts - tolerance``.
+    """
+    l_tagged = left.select(
+        F.col(key), F.col(left_ts).alias("__t"), F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}") for v in right_vals],
+        *[F.col(c) for c in left.columns if c not in (key, left_ts)],
+    )
+    r_tagged = right.select(
+        F.col(key), F.col(right_ts).alias("__t"), F.lit(0).alias("__is_left"),
+        *[F.col(v).alias(f"__r_{v}") for v in right_vals],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in (key, left_ts)],
+    )
+    r_tagged = r_tagged.withColumn("__rt", F.col("__t"))
+    l_tagged = l_tagged.withColumn("__rt", F.lit(None).cast(r_tagged.schema["__rt"].dataType))
+
+    unioned = l_tagged.unionByName(r_tagged)
+    # rights sort before lefts at equal timestamps → at-or-before
+    w = Window.partitionBy(key).orderBy("__t", "__is_left").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    filled = unioned.select(
+        "*",
+        *[F.last(f"__r_{v}", ignorenulls=True).over(w).alias(f"r_{v}") for v in right_vals],
+        F.last("__rt", ignorenulls=True).over(w).alias("__match_t"),
+    )
+    out = filled.where(F.col("__is_left") == 1)
+    if tolerance:
+        tol = F.expr(f"INTERVAL {tolerance}")
+        keep = F.col("__match_t") >= F.col("__t") - tol
+        out = out.withColumns({f"r_{v}": F.when(keep, F.col(f"r_{v}")) for v in right_vals})
+    return out.select(
+        F.col(key),
+        F.col("__t").alias(left_ts),
+        *[c for c in left.columns if c not in (key, left_ts)],
+        *[F.col(f"r_{v}") for v in right_vals],
+    )

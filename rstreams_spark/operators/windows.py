@@ -1,0 +1,98 @@
+"""Event-time windows, Spark-first.
+
+Parity targets (reference semantics, not implementation):
+- ``tumbling_window`` — reference src/window.rs:42-92: per-key
+  buffers flushed when event time crosses a ``size`` boundary.
+- ``hopping_window`` — reference src/window.rs:95-177: overlapping
+  ``[start, start+size)`` windows advancing by ``hop``.
+- ``lag_window`` — reference src/window.rs:9-40: per-key sliding
+  buffer of the last N values, emitted once full.
+
+The reference walks each key's buffer imperatively against a KV
+store. On Spark the same result is a *declarative* grouped
+aggregation on ``(key, window)``: one hash shuffle, map-side partial
+aggregation, AQE-coalesced output — the plan that survives 100 TB.
+Raw-buffer parity (the reference yields the vector of values) is an
+aggregate too: pass ``F.collect_list``/``F.sort_array``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["tumbling_window", "hopping_window", "lag_window"]
+
+
+def _windowed(
+    df: DataFrame,
+    key: str | Sequence[str],
+    ts: str,
+    size: str,
+    hop: str | None,
+    *aggs: Column,
+) -> DataFrame:
+    keys = [key] if isinstance(key, str) else list(key)
+    win = F.window(F.col(ts), size, hop) if hop else F.window(F.col(ts), size)
+    out = df.groupBy(*keys, win.alias("window")).agg(*aggs)
+    # surface start/end as plain sortable columns (reference emits
+    # window_start alongside the buffer, src/window.rs:152-156)
+    return out.select(
+        *keys,
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in out.columns if c not in (*keys, "window")],
+    )
+
+
+def tumbling_window(
+    df: DataFrame, key: str | Sequence[str], ts: str, size: str, *aggs: Column
+) -> DataFrame:
+    """Non-overlapping event-time windows of ``size`` per key."""
+    return _windowed(df, key, ts, size, None, *aggs)
+
+
+def hopping_window(
+    df: DataFrame, key: str | Sequence[str], ts: str, size: str, hop: str, *aggs: Column
+) -> DataFrame:
+    """Overlapping windows of ``size`` advancing by ``hop`` per key.
+
+    Spark's ``F.window(ts, size, hop)`` assigns each event to all
+    ``size/hop`` windows containing it — exactly the reference's
+    per-hop emission (src/window.rs:127-156) minus its empty-window
+    gap-fill (a cosmetic artifact of single-threaded iteration that
+    does not scale and carries no data).
+    """
+    return _windowed(df, key, ts, size, hop, *aggs)
+
+
+def lag_window(
+    df: DataFrame,
+    key: str | Sequence[str],
+    ts: str,
+    lag: int,
+    value_cols: Sequence[str],
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key sliding buffer of the last ``lag`` rows (inclusive).
+
+    Emits one row per input row once a key has ≥ ``lag`` rows, with
+    ``values`` = array of structs of ``value_cols`` ordered oldest →
+    newest — matching reference src/window.rs:26-35 (emit when
+    ``events.len() == lag``, then slide by one).
+
+    Runs as a ranked window function: a single shuffle on ``key``,
+    per-partition sort on ``ts`` — no per-row state round-trips.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    order = [F.col(ts), *[F.col(t) for t in tiebreakers]]
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(-(lag - 1), 0)
+    buf = F.collect_list(F.struct(*[F.col(c) for c in value_cols])).over(w)
+    return (
+        df.withColumn("values", buf)
+        .where(F.size("values") == lag)
+        .select(*keys, F.col(ts), "values")
+    )

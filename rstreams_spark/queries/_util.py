@@ -1,0 +1,35 @@
+"""Shared helpers for the query catalog (Spark side + oracle SQL text)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one sf table; transparently handles TIMESTAMP(NANOS)
+    parquet columns (Spark reads them as long ns with the legacy
+    flag; we truncate to µs like DuckDB/Arrow consumers do)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def epoch(col: Column) -> Column:
+    """Timestamp → whole epoch seconds (bigint) — engine-portable
+    output form for event-time columns (DuckDB: floor(epoch(ts)))."""
+    return F.unix_timestamp(col)
+
+
+# DuckDB text fragments mirroring rstreams_spark.functions.text —
+# keep these byte-for-byte aligned with the Spark expressions.
+SQL_EPOCH = "cast(floor(epoch({c})) as bigint)"
+SQL_NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+SQL_TOKS = "list_filter(string_split(" + SQL_NORM + ", ' '), x -> x != '')"
+SQL_H64 = "cast(('0x' || substr(md5('{salt}:' || {s}), 1, 15)) as bigint)"
+
+
+def sql_h64(s: str, salt: int = 0) -> str:
+    return SQL_H64.format(salt=salt, s=s)

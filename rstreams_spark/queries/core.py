@@ -1,0 +1,396 @@
+"""Core rstreams operator surface as catalog queries (SURVEY §2 #1-15).
+
+Each query exercises one reference operator re-expressed Spark-first
+on the driver's synthetic tables, with a matching DuckDB oracle.
+Reference parity notes live in the operator modules' docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import hash64, tokens
+from ..operators import joins, stateless, table, windows
+from ._util import SQL_EPOCH, SQL_TOKS, epoch, sql_h64, t
+
+DAY = 86400
+HOP = 21600  # 6 hours
+
+
+def map_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 50))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 1.1, 2).alias("value_usd"),
+        )
+    )
+
+
+def fold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def merge_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "ts", "value"]
+    clicks = ev.where(F.col("event_type") == "click").select(*cols)
+    views = ev.where(F.col("event_type") == "view").select(*cols)
+    merged = stateless.merge(clicks, views)
+    return (
+        merged.orderBy("ts", "event_id")
+        .limit(100)
+        .select("event_id", "user_id", epoch(F.col("ts")).alias("ts_epoch"), "value")
+    )
+
+
+def chunk_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    chunked = stateless.chunk(ev, 500, order_by=["ts", "event_id"])
+    return chunked.groupBy(F.col("__chunk").alias("chunk")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min(epoch(F.col("ts"))).alias("min_ts_epoch"),
+        F.max(epoch(F.col("ts"))).alias("max_ts_epoch"),
+    )
+
+
+def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    latest = table.latest_per_key(
+        ev, "user_id", "ts", value_cols=["event_id", "event_type", "value"]
+    )
+    return latest.select(
+        "user_id", epoch(F.col("ts")).alias("ts_epoch"), "event_id", "event_type", "value"
+    )
+
+
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    out = windows.tumbling_window(
+        ev,
+        "event_type",
+        "ts",
+        "1 day",
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return out.select(
+        "event_type",
+        epoch(F.col("window_start")).alias("window_start_epoch"),
+        "n",
+        "sum_value",
+    )
+
+
+def hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    out = windows.hopping_window(
+        ev,
+        "event_type",
+        "ts",
+        "1 day",
+        "6 hours",
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return out.select(
+        "event_type",
+        epoch(F.col("window_start")).alias("window_start_epoch"),
+        "n",
+        "sum_value",
+    )
+
+
+def lag_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            epoch(F.col("ts")).alias("ts_epoch"),
+            F.lag("value", 2).over(w).alias("v_2"),
+            F.lag("value", 1).over(w).alias("v_1"),
+            F.col("value").alias("v_0"),
+        )
+        .where(F.col("v_2").isNotNull())
+    )
+
+
+def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cols = ["user_id", "event_id", "ts"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(*cols)
+    errors = ev.where(F.col("event_type") == "error").select(*cols)
+    joined = joins.interval_join(
+        purchases, errors, "user_id", "user_id", "ts", "ts", "1 hour"
+    )
+    return joined.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("error_id"),
+        epoch(F.col("ts")).alias("purchase_ts_epoch"),
+        epoch(F.col("r_ts")).alias("error_ts_epoch"),
+    )
+
+
+def stream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    joined = joins.stream_table_join(orders, "o_custkey", customer, "c_custkey")
+    return joined.select(
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+def _candles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    order = F.struct("ts", "event_id")
+    out = windows.tumbling_window(
+        ev,
+        "event_type",
+        "ts",
+        "1 day",
+        F.min_by("value", order).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", order).alias("close"),
+        F.round(F.sum("value"), 2).alias("volume"),
+        F.count("*").alias("n_trades"),
+    )
+    return out.select(
+        "event_type",
+        epoch(F.col("window_start")).alias("window_start_epoch"),
+        "open", "high", "low", "close", "volume", "n_trades",
+    )
+
+
+def candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _candles_df(spark, sf_dir)
+
+
+def strat_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _candles_df(spark, sf_dir)
+    top = F.greatest("open", "close")
+    bottom = F.least("open", "close")
+    w = Window.partitionBy("event_type").orderBy("window_start_epoch")
+    c = c.select(
+        "event_type", "window_start_epoch", "open", "close",
+        top.alias("top"), bottom.alias("bottom"),
+        F.lag(top).over(w).alias("prev_top"),
+        F.lag(bottom).over(w).alias("prev_bottom"),
+    ).where(F.col("prev_top").isNotNull())
+    above = F.col("top") > F.col("prev_top")
+    below = F.col("bottom") < F.col("prev_bottom")
+    strat = (
+        F.when(above & below, "outside")
+        .when(above, "up")
+        .when(below, "down")
+        .otherwise("inside")
+    )
+    color = F.when(F.col("open") < F.col("close"), "green").otherwise("red")
+    return c.select(
+        "event_type", "window_start_epoch",
+        strat.alias("strat_class"), color.alias("color"),
+    )
+
+
+def throttle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    keep = F.pmod(hash64(F.col("event_id").cast("string")), F.lit(10)) == 0
+    return ev.where(keep).select(
+        "event_id", "user_id", "event_type", epoch(F.col("ts")).alias("ts_epoch"), "value"
+    )
+
+
+def split_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    branches = []
+    for route in ("purchase", "error"):
+        branches.append(
+            ev.where(F.col("event_type") == route).select(
+                F.lit(route).alias("route"), "event_id", "user_id", "value"
+            )
+        )
+    return stateless.merge(*branches)
+
+
+QUERIES = {
+    "map_filter": map_filter,
+    "fold_count": fold_count,
+    "wordcount": wordcount,
+    "merge_take": merge_take,
+    "chunk_fold": chunk_fold,
+    "latest_per_key": latest_per_key,
+    "tumbling_window": tumbling_window,
+    "hopping_window": hopping_window,
+    "lag_window": lag_window,
+    "interval_join": interval_join,
+    "stream_table_join": stream_table_join,
+    "candles": candles,
+    "strat_classify": strat_classify,
+    "throttle_sample": throttle_sample,
+    "split_routes": split_routes,
+}
+
+_E = SQL_EPOCH.format(c="ts")
+_CANDLES_CTE = f"""
+with e as (
+  select event_type, value, ts, event_id,
+         cast(floor(epoch(ts)/{DAY})*{DAY} as bigint) as ws
+  from events
+), r as (
+  select *,
+         row_number() over (partition by event_type, ws order by ts, event_id) rf,
+         row_number() over (partition by event_type, ws order by ts desc, event_id desc) rl
+  from e
+), candles as (
+  select event_type, ws as window_start_epoch,
+         max(case when rf = 1 then value end) as open,
+         max(value) as high,
+         min(value) as low,
+         max(case when rl = 1 then value end) as close,
+         round(sum(value), 2) as volume,
+         count(*) as n_trades
+  from r group by event_type, ws
+)
+"""
+
+SQL_ORACLES = {
+    "map_filter": """
+        select event_id, user_id, round(value * 1.1, 2) as value_usd
+        from events where event_type = 'purchase' and value > 50
+    """,
+    "fold_count": """
+        select event_type, count(*) as n,
+               round(sum(value), 2) as sum_value,
+               round(avg(value), 4) as avg_value
+        from events group by event_type
+    """,
+    "wordcount": f"""
+        select token, count(*) as n
+        from (select unnest({SQL_TOKS.format(c='text')}) as token from documents)
+        group by token
+    """,
+    "merge_take": f"""
+        select event_id, user_id, {_E} as ts_epoch, value
+        from (
+          select * from (
+            select event_id, user_id, ts, value from events where event_type = 'click'
+            union all
+            select event_id, user_id, ts, value from events where event_type = 'view'
+          ) order by ts, event_id limit 100
+        )
+    """,
+    "chunk_fold": f"""
+        with o as (
+          select *, row_number() over (order by ts, event_id) - 1 as ord from events
+        )
+        select cast(floor(ord / 500.0) as bigint) as chunk,
+               count(*) as n, round(sum(value), 2) as sum_value,
+               min({_E}) as min_ts_epoch, max({_E}) as max_ts_epoch
+        from o group by 1
+    """,
+    "latest_per_key": f"""
+        select user_id, {_E} as ts_epoch, event_id, event_type, value
+        from (
+          select *, row_number() over (
+            partition by user_id order by ts desc, event_id desc) as rn
+          from events
+        ) where rn = 1
+    """,
+    "tumbling_window": f"""
+        select event_type,
+               cast(floor(epoch(ts)/{DAY})*{DAY} as bigint) as window_start_epoch,
+               count(*) as n, round(sum(value), 2) as sum_value
+        from events group by 1, 2
+    """,
+    "hopping_window": f"""
+        with expanded as (
+          select event_type, value,
+                 unnest([cast(floor(epoch(ts)/{HOP})*{HOP} - k*{HOP} as bigint)
+                         for k in range(0, {DAY // HOP})]) as ws
+          from events
+        )
+        select event_type, ws as window_start_epoch,
+               count(*) as n, round(sum(value), 2) as sum_value
+        from expanded group by 1, 2
+    """,
+    "lag_window": f"""
+        select user_id, ts_epoch, v_2, v_1, v_0 from (
+          select user_id, {_E} as ts_epoch,
+                 lag(value, 2) over w as v_2,
+                 lag(value, 1) over w as v_1,
+                 value as v_0
+          from events
+          window w as (partition by user_id order by ts, event_id)
+        ) where v_2 is not null
+    """,
+    "interval_join": f"""
+        select a.user_id,
+               a.event_id as purchase_id, b.event_id as error_id,
+               {SQL_EPOCH.format(c='a.ts')} as purchase_ts_epoch,
+               {SQL_EPOCH.format(c='b.ts')} as error_ts_epoch
+        from events a join events b
+          on a.user_id = b.user_id
+         and a.ts > b.ts - interval 1 hour
+         and a.ts < b.ts + interval 1 hour
+        where a.event_type = 'purchase' and b.event_type = 'error'
+    """,
+    "stream_table_join": """
+        select o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+        from orders left join customer on o_custkey = c_custkey
+    """,
+    "candles": _CANDLES_CTE + """
+        select * from candles
+    """,
+    "strat_classify": _CANDLES_CTE + """
+        , lagged as (
+          select event_type, window_start_epoch, open, close,
+                 greatest(open, close) as top, least(open, close) as bottom,
+                 lag(greatest(open, close)) over w as prev_top,
+                 lag(least(open, close)) over w as prev_bottom
+          from candles
+          window w as (partition by event_type order by window_start_epoch)
+        )
+        select event_type, window_start_epoch,
+               case when top > prev_top and bottom < prev_bottom then 'outside'
+                    when top > prev_top then 'up'
+                    when bottom < prev_bottom then 'down'
+                    else 'inside' end as strat_class,
+               case when open < close then 'green' else 'red' end as color
+        from lagged where prev_top is not null
+    """,
+    "throttle_sample": f"""
+        select event_id, user_id, event_type, {_E} as ts_epoch, value
+        from events
+        where {sql_h64('cast(event_id as varchar)')} % 10 = 0
+    """,
+    "split_routes": """
+        select 'purchase' as route, event_id, user_id, value
+        from events where event_type = 'purchase'
+        union all
+        select 'error' as route, event_id, user_id, value
+        from events where event_type = 'error'
+    """,
+}

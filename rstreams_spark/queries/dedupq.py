@@ -1,0 +1,307 @@
+"""Dedup / similarity / multimodal queries (SURVEY §2 #24-30).
+
+Spark side uses rstreams_spark.functions.dedup/similarity (pure
+DataFrame plans). Oracles replicate every hash and every FP operation
+order so values match bit-for-bit (dot products are sequential folds
+in both engines; minhash permutations are md5-derived in both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import multimodal
+from ..functions.dedup import doc_shingles, lsh_band_pairs, minhash_signature, simhash32
+from ..functions.similarity import brute_topk, cosine_pairs
+from ._util import SQL_TOKS, sql_h64, t
+
+NUM_PERM = 16
+BANDS = 8  # r = 2
+JACCARD_TAU = 0.01
+COSINE_TAU = 0.4
+ANN_K = 5
+LSH_TOPK = 3
+
+_TOKS = SQL_TOKS.format(c="text")
+
+
+def _sql_shingles(n: int) -> str:
+    """DuckDB CTE text: (doc_id, shingle) distinct word n-grams."""
+    if n == 1:
+        gram = "toks"
+    else:
+        parts = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
+        gram = f"[{parts} for i in range(1, len(toks) - {n - 2})]"
+    return f"""
+      toks as (select doc_id, {_TOKS} as toks from documents),
+      sh as (select doc_id, unnest(list_distinct({gram})) as shingle from toks)
+    """
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, "text", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    n1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(n1), "id1")
+        .join(F.broadcast(n2), "id2")
+        .where(jac >= JACCARD_TAU)
+        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, "text", 2)
+    sig = minhash_signature(sh, NUM_PERM)
+    return lsh_band_pairs(sig, NUM_PERM, BANDS)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return simhash32(doc_shingles(docs, "text", 2))
+
+
+def embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(vecs, COSINE_TAU, bucket_col="label")
+    return pairs.select("id1", "id2", F.round("cosine", 4).alias("cosine"))
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = t(spark, sf_dir, "embeddings")
+    probes = vecs.where(F.col("vec_id") % 50 == 0)
+    out = brute_topk(vecs, probes, ANN_K)
+    return out.select(
+        "probe_id", "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def minhash_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates → exact jaccard verify → top-k neighbors/doc.
+
+    The scale path for near-dup search: the n² compare shrinks to
+    LSH candidates, verification touches only those pairs.
+    """
+    docs = t(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, "text", 2)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cands = lsh_band_pairs(minhash_signature(sh, NUM_PERM), NUM_PERM, BANDS)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    verified = (
+        cands.join(inter, ["id1", "id2"], "inner")
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))),
+            "id1",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))),
+            "id2",
+        )
+        .select(
+            "id1", "id2",
+            (F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))).alias("jac"),
+        )
+    )
+    sym = verified.select(
+        F.col("id1").alias("doc_id"), F.col("id2").alias("neighbor_id"), "jac"
+    ).unionByName(
+        verified.select(
+            F.col("id2").alias("doc_id"), F.col("id1").alias("neighbor_id"), "jac"
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("jac").desc(), F.col("neighbor_id"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= LSH_TOPK)
+        .select(
+            "doc_id", "neighbor_id",
+            F.round("jac", 6).alias("jaccard"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return multimodal.extract_meta(multimodal.with_binary_payload(docs))
+
+
+QUERIES = {
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "embedding_cosine_dup": embedding_cosine_dup,
+    "ann_topk": ann_topk,
+    "minhash_lsh_topk": minhash_lsh_topk,
+    "multimodal_meta": multimodal_meta,
+}
+
+
+def _sql_sig() -> str:
+    """CTE: minhash signature columns h0..h{NUM_PERM-1} per doc."""
+    mins = ", ".join(
+        f"min({sql_h64('shingle', salt=i)}) as h{i}" for i in range(NUM_PERM)
+    )
+    return f"sig as (select doc_id, {mins} from sh group by doc_id)"
+
+
+def _sql_bands() -> str:
+    """CTE: (doc_id, band_idx, band_key) rows from the signature."""
+    r = NUM_PERM // BANDS
+    selects = []
+    for bi in range(BANDS):
+        concat = " || '-' || ".join(
+            f"cast(h{bi * r + k} as varchar)" for k in range(r)
+        )
+        selects.append(
+            f"select doc_id, {bi} as band_idx, md5({concat}) as band_key from sig"
+        )
+    return "bands as (" + " union all ".join(selects) + ")"
+
+
+_SQL_CAND_PAIRS = """
+  pairs as (
+    select distinct a.doc_id as id1, b.doc_id as id2
+    from bands a join bands b
+      on a.band_idx = b.band_idx and a.band_key = b.band_key
+     and a.doc_id < b.doc_id
+  )
+"""
+
+_H = sql_h64("shingle")
+_SIMHASH_VOTES = ", ".join(
+    f"sum(case when ({_H} >> {b}) & 1 = 1 then 1 else -1 end) as v{b}"
+    for b in range(32)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"(case when v{b} > 0 then cast({2 ** b} as bigint) else cast(0 as bigint) end)"
+    for b in range(32)
+)
+
+_SQL_DOT = (
+    "list_reduce(list_transform(range(1, len(a.embedding) + 1), "
+    "i -> a.embedding[i]::double * b.embedding[i]::double), (x, y) -> x + y)"
+)
+_SQL_NORM_A = (
+    "sqrt(list_reduce(list_transform(range(1, len(a.embedding) + 1), "
+    "i -> a.embedding[i]::double * a.embedding[i]::double), (x, y) -> x + y))"
+)
+_SQL_NORM_B = (
+    "sqrt(list_reduce(list_transform(range(1, len(b.embedding) + 1), "
+    "i -> b.embedding[i]::double * b.embedding[i]::double), (x, y) -> x + y))"
+)
+_SQL_COS = f"{_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_B})"
+
+SQL_ORACLES = {
+    "dedup_ngram_jaccard": f"""
+        with {_sql_shingles(3)},
+        sizes as (select doc_id, count(*) as n from sh group by doc_id),
+        p as (
+          select a.doc_id as id1, b.doc_id as id2, count(*) as inter
+          from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+          group by 1, 2
+        )
+        select id1, id2,
+               round(inter / (n1.n + n2.n - inter), 6) as jaccard
+        from p
+        join sizes n1 on p.id1 = n1.doc_id
+        join sizes n2 on p.id2 = n2.doc_id
+        where inter / (n1.n + n2.n - inter) >= {JACCARD_TAU}
+    """,
+    "dedup_minhash": f"""
+        with {_sql_shingles(2)},
+        {_sql_sig()},
+        {_sql_bands()},
+        {_SQL_CAND_PAIRS}
+        select id1, id2 from pairs
+    """,
+    "dedup_simhash": f"""
+        with {_sql_shingles(2)},
+        v as (select doc_id, {_SIMHASH_VOTES} from sh group by doc_id)
+        select doc_id, {_SIMHASH_VALUE} as simhash from v
+    """,
+    "embedding_cosine_dup": f"""
+        select a.vec_id as id1, b.vec_id as id2,
+               round({_SQL_COS}, 4) as cosine
+        from embeddings a join embeddings b
+          on a.label = b.label and a.vec_id < b.vec_id
+        where {_SQL_COS} >= {COSINE_TAU}
+    """,
+    "ann_topk": f"""
+        with scored as (
+          select b.vec_id as probe_id, a.vec_id as vec_id, {_SQL_COS} as cos
+          from embeddings a cross join
+               (select * from embeddings where vec_id % 50 = 0) b
+          where a.vec_id != b.vec_id
+        ), ranked as (
+          select probe_id, vec_id, cos,
+                 row_number() over (partition by probe_id
+                                    order by cos desc, vec_id) as rank
+          from scored
+        )
+        select probe_id, vec_id, round(cos, 4) as cosine, rank
+        from ranked where rank <= {ANN_K}
+    """,
+    "minhash_lsh_topk": f"""
+        with {_sql_shingles(2)},
+        {_sql_sig()},
+        {_sql_bands()},
+        {_SQL_CAND_PAIRS},
+        sizes as (select doc_id, count(*) as n from sh group by doc_id),
+        inter as (
+          select a.doc_id as id1, b.doc_id as id2, count(*) as inter
+          from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+          group by 1, 2
+        ),
+        verified as (
+          select p.id1, p.id2,
+                 i.inter / (n1.n + n2.n - i.inter) as jac
+          from pairs p
+          join inter i on p.id1 = i.id1 and p.id2 = i.id2
+          join sizes n1 on p.id1 = n1.doc_id
+          join sizes n2 on p.id2 = n2.doc_id
+        ),
+        sym as (
+          select id1 as doc_id, id2 as neighbor_id, jac from verified
+          union all
+          select id2 as doc_id, id1 as neighbor_id, jac from verified
+        ),
+        ranked as (
+          select doc_id, neighbor_id, jac,
+                 row_number() over (partition by doc_id
+                                    order by jac desc, neighbor_id) as rank
+          from sym
+        )
+        select doc_id, neighbor_id, round(jac, 6) as jaccard, rank
+        from ranked where rank <= {LSH_TOPK}
+    """,
+}

@@ -1,0 +1,189 @@
+"""Text-analysis queries over `documents` (SURVEY §2 #19-23).
+
+All JVM-side Catalyst expressions (no UDFs); the oracle SQL mirrors
+each expression byte-for-byte in DuckDB's dialect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    BPE_ISH_PATTERN, STOPWORDS, bpe_ish_tokens, md5_fingerprint, tokens,
+)
+from ._util import SQL_NORM, SQL_TOKS, t
+
+_NORM = SQL_NORM.format(c="text")
+_TOKS = SQL_TOKS.format(c="text")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group identical normalized content, mark survivors.
+
+    One shuffle on the 128-bit fingerprint; at 100 TB the fingerprint
+    groupBy is the only wide stage and AQE handles hot fingerprints.
+    """
+    docs = t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", md5_fingerprint(F.col("text")).alias("fingerprint"))
+    groups = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+    return (
+        fp.join(groups, "fingerprint")
+        .select(
+            "doc_id", "fingerprint", "keep_doc_id", "n_copies",
+            (F.col("doc_id") != F.col("keep_doc_id")).alias("is_dup"),
+        )
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        md5_fingerprint(F.col("text")).alias("fingerprint"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("n_ws_tokens"),
+        F.size(bpe_ish_tokens(F.col("text"))).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n = F.length("text").cast("double")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("double")
+    digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("double")
+    space = F.length(F.regexp_replace(F.col("text"), r"[^ \t\n]", "")).cast("double")
+    toks = tokens(F.col("text"))
+    stop = F.array([F.lit(s) for s in STOPWORDS["en"]])
+    n_toks = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).cast("double")
+    alpha_ratio = F.round(alpha / F.nullif(n, F.lit(0.0)), 6)
+    digit_ratio = F.round(digit / F.nullif(n, F.lit(0.0)), 6)
+    space_ratio = F.round(space / F.nullif(n, F.lit(0.0)), 6)
+    stop_ratio = F.round(n_stop / F.nullif(n_toks, F.lit(0.0)), 6)
+    quality = F.round(
+        0.5 * alpha / F.nullif(n, F.lit(0.0))
+        + 0.3 * n_stop / F.nullif(n_toks, F.lit(0.0))
+        + 0.2 * F.least(n_toks / 100.0, F.lit(1.0)),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        alpha_ratio.alias("alpha_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        space_ratio.alias("space_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens(F.col("text")))
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array([F.lit(s) for s in words]))
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, "unknown")
+    for lang in sorted(STOPWORDS):  # alphabetical tie-break
+        pred = pred.when(scores[lang] == best, lang)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        *[scores[lang].cast("long").alias(f"s_{lang}") for lang in sorted(STOPWORDS)],
+        pred.alias("pred_lang"),
+    )
+
+
+def _sql_stoplist(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+_SQL_SCORES = {
+    lang: f"len(list_intersect(list_distinct({_TOKS}), {_sql_stoplist(lang)}))"
+    for lang in STOPWORDS
+}
+_SQL_BEST = "greatest(" + ", ".join(_SQL_SCORES[g] for g in sorted(STOPWORDS)) + ")"
+_SQL_PRED = (
+    "case when " + _SQL_BEST + " <= 0 then 'unknown' "
+    + " ".join(
+        f"when {_SQL_SCORES[lang]} = {_SQL_BEST} then '{lang}'"
+        for lang in sorted(STOPWORDS)
+    )
+    + " end"
+)
+
+_SQL_STOP_EN = _sql_stoplist("en")
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "doc_fingerprint": doc_fingerprint,
+    "token_count": token_count,
+    "text_quality": text_quality,
+    "lang_id": lang_id,
+}
+
+SQL_ORACLES = {
+    "dedup_exact": f"""
+        with fp as (select doc_id, md5({_NORM}) as fingerprint from documents),
+        groups as (
+          select fingerprint, min(doc_id) as keep_doc_id, count(*) as n_copies
+          from fp group by fingerprint
+        )
+        select doc_id, fp.fingerprint, keep_doc_id, n_copies,
+               doc_id != keep_doc_id as is_dup
+        from fp join groups using (fingerprint)
+    """,
+    "doc_fingerprint": f"""
+        select doc_id, md5({_NORM}) as fingerprint,
+               len({_TOKS}) as n_tokens
+        from documents
+    """,
+    "token_count": f"""
+        select doc_id,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) as n_ws_tokens,
+               len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}')) as n_bpe_tokens
+        from documents
+    """,
+    "text_quality": f"""
+        with m as (
+          select doc_id,
+                 length(text) as n_chars,
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::double as alpha,
+                 length(regexp_replace(text, '[^0-9]', '', 'g'))::double as digit,
+                 length(regexp_replace(text, '[^ \t\n]', '', 'g'))::double as space,
+                 len({_TOKS})::double as n_toks,
+                 len(list_filter({_TOKS}, x -> list_contains({_SQL_STOP_EN}, x)))::double as n_stop
+          from documents
+        )
+        select doc_id, n_chars,
+               round(alpha / nullif(n_chars, 0), 6) as alpha_ratio,
+               round(digit / nullif(n_chars, 0), 6) as digit_ratio,
+               round(space / nullif(n_chars, 0), 6) as space_ratio,
+               round(n_stop / nullif(n_toks, 0), 6) as stopword_ratio,
+               round(0.5 * alpha / nullif(n_chars, 0)
+                     + 0.3 * n_stop / nullif(n_toks, 0)
+                     + 0.2 * least(n_toks / 100.0, 1.0), 6) as quality_score
+        from m
+    """,
+    "lang_id": f"""
+        select doc_id, lang as label_lang,
+               {", ".join(f"{_SQL_SCORES[lang]} as s_{lang}" for lang in sorted(STOPWORDS))},
+               {_SQL_PRED} as pred_lang
+        from documents
+    """,
+}

@@ -1,0 +1,142 @@
+"""TPC-H-style analytics on the driver's star schema (SURVEY §2 #16-18).
+
+Bench headliners: they exercise the engine's scan + shuffle + join
+machinery the way a 100 TB warehouse would. Dimension sides are
+explicitly ``broadcast()`` so the fact tables (orders/lineitem)
+never shuffle for the joins; aggregations are single hash shuffles
+with map-side partials. Adapted to the driver's schema (orders has
+``o_orderpriority``, not ``o_shippriority``; dates span 1995-2001).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import t
+
+Q1_CUTOFF = "2001-08-06"
+Q3_DATE = "1998-03-15"
+Q5_START, Q5_END = "1996-01-01", "1997-01-01"
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = t(spark, sf_dir, "nation")
+    supplier = t(spark, sf_dir, "supplier")
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q5_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_END).cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(customer),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
+QUERIES = {"tpch_q1": tpch_q1, "tpch_q3": tpch_q3, "tpch_q5": tpch_q5}
+
+SQL_ORACLES = {
+    "tpch_q1": f"""
+        select l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) as sum_qty,
+               round(sum(l_extendedprice), 2) as sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) as sum_charge,
+               round(avg(l_quantity), 4) as avg_qty,
+               round(avg(l_extendedprice), 4) as avg_price,
+               round(avg(l_discount), 6) as avg_disc,
+               count(*) as count_order
+        from lineitem
+        where l_shipdate <= timestamp '{Q1_CUTOFF}'
+        group by l_returnflag, l_linestatus
+    """,
+    "tpch_q3": f"""
+        select l_orderkey,
+               cast(floor(epoch(o_orderdate)) as bigint) as o_orderdate_epoch,
+               o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+        from customer
+        join orders on c_custkey = o_custkey
+        join lineitem on l_orderkey = o_orderkey
+        where c_mktsegment = 'BUILDING'
+          and o_orderdate < timestamp '{Q3_DATE}'
+          and l_shipdate > timestamp '{Q3_DATE}'
+        group by l_orderkey, o_orderdate, o_orderpriority
+        order by revenue desc, o_orderdate, l_orderkey
+        limit 10
+    """,
+    "tpch_q5": f"""
+        select n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+        from region
+        join nation on n_regionkey = r_regionkey
+        join supplier on s_nationkey = n_nationkey
+        join customer on c_nationkey = s_nationkey
+        join orders on o_custkey = c_custkey
+        join lineitem on l_orderkey = o_orderkey and l_suppkey = s_suppkey
+        where r_name = 'ASIA'
+          and o_orderdate >= timestamp '{Q5_START}'
+          and o_orderdate < timestamp '{Q5_END}'
+        group by n_name
+    """,
+}

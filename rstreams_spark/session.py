@@ -1,0 +1,58 @@
+"""Tuned SparkSession builder.
+
+One place to set the scale-oriented defaults so every entrypoint
+(tests, bench, driver) runs the same engine configuration.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "rstreams_spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    AQE is on so post-shuffle partition counts, skew joins and
+    dynamic broadcast decisions adapt at runtime — the same configs
+    we would ship to a 1000-executor cluster; only ``master`` and the
+    partition count are local-mode artifacts.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Load parquet tables from an sf dir; returns dict name->DataFrame.
+
+    Scans stay columnar/pushdown-friendly: callers select/filter on
+    the returned frames and Catalyst prunes at the parquet reader.
+    """
+    all_names = names or (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split()
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in all_names}
