@@ -25,28 +25,60 @@ from .text import hash64, tokens
 
 __all__ = [
     "shingles", "doc_shingles", "minhash_signature",
-    "lsh_band_pairs", "simhash32",
+    "lsh_band_pairs", "simhash32", "P61", "perm_coeffs",
 ]
+
+P61 = (1 << 61) - 1  # Mersenne prime modulus for minhash permutations
+_LO_MASK = (1 << 30) - 1
+
+
+def perm_coeffs(num_perm: int) -> list[tuple[int, int, int]]:
+    """Deterministic (a, c, b) coefficients for the permutation family
+    h_i = (a*h_lo + c*h_hi + b) mod P61 — one base md5 hash per
+    shingle, num_perm cheap arithmetic permutations derived from it.
+    Coefficients are inlined into the DuckDB oracle, so parity is by
+    construction."""
+    import random
+
+    rnd = random.Random(20240813)
+    return [
+        (rnd.randrange(1, 1 << 31) | 1, rnd.randrange(1, 1 << 31) | 1, rnd.randrange(P61))
+        for _ in range(num_perm)
+    ]
 
 
 def shingles(tok_col: Column, n: int) -> Column:
-    """Distinct word n-grams (space-joined) from a token array."""
+    """Distinct word n-grams (space-joined) from a token array.
+
+    Built from ``slice`` + ``zip_with`` chains: the token expression
+    is evaluated O(n) times per ROW. (A ``transform`` over an index
+    sequence with ``element_at`` re-evaluates the token expression
+    per ELEMENT — higher-order lambdas get no subexpression
+    elimination — which is quadratic in document length.)
+    """
     if n == 1:
         return F.array_distinct(tok_col)
-    idx = F.sequence(F.lit(0), F.size(tok_col) - n)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(tok_col, i + k + 1) for k in range(n)]
-    )
-    return F.array_distinct(
-        F.when(F.size(tok_col) >= n, F.transform(idx, gram)).otherwise(
-            F.array().cast("array<string>")
+    cnt = F.size(tok_col) - (n - 1)
+    grams = F.slice(tok_col, 1, cnt)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(tok_col, k + 1, cnt), lambda g, t: F.concat(g, F.lit(" "), t)
         )
+    return F.array_distinct(
+        F.when(F.size(tok_col) >= n, grams).otherwise(F.array().cast("array<string>"))
     )
 
 
 def doc_shingles(docs: DataFrame, text_col: str, n: int, id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle) exploded view — the unit of candidate generation."""
-    return docs.select(
+    """(id, shingle) exploded view — the unit of candidate generation.
+
+    Repartitions before the explode: shingling fans each row out
+    ~|tokens|×, so upstream partitioning (sized for the raw scan)
+    under-parallelizes the fan-out; redistributing the *small* input
+    ahead of it is the cheap side of that trade at any scale.
+    """
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n_parts, id_col).select(
         F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle")
     )
 
@@ -56,13 +88,19 @@ def minhash_signature(
 ) -> DataFrame:
     """num_perm min-hashes per id from an exploded (id, shingle) view.
 
-    One groupBy(id) with num_perm ``min`` aggregates — map-side
+    One md5-derived 60-bit base hash per shingle; each permutation is
+    (a*h_lo + c*h_hi + b) mod 2^61-1 — pure arithmetic, no further
+    md5. One groupBy(id) with num_perm ``min`` aggregates — map-side
     partial agg keeps the shuffle at |ids| × num_perm values.
     """
+    with_h = exploded.withColumn("__h", hash64(F.col("shingle")))
+    hlo = F.col("__h").bitwiseAND(F.lit(_LO_MASK))
+    hhi = F.shiftright(F.col("__h"), 30)
     aggs = [
-        F.min(hash64(F.col("shingle"), salt=i)).alias(f"h{i}") for i in range(num_perm)
+        F.min(F.pmod(F.lit(a) * hlo + F.lit(c) * hhi + F.lit(b), F.lit(P61))).alias(f"h{i}")
+        for i, (a, c, b) in enumerate(perm_coeffs(num_perm))
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return with_h.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_pairs(

@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import multimodal
-from ..functions.dedup import doc_shingles, lsh_band_pairs, minhash_signature, simhash32
+from ..functions.dedup import (
+    P61, doc_shingles, lsh_band_pairs, minhash_signature, perm_coeffs, simhash32,
+)
 from ..functions.similarity import brute_topk, cosine_pairs
 from ._util import SQL_TOKS, sql_h64, t
 
@@ -167,11 +169,17 @@ QUERIES = {
 
 
 def _sql_sig() -> str:
-    """CTE: minhash signature columns h0..h{NUM_PERM-1} per doc."""
+    """CTEs: base hash per shingle, then minhash signature columns
+    h0..h{NUM_PERM-1} per doc via the arithmetic permutation family
+    (coefficients inlined from perm_coeffs — same numbers as Spark)."""
     mins = ", ".join(
-        f"min({sql_h64('shingle', salt=i)}) as h{i}" for i in range(NUM_PERM)
+        f"min(({a} * (h & 1073741823) + {c} * (h >> 30) + {b}) % {P61}) as h{i}"
+        for i, (a, c, b) in enumerate(perm_coeffs(NUM_PERM))
     )
-    return f"sig as (select doc_id, {mins} from sh group by doc_id)"
+    return (
+        f"hs as (select doc_id, {sql_h64('shingle')} as h from sh),\n"
+        f"        sig as (select doc_id, {mins} from hs group by doc_id)"
+    )
 
 
 def _sql_bands() -> str:
