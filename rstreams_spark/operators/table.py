@@ -34,9 +34,14 @@ def latest_per_key(
     vals = list(value_cols) if value_cols is not None else [
         c for c in df.columns if c not in keys and c != order_col
     ]
-    packed = F.max(
-        F.struct(F.col(order_col), *[F.col(t) for t in tiebreakers], *[F.col(v) for v in vals])
-    ).alias("__latest")
+    # field order defines the comparison order; dedupe so a column
+    # that is both tiebreaker and value appears once (at its
+    # highest-priority position)
+    fields: list[str] = [order_col]
+    for c in (*tiebreakers, *vals):
+        if c not in fields:
+            fields.append(c)
+    packed = F.max(F.struct(*[F.col(c) for c in fields])).alias("__latest")
     agg = df.groupBy(*keys).agg(packed)
     return agg.select(
         *keys,

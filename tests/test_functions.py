@@ -1,0 +1,127 @@
+"""Text / dedup / similarity / multimodal function unit tests."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from rstreams_spark.functions import dedup, multimodal, similarity, text
+
+
+def test_norm_and_tokens(spark):
+    df = spark.createDataFrame([Row(text="Hello, World!!  foo_bar 42")])
+    got = df.select(
+        text.norm_text(F.col("text")).alias("n"),
+        text.tokens(F.col("text")).alias("t"),
+    ).collect()[0]
+    assert got["n"] == "hello world foo bar 42"
+    assert got["t"] == ["hello", "world", "foo", "bar", "42"]
+
+
+def test_tokens_empty(spark):
+    df = spark.createDataFrame([Row(text="!!!"), Row(text="")])
+    got = [r["t"] for r in df.select(text.tokens(F.col("text")).alias("t")).collect()]
+    assert got == [[], []]
+
+
+def test_hash64_matches_md5_prefix(spark):
+    df = spark.createDataFrame([Row(s="hello")])
+    got = df.select(text.hash64(F.col("s")).alias("h")).collect()[0]["h"]
+    expect = int(hashlib.md5(b"0:hello").hexdigest()[:15], 16)
+    assert got == expect
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([Row(t=["a", "b", "c", "d"]), Row(t=["x"]), Row(t=[])])
+    for n, expect in [
+        (1, [["a", "b", "c", "d"], ["x"], []]),
+        (2, [["a b", "b c", "c d"], [], []]),
+        (3, [["a b c", "b c d"], [], []]),
+    ]:
+        got = [r["s"] for r in df.select(dedup.shingles(F.col("t"), n).alias("s")).collect()]
+        assert got == expect, f"n={n}"
+
+
+def test_shingles_distinct(spark):
+    df = spark.createDataFrame([Row(t=["a", "a", "a"])])
+    got = df.select(dedup.shingles(F.col("t"), 2).alias("s")).collect()[0]["s"]
+    assert got == ["a a"]
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="the quick brown fox jumps"),
+         Row(doc_id=2, text="THE QUICK  brown FOX jumps!!"),
+         Row(doc_id=3, text="a completely different sentence here")]
+    )
+    sh = dedup.doc_shingles(docs, "text", 2)
+    sig = dedup.minhash_signature(sh, 8).collect()
+    by_id = {r["doc_id"]: [r[f"h{i}"] for i in range(8)] for r in sig}
+    assert by_id[1] == by_id[2]  # normalization-identical → same sig
+    assert by_id[1] != by_id[3]
+
+
+def test_lsh_identical_docs_are_candidates(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta"),
+         Row(doc_id=2, text="alpha beta gamma delta"),
+         Row(doc_id=3, text="one two three four")]
+    )
+    sh = dedup.doc_shingles(docs, "text", 2)
+    pairs = dedup.lsh_band_pairs(dedup.minhash_signature(sh, 8), 8, 4).collect()
+    assert {(r["id1"], r["id2"]) for r in pairs} == {(1, 2)}
+
+
+def test_simhash_close_for_similar_docs(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="w1 w2 w3 w4 w5 w6 w7 w8"),
+         Row(doc_id=2, text="w1 w2 w3 w4 w5 w6 w7 w9"),
+         Row(doc_id=3, text="z1 z2 z3 z4 z5 z6 z7 z8")]
+    )
+    sh = dedup.doc_shingles(docs, "text", 1)
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash32(sh).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(got[1], got[2]) < hamming(got[1], got[3])
+
+
+def test_cosine_exact(spark):
+    df = spark.createDataFrame(
+        [Row(a=[1.0, 0.0], b=[1.0, 0.0]), Row(a=[1.0, 0.0], b=[0.0, 1.0])]
+    )
+    got = [
+        r["c"] for r in df.select(
+            similarity.cosine(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    ]
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] == pytest.approx(0.0)
+
+
+def test_brute_topk(spark):
+    vecs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i == j) for j in range(4)]) for i in range(4)]
+        + [Row(vec_id=10, embedding=[1.0, 0.1, 0.0, 0.0])]
+    )
+    probes = vecs.where(F.col("vec_id") == 0)
+    got = similarity.brute_topk(vecs, probes, 1).collect()
+    assert len(got) == 1
+    assert got[0]["vec_id"] == 10  # closest to e_0 is the (1, .1) vector
+
+
+def test_multimodal_meta_deterministic(spark):
+    docs = spark.createDataFrame([Row(doc_id=7, text="hello")])
+    got = multimodal.extract_meta(multimodal.with_binary_payload(docs)).collect()[0]
+    assert got["n_bytes"] == 5
+    assert got["content_sha1"] == hashlib.sha1(b"hello").hexdigest()
+    digest = hashlib.sha1(b"hello").digest()
+    assert got["fake_width"] == 16 + digest[0] % 64
+    assert got["magic"] == b"hell".hex()
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")

@@ -1,0 +1,79 @@
+"""Join semantics vs the reference's test vectors (src/join.rs mod test)."""
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from rstreams_spark.operators import joins, table
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _stream(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(key=k, ts=EPOCH + dt.timedelta(seconds=s), v=s)
+            for k, s in rows
+        ]
+    )
+
+
+def test_interval_join_confluent_vector(spark):
+    # reference test_inner_join (src/join.rs:160-206): the Confluent
+    # blog example — same key, |Δt| < 10 (strict)
+    left = _stream(
+        spark, [("a", 0), ("b", 1), ("c", 3), ("d", 4), ("f", 6), ("f", 6), ("g", 8)]
+    )
+    right = _stream(
+        spark, [("a", 1), ("c", 2), ("e", 5), ("f", 7), ("g", 9), ("g", 9), ("b", 11)]
+    )
+    got = joins.interval_join(left, right, "key", "key", "ts", "ts", "10 seconds")
+    pairs = sorted((r["key"], r["v"], r["r_v"]) for r in got.collect())
+    # (b, 1, 11) excluded: |1-11| = 10 is not strictly within 10s
+    assert pairs == [
+        ("a", 0, 1), ("c", 3, 2),
+        ("f", 6, 7), ("f", 6, 7), ("g", 8, 9), ("g", 8, 9),
+    ]
+
+
+def test_interval_join_strict_bound(spark):
+    left = _stream(spark, [("k", 0)])
+    right = _stream(spark, [("k", 10), ("k", 9)])
+    got = joins.interval_join(left, right, "key", "key", "ts", "ts", "10 seconds")
+    # |0-10| = 10 is excluded (strict <, reference within_window
+    # src/lib.rs:38-41); |0-9| = 9 is included
+    assert [r["r_v"] for r in got.collect()] == [9]
+
+
+def test_stream_table_join_latest_value(spark):
+    # reference join_stream_table (src/join.rs:142-156): each stream
+    # record sees the table's latest value for its key, None on miss
+    changelog = _stream(spark, [("a", 1), ("a", 5), ("b", 2)])
+    tbl = table.latest_per_key(changelog, "key", "ts")
+    stream = _stream(spark, [("a", 10), ("b", 11), ("z", 12)]).select(
+        "key", "ts", "v"
+    )
+    got = joins.stream_table_join(
+        stream, "key", tbl.select("key", tbl["v"].alias("tv")), "key"
+    )
+    vals = {r["v"]: r["tv"] for r in got.collect()}
+    assert vals == {10: 5, 11: 2, 12: None}
+
+
+def test_asof_join(spark):
+    left = _stream(spark, [("k", 5), ("k", 12), ("k", 3)])
+    right = _stream(spark, [("k", 4), ("k", 10), ("k", 20)]).withColumnRenamed("v", "rv")
+    got = joins.asof_join(left, right, "key", "ts", "ts", ["rv"])
+    vals = {r["v"]: r["r_rv"] for r in got.collect()}
+    # each left ts matched to latest right at-or-before
+    assert vals == {3: None, 5: 4, 12: 10}
+
+
+def test_asof_join_tolerance(spark):
+    left = _stream(spark, [("k", 5), ("k", 30)])
+    right = _stream(spark, [("k", 4)]).withColumnRenamed("v", "rv")
+    got = joins.asof_join(
+        left, right, "key", "ts", "ts", ["rv"], tolerance="10 seconds"
+    )
+    vals = {r["v"]: r["r_rv"] for r in got.collect()}
+    assert vals == {5: 4, 30: None}  # 30-4 > 10s tolerance

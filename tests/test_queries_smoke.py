@@ -1,0 +1,29 @@
+"""Smoke: every catalog query runs at sf0.001 with a stable schema,
+and every query key has oracle coverage recorded as designed."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from rstreams_spark.queries import ORACLES, REGISTRY
+
+from conftest import SF_SMOKE
+
+ROWS_ONLY = {"multimodal_meta"}  # by design (see SURVEY §2)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_runs(spark, name):
+    df = REGISTRY[name](spark, SF_SMOKE)
+    assert df.columns  # non-empty schema
+    assert df.count() >= 0
+
+
+def test_every_query_has_oracle_unless_rows_only():
+    assert set(ORACLES) == set(REGISTRY) - ROWS_ONLY
+
+
+def test_entry_contract(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(entry_mod.queries()) == set(REGISTRY)
+    assert set(entry_mod.oracle_sql()) == set(ORACLES)

@@ -1,0 +1,87 @@
+"""Changelog table + stateless combinators (reference src/table.rs
+mod test, tokio-stream StreamExt surface)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from rstreams_spark.model import RStream
+from rstreams_spark.operators import stateless, table
+
+
+def _changelog(spark):
+    # reference table.rs test vector (src/table.rs:50-103): arrival
+    # order becomes the seq column
+    rows = [
+        ("a", 0), ("a", 1), ("a", 2), ("a", 3),
+        ("b", 0), ("b", 1), ("b", 2), ("b", 3),
+        ("a", 4), ("c", 0), ("c", 1), ("c", 2),
+        ("d", 0), ("c", 3), ("c", 4),
+    ]
+    return spark.createDataFrame(
+        [Row(key=k, seq=i, v=v) for i, (k, v) in enumerate(rows)]
+    )
+
+
+def test_latest_per_key_reference_vector(spark):
+    got = table.latest_per_key(_changelog(spark), "key", "seq", ["v"])
+    vals = {r["key"]: r["v"] for r in got.collect()}
+    assert vals == {"a": 4, "b": 3, "c": 4, "d": 0}
+
+
+def test_latest_per_key_tiebreakers(spark):
+    df = _changelog(spark).withColumn("seq", F.lit(0))
+    got = table.latest_per_key(df, "key", "seq", ["v"], tiebreakers=["v"])
+    assert {r["key"]: r["v"] for r in got.collect()} == {
+        "a": 4, "b": 3, "c": 4, "d": 0
+    }
+
+
+def test_chunk(spark):
+    df = spark.range(10).withColumnRenamed("id", "n")
+    got = stateless.chunk(df, 4, order_by=["n"])
+    chunks = {}
+    for r in got.collect():
+        chunks.setdefault(r["__chunk"], []).append(r["n"])
+    assert {k: sorted(v) for k, v in chunks.items()} == {
+        0: [0, 1, 2, 3], 1: [4, 5, 6, 7], 2: [8, 9]
+    }
+
+
+def test_throttle_sample_deterministic(spark):
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in stateless.throttle_sample(df, 10, "k").collect())
+    b = sorted(r["k"] for r in stateless.throttle_sample(df, 10, "k").collect())
+    assert a == b and 0 < len(a) < 1000
+
+
+def test_cycle_index(spark):
+    df = spark.range(6).withColumnRenamed("id", "n")
+    got = stateless.cycle_index(df, 3, order_by=["n"])
+    assert {(r["n"], r["__cycle"]) for r in got.collect()} == {
+        (0, 0), (1, 1), (2, 2), (3, 0), (4, 1), (5, 2)
+    }
+
+
+def test_rstream_fluent_chain(spark):
+    df = spark.createDataFrame(
+        [Row(key="a", ts=i, v=float(i)) for i in range(5)]
+        + [Row(key="b", ts=i, v=float(10 * i)) for i in range(3)]
+    )
+    s = RStream(df, key="key", ts="ts")
+    out = (
+        s.filter(F.col("v") >= 1)
+        .with_column("v2", F.col("v") * 2)
+        .fold(F.sum("v2").alias("total"), by=["key"])
+    )
+    assert {r["key"]: r["total"] for r in out.collect()} == {
+        "a": 20.0, "b": 60.0
+    }
+
+
+def test_rstream_split_merge(spark):
+    df = spark.createDataFrame([Row(key=str(i), v=i) for i in range(10)])
+    s = RStream(df, key="key")
+    evens, odds = s.split(F.col("v") % 2 == 0, F.col("v") % 2 == 1)
+    merged = evens.merge(odds)
+    assert merged.df.count() == 10
+    assert evens.df.count() == 5

@@ -1,0 +1,84 @@
+"""Window operator semantics, mirroring the reference's test vectors
+(reference src/window.rs mod test)."""
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from rstreams_spark.operators import windows
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _events(spark, ts_seconds, key="key"):
+    return spark.createDataFrame(
+        [Row(key=key, ts=EPOCH + dt.timedelta(seconds=s), v=s) for s in ts_seconds]
+    )
+
+
+# the reference's hopping/tumbling vector (src/window.rs:232-247),
+# seconds instead of millis
+VECTOR = [0, 1, 3, 4, 6, 6, 8, 8, 8, 9, 10, 11, 11, 13, 14, 20]
+
+
+def _contents(df):
+    out = {}
+    for r in df.collect():
+        out[int(r["window_start"].timestamp() - EPOCH.timestamp())] = r["vals"]
+    return out
+
+
+def test_tumbling_matches_reference_vector(spark):
+    df = _events(spark, VECTOR)
+    got = windows.tumbling_window(
+        df, "key", "ts", "3 seconds", F.sort_array(F.collect_list("v")).alias("vals")
+    )
+    # reference tumbling_as_hopping (src/window.rs:219-261): windows of
+    # 3 starting at 0 → contents per window (no gap-fill emissions)
+    assert _contents(got) == {
+        0: [0, 1], 3: [3, 4], 6: [6, 6, 8, 8, 8], 9: [9, 10, 11, 11],
+        12: [13, 14], 18: [20],
+    }
+
+
+def test_hopping_matches_reference_vector(spark):
+    df = _events(spark, VECTOR)
+    got = windows.hopping_window(
+        df, "key", "ts", "3 seconds", "1 second",
+        F.sort_array(F.collect_list("v")).alias("vals"),
+    )
+    # reference hopping test (src/window.rs:263-343) — every non-empty
+    # window [s, s+3) stepping by 1; the reference also emits empty
+    # gap windows (15,16,17), which carry no rows by construction
+    expect = {
+        -2: [0], -1: [0, 1], 0: [0, 1], 1: [1, 3], 2: [3, 4], 3: [3, 4],
+        4: [4, 6, 6], 5: [6, 6], 6: [6, 6, 8, 8, 8], 7: [8, 8, 8, 9],
+        8: [8, 8, 8, 9, 10], 9: [9, 10, 11, 11], 10: [10, 11, 11],
+        11: [11, 11, 13], 12: [13, 14], 13: [13, 14], 14: [14],
+        18: [20], 19: [20], 20: [20],
+    }
+    assert _contents(got) == expect
+
+
+def test_hopping_windows_per_event_count(spark):
+    # every event lands in exactly size/hop windows
+    df = _events(spark, VECTOR)
+    got = windows.hopping_window(
+        df, "key", "ts", "4 seconds", "2 seconds", F.count("*").alias("n")
+    )
+    total = got.agg(F.sum("n")).collect()[0][0]
+    assert total == len(VECTOR) * 2
+
+
+def test_lag_window_emits_once_full(spark):
+    # reference lag_window (src/window.rs:9-40): per-key buffer of N,
+    # emits for every event once the key has N values, sliding by one
+    df = _events(spark, [1, 2, 3, 4], key="a").unionByName(
+        _events(spark, [10], key="b")
+    )
+    got = windows.lag_window(df, "key", "ts", 3, ["v"])
+    rows = sorted(
+        (r["key"], [x["v"] for x in r["values"]]) for r in got.collect()
+    )
+    assert rows == [("a", [1, 2, 3]), ("a", [2, 3, 4])]  # b never fills
