@@ -1,0 +1,1 @@
+from . import joins, stateful, windows  # noqa: F401

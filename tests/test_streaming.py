@@ -1,0 +1,129 @@
+"""Structured Streaming parity tests: file-source microbatches through
+the streaming operators into a memory sink, asserting the same
+results the batch operators (and the reference) produce."""
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from rstreams_spark.sinks import writers
+from rstreams_spark.sources import files
+from rstreams_spark.streaming import joins as sjoins
+from rstreams_spark.streaming import stateful, windows as swindows
+
+EPOCH = dt.datetime(2024, 1, 1)
+SCHEMA = "key string, ts timestamp, v double"
+
+
+def _write_batch(tmp_path, name, rows):
+    p = tmp_path / name
+    p.mkdir(parents=True, exist_ok=True)
+    with open(p / "part-0.json", "w") as f:
+        for key, sec, v in rows:
+            ts = (EPOCH + dt.timedelta(seconds=sec)).strftime("%Y-%m-%dT%H:%M:%S")
+            f.write(json.dumps({"key": key, "ts": ts, "v": float(v)}) + "\n")
+    return str(p)
+
+
+def _run(query):
+    query.processAllAvailable()
+    query.stop()
+
+
+def test_stream_tumbling_window(spark, tmp_path):
+    path = _write_batch(
+        tmp_path, "ev",
+        [("a", 0, 1), ("a", 1, 2), ("a", 3, 4), ("a", 7, 8), ("b", 0, 5)],
+    )
+    stream = files.stream_files(spark, path, "json", SCHEMA)
+    out = swindows.stream_tumbling_window(
+        stream, "key", "ts", "3 seconds",
+        F.sum("v").alias("s"), watermark="0 seconds",
+    )
+    q = writers.stream_to_memory(out, "tumbling_out", "complete")
+    _run(q)
+    got = {
+        (r["key"], int(r["window_start"].timestamp() - EPOCH.timestamp())): r["s"]
+        for r in spark.sql("select * from tumbling_out").collect()
+    }
+    assert got == {("a", 0): 3.0, ("a", 3): 4.0, ("a", 6): 8.0, ("b", 0): 5.0}
+
+
+def test_stream_lag_window(spark, tmp_path):
+    path = _write_batch(
+        tmp_path, "lag", [("a", 1, 1), ("a", 2, 2), ("a", 3, 3), ("b", 1, 9)]
+    )
+    stream = files.stream_files(spark, path, "json", SCHEMA)
+    out = stateful.stream_lag_window(stream, "key", "ts", 2, "v")
+    q = writers.stream_to_memory(out, "lag_out", "append")
+    _run(q)
+    rows = sorted(
+        (r["key"], tuple(r["values"]))
+        for r in spark.sql("select * from lag_out").collect()
+    )
+    assert rows == [("a", (1.0, 2.0)), ("a", (2.0, 3.0))]
+
+
+def test_stream_lag_window_state_across_batches(spark, tmp_path):
+    base = tmp_path / "lag2"
+    _write_batch(tmp_path, "lag2", [("a", 1, 1)])
+    stream = files.stream_files(spark, str(base), "json", SCHEMA)
+    out = stateful.stream_lag_window(stream, "key", "ts", 2, "v")
+    q = writers.stream_to_memory(out, "lag2_out", "append")
+    q.processAllAvailable()
+    # second file arrives later: buffer must carry over
+    with open(base / "part-1.json", "w") as f:
+        ts = (EPOCH + dt.timedelta(seconds=2)).strftime("%Y-%m-%dT%H:%M:%S")
+        f.write(json.dumps({"key": "a", "ts": ts, "v": 2.0}) + "\n")
+    q.processAllAvailable()
+    q.stop()
+    rows = [tuple(r["values"]) for r in spark.sql("select * from lag2_out").collect()]
+    assert rows == [(1.0, 2.0)]
+
+
+def test_stream_interval_join(spark, tmp_path):
+    lpath = _write_batch(tmp_path, "l", [("a", 0, 1), ("b", 1, 2), ("c", 50, 3)])
+    rpath = _write_batch(tmp_path, "r", [("a", 5, 10), ("b", 40, 20), ("c", 55, 30)])
+    left = files.stream_files(spark, lpath, "json", SCHEMA)
+    right = files.stream_files(spark, rpath, "json", SCHEMA)
+    out = sjoins.stream_interval_join(left, right, "key", "ts", "ts", "10 seconds")
+    q = writers.stream_to_memory(out, "ij_out", "append")
+    _run(q)
+    got = sorted(
+        (r["key"], r["v"], r["r_v"]) for r in spark.sql("select * from ij_out").collect()
+    )
+    # (b) excluded: Δ=39s > 10s; (a) Δ=5s and (c) Δ=5s match
+    assert got == [("a", 1.0, 10.0), ("c", 3.0, 30.0)]
+
+
+def test_stream_latest_per_key(spark, tmp_path):
+    path = _write_batch(
+        tmp_path, "tbl", [("a", 1, 10), ("a", 5, 50), ("b", 2, 20)]
+    )
+    stream = files.stream_files(spark, path, "json", SCHEMA)
+    out = stateful.stream_latest_per_key(stream, "key", "ts", "v")
+    q = writers.stream_to_memory(out, "tbl_out", "complete")
+    _run(q)
+    got = {r["key"]: r["v"] for r in spark.sql("select * from tbl_out").collect()}
+    assert got == {"a": 50.0, "b": 20.0}
+
+
+def test_stream_rate_source_smoke(spark):
+    df = files.stream_rate(spark, 10)
+    assert df.isStreaming
+    assert set(df.columns) == {"timestamp", "value"}
+
+
+def test_kafka_builder_shapes(spark):
+    # no broker here: assert the builders construct valid plans
+    from rstreams_spark.sources import kafka as k
+
+    assert k.to_json_bytes_schema({"sym": "A", "px": 1.0, "n": 3}) == (
+        "sym string, px double, n bigint"
+    )
+    with pytest.raises(Exception):
+        # kafka source requires the kafka package/broker — building
+        # the reader itself should fail cleanly in this environment
+        k.read_kafka_stream(spark, "localhost:9092", "t").explain()
