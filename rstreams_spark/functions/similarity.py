@@ -77,25 +77,52 @@ def brute_topk(
 ) -> DataFrame:
     """Exact top-k nearest corpus vectors per probe (cosine).
 
-    Probes are broadcast (small side); ranking is a per-probe window
-    — partitions by probe id, so parallelism = #probes × corpus
-    partitioning upstream of the final rank.
+    Scale shape: the (small, bounded) probe matrix ships to every
+    task; each corpus partition computes a vectorized Arrow-batch
+    matmul (numpy float64) and keeps only its LOCAL top-k per probe,
+    so the final global rank sees ≤ partitions × k × probes rows —
+    never the full corpus × probes cross product. This is the
+    (b)-tier pattern from the design rules: built-in ops can't
+    express a matmul efficiently, so it's a vectorized batch UDF,
+    never per-row Python.
     """
-    p = probes.select(
-        F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("__probe_vec")
-    )
-    joined = corpus.crossJoin(F.broadcast(p)).where(
-        F.col(id_col) != F.col(probe_id_col)
-    )
-    scored = joined.select(
-        F.col(probe_id_col),
-        F.col(id_col),
-        cosine(F.col(vec_col), F.col("__probe_vec")).alias("cosine"),
-    )
+    import numpy as np
+    import pandas as pd
+
+    probe_rows = probes.select(id_col, vec_col).collect()  # bounded by contract
+    pids = np.array([r[id_col] for r in probe_rows], dtype=np.int64)
+    pmat = np.array([list(r[vec_col]) for r in probe_rows], dtype=np.float64)
+    pmat = pmat / np.linalg.norm(pmat, axis=1, keepdims=True)
+
+    schema = f"{probe_id_col} long, {id_col} long, cosine double"
+
+    def local_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ pmat.T  # (corpus_rows, probes)
+            ids = pdf[id_col].to_numpy()
+            out_p, out_i, out_c = [], [], []
+            for j, pid in enumerate(pids):
+                col = sims[:, j]
+                mask = ids != pid  # exclude self
+                cand_ids, cand_cos = ids[mask], col[mask]
+                # deterministic local order: cosine desc, id asc
+                order = np.lexsort((cand_ids, -cand_cos))[:k]
+                out_p.extend([pid] * len(order))
+                out_i.extend(cand_ids[order])
+                out_c.extend(cand_cos[order])
+            yield pd.DataFrame(
+                {probe_id_col: out_p, id_col: out_i, "cosine": out_c}
+            )
+
+    # respects upstream partitioning: at scale the corpus scan is
+    # already many tasks; forcing a repartition here only shuffles
+    # the vectors and cold-starts extra Python workers
+    local = corpus.select(id_col, vec_col).mapInPandas(local_topk, schema)
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return local.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

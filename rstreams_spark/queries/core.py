@@ -42,8 +42,12 @@ def fold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
+    # redistribute the (small) doc rows before the ~|tokens|× explode
+    # fan-out — single-row-group files otherwise serialize the stage
+    n_parts = spark.sparkContext.defaultParallelism
     return (
-        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        docs.repartition(n_parts)
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
