@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["tumbling_window", "hopping_window", "lag_window"]
+__all__ = ["tumbling_window", "hopping_window", "lag_window", "session_window"]
 
 
 def _windowed(
@@ -67,6 +67,28 @@ def hopping_window(
     does not scale and carries no data).
     """
     return _windowed(df, key, ts, size, hop, *aggs)
+
+
+def session_window(
+    df: DataFrame, key: str | Sequence[str], ts: str, gap: str, *aggs: Column
+) -> DataFrame:
+    """Gap-based sessions per key (beyond the reference's fixed
+    windows — the natural next window type for event analytics).
+
+    Spark merges consecutive events while each arrives strictly
+    before ``previous + gap``; still a single grouped aggregation —
+    one shuffle on key, session merging happens inside the sort-based
+    session aggregation operator.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    win = F.session_window(F.col(ts), gap)
+    out = df.groupBy(*keys, win.alias("session")).agg(*aggs)
+    return out.select(
+        *keys,
+        F.col("session.start").alias("session_start"),
+        F.col("session.end").alias("session_end"),
+        *[c for c in out.columns if c not in (*keys, "session")],
+    )
 
 
 def lag_window(

@@ -124,6 +124,24 @@ def hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    out = windows.session_window(
+        ev,
+        "user_id",
+        "ts",
+        "1 hour",
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return out.select(
+        "user_id",
+        epoch(F.col("session_start")).alias("session_start_epoch"),
+        "n",
+        "sum_value",
+    )
+
+
 def lag_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -248,6 +266,7 @@ QUERIES = {
     "latest_per_key": latest_per_key,
     "tumbling_window": tumbling_window,
     "hopping_window": hopping_window,
+    "session_window": session_window,
     "lag_window": lag_window,
     "interval_join": interval_join,
     "stream_table_join": stream_table_join,
@@ -339,6 +358,25 @@ SQL_ORACLES = {
         select event_type, ws as window_start_epoch,
                count(*) as n, round(sum(value), 2) as sum_value
         from expanded group by 1, 2
+    """,
+    "session_window": f"""
+        with marked as (
+          select user_id, ts, value,
+                 case when lag(ts) over w is null
+                        or ts >= lag(ts) over w + interval 1 hour
+                      then 1 else 0 end as new_session
+          from events
+          window w as (partition by user_id order by ts)
+        ), sessions as (
+          select user_id, ts, value,
+                 sum(new_session) over (partition by user_id order by ts
+                   rows between unbounded preceding and current row) as session_id
+          from marked
+        )
+        select user_id,
+               {SQL_EPOCH.format(c='min(ts)')} as session_start_epoch,
+               count(*) as n, round(sum(value), 2) as sum_value
+        from sessions group by user_id, session_id
     """,
     "lag_window": f"""
         select user_id, ts_epoch, v_2, v_1, v_0 from (

@@ -93,7 +93,28 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"tpch_q1": tpch_q1, "tpch_q3": tpch_q3, "tpch_q5": tpch_q5}
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(Q5_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q5_END).cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+QUERIES = {
+    "tpch_q1": tpch_q1, "tpch_q3": tpch_q3, "tpch_q5": tpch_q5, "tpch_q6": tpch_q6,
+}
 
 SQL_ORACLES = {
     "tpch_q1": f"""
@@ -138,5 +159,14 @@ SQL_ORACLES = {
           and o_orderdate >= timestamp '{Q5_START}'
           and o_orderdate < timestamp '{Q5_END}'
         group by n_name
+    """,
+    "tpch_q6": f"""
+        select round(sum(l_extendedprice * l_discount), 2) as revenue,
+               count(*) as n_items
+        from lineitem
+        where l_shipdate >= timestamp '{Q5_START}'
+          and l_shipdate < timestamp '{Q5_END}'
+          and l_discount >= 0.05 and l_discount <= 0.07
+          and l_quantity < 24
     """,
 }

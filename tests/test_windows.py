@@ -71,6 +71,19 @@ def test_hopping_windows_per_event_count(spark):
     assert total == len(VECTOR) * 2
 
 
+def test_session_window_gap_merge(spark):
+    # events 0,1,2 chain within 3s gaps; 10 starts a new session
+    df = _events(spark, [0, 1, 2, 10, 11], key="a")
+    got = windows.session_window(
+        df, "key", "ts", "3 seconds", F.sort_array(F.collect_list("v")).alias("vals")
+    )
+    out = {
+        int(r["session_start"].timestamp() - EPOCH.timestamp()): r["vals"]
+        for r in got.collect()
+    }
+    assert out == {0: [0, 1, 2], 10: [10, 11]}
+
+
 def test_lag_window_emits_once_full(spark):
     # reference lag_window (src/window.rs:9-40): per-key buffer of N,
     # emits for every event once the key has N values, sliding by one
