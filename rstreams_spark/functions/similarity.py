@@ -17,7 +17,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["dot", "l2_norm", "cosine", "cosine_pairs", "brute_topk"]
+__all__ = [
+    "dot", "l2_norm", "cosine", "cosine_pairs", "brute_topk",
+    "hyperplanes", "lsh_bucket",
+]
+
+
+def hyperplanes(n_bits: int, dims: int, seed: int = 20240813) -> list[list[float]]:
+    """Deterministic ±1 random hyperplanes for sign-LSH (inlined into
+    the DuckDB oracle, so parity is by construction)."""
+    import random
+
+    rnd = random.Random(seed)
+    return [[float(rnd.choice((1.0, -1.0))) for _ in range(dims)] for _ in range(n_bits)]
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit j = (v · hp_j > 0). Vectors in the
+    same bucket are likely cosine-similar; bucket count = 2^n_bits.
+    Pure Catalyst folds — no Python per row."""
+    bucket = None
+    for j, hp in enumerate(planes):
+        lit = F.array([F.lit(x) for x in hp])
+        bit = F.when(dot(vec_col, lit) > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
 
 
 def dot(a: Column, b: Column) -> Column:

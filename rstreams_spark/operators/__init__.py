@@ -1,1 +1,1 @@
-from . import joins, stateless, table, windows  # noqa: F401
+from . import joins, skew, stateless, table, windows  # noqa: F401

@@ -237,6 +237,23 @@ def strat_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parse_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload parsing — the reference's ``from_bytes`` serde
+    step (src/lib.rs:25-29) as a Catalyst expression: typed
+    ``from_json`` extract, then aggregate over the parsed field."""
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k bigint").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 def throttle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     keep = F.pmod(hash64(F.col("event_id").cast("string")), F.lit(10)) == 0
@@ -272,6 +289,7 @@ QUERIES = {
     "stream_table_join": stream_table_join,
     "candles": candles,
     "strat_classify": strat_classify,
+    "parse_json_props": parse_json_props,
     "throttle_sample": throttle_sample,
     "split_routes": split_routes,
 }
@@ -422,6 +440,13 @@ SQL_ORACLES = {
                     else 'inside' end as strat_class,
                case when open < close then 'green' else 'red' end as color
         from lagged where prev_top is not null
+    """,
+    "parse_json_props": """
+        select event_type, count(*) as n,
+               cast(sum(cast(json_extract(props, '$.k') as bigint)) as bigint) as sum_k,
+               min(cast(json_extract(props, '$.k') as bigint)) as min_k,
+               max(cast(json_extract(props, '$.k') as bigint)) as max_k
+        from events group by event_type
     """,
     "throttle_sample": f"""
         select event_id, user_id, event_type, {_E} as ts_epoch, value

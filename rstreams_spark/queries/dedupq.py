@@ -16,7 +16,9 @@ from ..functions import multimodal
 from ..functions.dedup import (
     P61, doc_shingles, lsh_band_pairs, minhash_signature, perm_coeffs, simhash32,
 )
-from ..functions.similarity import brute_topk, cosine_pairs
+from ..functions.similarity import (
+    brute_topk, cosine, cosine_pairs, hyperplanes, lsh_bucket,
+)
 from ._util import SQL_TOKS, sql_h64, t
 
 NUM_PERM = 16
@@ -98,6 +100,44 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LSH_BITS = 6
+_PLANES = hyperplanes(LSH_BITS, 64)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: the approximate scale path. Probes only
+    compare against corpus vectors in their own bucket — the
+    candidate set shrinks ~2^bits×; recall trades against bits."""
+    from pyspark.sql.window import Window as W
+
+    vecs = t(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), _PLANES)
+    )
+    probes = vecs.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("bucket").alias("p_bucket"),
+    )
+    scored = (
+        vecs.join(F.broadcast(probes), F.col("bucket") == F.col("p_bucket"))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id", "vec_id",
+            cosine(F.col("embedding"), F.col("p_emb")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select(
+            "probe_id", "vec_id",
+            F.round("cos", 4).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def minhash_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates → exact jaccard verify → top-k neighbors/doc.
 
@@ -163,6 +203,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "embedding_cosine_dup": embedding_cosine_dup,
     "ann_topk": ann_topk,
+    "ann_lsh_topk": ann_lsh_topk,
     "minhash_lsh_topk": minhash_lsh_topk,
     "multimodal_meta": multimodal_meta,
 }
@@ -229,7 +270,37 @@ _SQL_NORM_B = (
 )
 _SQL_COS = f"{_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_B})"
 
+def _sql_bucket() -> str:
+    """DuckDB expression: sign-LSH bucket from inlined hyperplanes."""
+    bits = []
+    for j, hp in enumerate(_PLANES):
+        lit = "[" + ", ".join(str(x) for x in hp) + "]"
+        d = (
+            f"list_reduce(list_transform(range(1, len(embedding) + 1), "
+            f"i -> embedding[i]::double * ({lit})[i]), (x, y) -> x + y)"
+        )
+        bits.append(f"(case when {d} > 0 then cast({1 << j} as bigint) else cast(0 as bigint) end)")
+    return " + ".join(bits)
+
+
 SQL_ORACLES = {
+    "ann_lsh_topk": f"""
+        with bk as (
+          select vec_id, embedding, {_sql_bucket()} as bucket from embeddings
+        ), scored as (
+          select b.vec_id as probe_id, a.vec_id as vec_id, {_SQL_COS} as cos
+          from bk a join (select * from bk where vec_id % 50 = 0) b
+            on a.bucket = b.bucket
+          where a.vec_id != b.vec_id
+        ), ranked as (
+          select probe_id, vec_id, cos,
+                 row_number() over (partition by probe_id
+                                    order by cos desc, vec_id) as rank
+          from scored
+        )
+        select probe_id, vec_id, round(cos, 4) as cosine, rank
+        from ranked where rank <= {ANN_K}
+    """,
     "dedup_ngram_jaccard": f"""
         with {_sql_shingles(3)},
         sizes as (select doc_id, count(*) as n from sh group by doc_id),
