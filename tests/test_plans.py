@@ -1,0 +1,54 @@
+"""Plan-shape regression tests: pushdown, pruning, broadcast, shuffle
+counts — the properties that decide 100 TB behavior."""
+
+from rstreams_spark import plans
+from rstreams_spark.queries import REGISTRY
+
+from conftest import SF_SMOKE
+
+
+def test_q1_pushdown_and_pruning(spark):
+    df = REGISTRY["tpch_q1"](spark, SF_SMOKE)
+    rep = plans.plan_report(df)
+    assert any("l_shipdate" in f for f in rep["pushed_filters"])
+    # pruning: the scan reads only the 7 needed columns (of 11)
+    (schema,) = rep["read_schemas"]
+    assert set(schema) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+
+
+def test_q3_broadcasts_dims_no_smj(spark):
+    df = REGISTRY["tpch_q3"](spark, SF_SMOKE)
+    assert plans.count_broadcast_joins(df) >= 2
+    assert plans.count_sortmerge_joins(df) == 0
+
+
+def test_q5_six_way_join_all_broadcast(spark):
+    df = REGISTRY["tpch_q5"](spark, SF_SMOKE)
+    assert plans.count_broadcast_joins(df) >= 5
+    assert plans.count_sortmerge_joins(df) == 0
+
+
+def test_stream_table_join_no_fact_shuffle(spark):
+    df = REGISTRY["stream_table_join"](spark, SF_SMOKE)
+    # broadcast table side ⇒ the orders fact side needs no exchange
+    assert plans.count_broadcast_joins(df) == 1
+    assert plans.count_shuffles(df) == 0
+
+
+def test_tumbling_window_single_shuffle(spark):
+    df = REGISTRY["tumbling_window"](spark, SF_SMOKE)
+    assert plans.count_shuffles(df) == 1  # one hash exchange on (key, window)
+
+
+def test_latest_per_key_single_shuffle(spark):
+    df = REGISTRY["latest_per_key"](spark, SF_SMOKE)
+    assert plans.count_shuffles(df) == 1
+
+
+def test_interval_join_filters_pushed(spark):
+    df = REGISTRY["interval_join"](spark, SF_SMOKE)
+    fs = plans.pushed_filters(df)
+    assert any("purchase" in f for f in fs) and any("error" in f for f in fs)
