@@ -109,9 +109,19 @@ class RStream:
     def lag_window(self, lag: int, value_cols: Sequence[str]) -> DataFrame:
         return _windows.lag_window(self.df, self.key, self.ts, lag, value_cols)
 
+    def session_window(self, gap: str, *aggs: Column) -> DataFrame:
+        return _windows.session_window(self.df, self.key, self.ts, gap, *aggs)
+
     def interval_join(self, other: "RStream", high_water_mark: str) -> DataFrame:
         return _joins.interval_join(
             self.df, other.df, self.key, other.key, self.ts, other.ts, high_water_mark
+        )
+
+    def asof_join(
+        self, other: "RStream", right_vals: Sequence[str], tolerance: str | None = None
+    ) -> DataFrame:
+        return _joins.asof_join(
+            self.df, other.df, self.key, self.ts, other.ts, right_vals, tolerance
         )
 
     def join_table(self, table: DataFrame, table_key: str, how: str = "left") -> "RStream":
