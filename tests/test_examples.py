@@ -1,0 +1,66 @@
+"""End-to-end parity example tests: the stocks pipeline produces the
+same classifications in batch and in streaming mode."""
+
+from pyspark.sql import functions as F
+
+from examples.stocks_pipeline import build_pipeline, candles, classify_strat
+from rstreams_spark.queries._util import t
+from rstreams_spark.sinks import writers
+from rstreams_spark.streaming import windows as swindows
+
+from conftest import SF_SMOKE
+
+
+def test_stocks_pipeline_all_timeframes(spark):
+    ticks = t(spark, SF_SMOKE, "events")
+    out = build_pipeline(ticks)
+    assert set(out) == {"1h", "4h", "12h", "1d", "1w"}
+    day = out["1d"]
+    assert day.count() > 0
+    classes = {r["strat_class"] for r in day.select("strat_class").distinct().collect()}
+    assert classes <= {"inside", "up", "down", "outside"}
+    # high/low bound open/close on every candle
+    bad = day.where(
+        (F.col("high") < F.greatest("open", "close"))
+        | (F.col("low") > F.least("open", "close"))
+    ).count()
+    assert bad == 0
+
+
+def test_streaming_candles_match_batch(spark, tmp_path):
+    """The streaming window agg over the same ticks produces the
+    batch candle table (complete mode, watermark irrelevant once all
+    data is processed)."""
+    ticks = t(spark, SF_SMOKE, "events")
+    batch = candles(ticks, "event_type", "ts", "value", "1 day")
+
+    # stream the same rows through a file source
+    src = tmp_path / "ticks"
+    ticks.select("event_id", "ts", "event_type", "value").write.json(str(src))
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, event_type string, value double"
+    ).json(str(src))
+    s_out = swindows.stream_tumbling_window(
+        stream, "event_type", "ts", "1 day",
+        F.min_by("value", F.struct("ts", "event_id")).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("close"),
+        F.count("*").alias("volume"),
+        watermark="0 seconds",
+    )
+    q = writers.stream_to_memory(s_out, "stream_candles", "complete")
+    q.processAllAvailable()
+    q.stop()
+
+    def key(rows):
+        return {
+            (r["event_type"], r["window_start"]): (
+                r["open"], r["high"], r["low"], r["close"], r["volume"]
+            )
+            for r in rows
+        }
+
+    got = key(spark.sql("select * from stream_candles").collect())
+    want = key(batch.collect())
+    assert got == want
