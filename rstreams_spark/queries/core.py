@@ -26,7 +26,7 @@ def map_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            F.round(F.col("value") * 1.1, 2).alias("value_usd"),
+            (F.col("value") * 1.1).alias("value_usd"),
         )
     )
 
@@ -319,7 +319,7 @@ with e as (
 
 SQL_ORACLES = {
     "map_filter": """
-        select event_id, user_id, round(value * 1.1, 2) as value_usd
+        select event_id, user_id, value * 1.1 as value_usd
         from events where event_type = 'purchase' and value > 50
     """,
     "fold_count": """

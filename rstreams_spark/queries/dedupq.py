@@ -67,7 +67,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(F.broadcast(n1), "id1")
         .join(F.broadcast(n2), "id2")
         .where(jac >= JACCARD_TAU)
-        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+        .select("id1", "id2", jac.alias("jaccard"))
     )
 
 
@@ -86,7 +86,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = t(spark, sf_dir, "embeddings")
     pairs = cosine_pairs(vecs, COSINE_TAU, bucket_col="label")
-    return pairs.select("id1", "id2", F.round("cosine", 4).alias("cosine"))
+    return pairs.select("id1", "id2", "cosine")
 
 
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,7 +132,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= ANN_K)
         .select(
             "probe_id", "vec_id",
-            F.round("cos", 4).alias("cosine"),
+            F.col("cos").alias("cosine"),
             F.col("rank").cast("long").alias("rank"),
         )
     )
@@ -186,7 +186,7 @@ def minhash_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= LSH_TOPK)
         .select(
             "doc_id", "neighbor_id",
-            F.round("jac", 6).alias("jaccard"),
+            F.col("jac").alias("jaccard"),
             F.col("rank").cast("long").alias("rank"),
         )
     )
@@ -298,7 +298,7 @@ SQL_ORACLES = {
                                     order by cos desc, vec_id) as rank
           from scored
         )
-        select probe_id, vec_id, round(cos, 4) as cosine, rank
+        select probe_id, vec_id, cos as cosine, rank
         from ranked where rank <= {ANN_K}
     """,
     "dedup_ngram_jaccard": f"""
@@ -310,7 +310,7 @@ SQL_ORACLES = {
           group by 1, 2
         )
         select id1, id2,
-               round(inter / (n1.n + n2.n - inter), 6) as jaccard
+               inter / (n1.n + n2.n - inter) as jaccard
         from p
         join sizes n1 on p.id1 = n1.doc_id
         join sizes n2 on p.id2 = n2.doc_id
@@ -330,7 +330,7 @@ SQL_ORACLES = {
     """,
     "embedding_cosine_dup": f"""
         select a.vec_id as id1, b.vec_id as id2,
-               round({_SQL_COS}, 4) as cosine
+               {_SQL_COS} as cosine
         from embeddings a join embeddings b
           on a.label = b.label and a.vec_id < b.vec_id
         where {_SQL_COS} >= {COSINE_TAU}
@@ -380,7 +380,7 @@ SQL_ORACLES = {
                                     order by jac desc, neighbor_id) as rank
           from sym
         )
-        select doc_id, neighbor_id, round(jac, 6) as jaccard, rank
+        select doc_id, neighbor_id, jac as jaccard, rank
         from ranked where rank <= {LSH_TOPK}
     """,
 }

@@ -67,15 +67,14 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop = F.array([F.lit(s) for s in STOPWORDS["en"]])
     n_toks = F.size(toks).cast("double")
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).cast("double")
-    alpha_ratio = F.round(alpha / F.nullif(n, F.lit(0.0)), 6)
-    digit_ratio = F.round(digit / F.nullif(n, F.lit(0.0)), 6)
-    space_ratio = F.round(space / F.nullif(n, F.lit(0.0)), 6)
-    stop_ratio = F.round(n_stop / F.nullif(n_toks, F.lit(0.0)), 6)
-    quality = F.round(
+    alpha_ratio = alpha / F.nullif(n, F.lit(0.0))
+    digit_ratio = digit / F.nullif(n, F.lit(0.0))
+    space_ratio = space / F.nullif(n, F.lit(0.0))
+    stop_ratio = n_stop / F.nullif(n_toks, F.lit(0.0))
+    quality = (
         0.5 * alpha / F.nullif(n, F.lit(0.0))
         + 0.3 * n_stop / F.nullif(n_toks, F.lit(0.0))
-        + 0.2 * F.least(n_toks / 100.0, F.lit(1.0)),
-        6,
+        + 0.2 * F.least(n_toks / 100.0, F.lit(1.0))
     )
     return docs.select(
         "doc_id",
@@ -171,13 +170,13 @@ SQL_ORACLES = {
           from documents
         )
         select doc_id, n_chars,
-               round(alpha / nullif(n_chars, 0), 6) as alpha_ratio,
-               round(digit / nullif(n_chars, 0), 6) as digit_ratio,
-               round(space / nullif(n_chars, 0), 6) as space_ratio,
-               round(n_stop / nullif(n_toks, 0), 6) as stopword_ratio,
-               round(0.5 * alpha / nullif(n_chars, 0)
+               alpha / nullif(n_chars, 0) as alpha_ratio,
+               digit / nullif(n_chars, 0) as digit_ratio,
+               space / nullif(n_chars, 0) as space_ratio,
+               n_stop / nullif(n_toks, 0) as stopword_ratio,
+               0.5 * alpha / nullif(n_chars, 0)
                      + 0.3 * n_stop / nullif(n_toks, 0)
-                     + 0.2 * least(n_toks / 100.0, 1.0), 6) as quality_score
+                     + 0.2 * least(n_toks / 100.0, 1.0) as quality_score
         from m
     """,
     "lang_id": f"""
