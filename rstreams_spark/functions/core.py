@@ -1,0 +1,49 @@
+"""Reference lib.rs utility surface (src/lib.rs) as Column helpers.
+
+- ``within_window`` — src/lib.rs:38-41: |a − b| < window (strict),
+  the predicate under the reference's windowed join.
+- ``from_bytes`` / ``to_bytes`` — src/lib.rs:25-36: JSON serde for
+  message payloads → ``from_json``/``to_json`` with explicit schema.
+- ``parsed_message`` — src/lib.rs:20-24: normalize any keyed frame
+  into the (key, value-struct) shape.
+
+(``into_flat_stream`` is Spark's Kafka source natively;
+``erase_stream_type`` is Rust type plumbing with no Python analog;
+``Actor`` is the engine itself.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+__all__ = ["within_window", "from_bytes", "to_bytes", "parsed_message"]
+
+
+def within_window(a: Column, b: Column, window: str) -> Column:
+    """True when |a − b| < window (strict), for timestamp columns.
+
+    ``window`` is an SQL interval string, e.g. ``'1 hour'``.
+    """
+    band = F.expr(f"INTERVAL {window}")
+    return (a > b - band) & (a < b + band)
+
+
+def from_bytes(value: Column, schema: StructType | str) -> Column:
+    """Deserialize a JSON string/binary payload into a typed struct."""
+    return F.from_json(value.cast("string"), schema)
+
+
+def to_bytes(*cols: Column | str) -> Column:
+    """Serialize columns into a JSON payload (UTF-8 binary)."""
+    return F.encode(F.to_json(F.struct(*cols)), "utf-8")
+
+
+def parsed_message(df: DataFrame, key: str, *value_cols: str) -> DataFrame:
+    """(key, value) message shape: key as string, values as a struct."""
+    vals = list(value_cols) or [c for c in df.columns if c != key]
+    return df.select(
+        F.col(key).cast("string").alias("key"),
+        F.struct(*[F.col(c) for c in vals]).alias("value"),
+    )

@@ -1,0 +1,50 @@
+"""lib.rs utility parity (reference src/lib.rs)."""
+
+import datetime as dt
+import json
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from rstreams_spark.functions.core import (
+    from_bytes, parsed_message, to_bytes, within_window,
+)
+
+
+def test_within_window_reference_vector(spark):
+    # reference test_fuzzy_time_compare (src/lib.rs:69-80):
+    # right_now vs yesterday with half-day / one-day / two-day windows
+    right_now = dt.datetime.fromtimestamp(1701122006, dt.timezone.utc)
+    yesterday = dt.datetime.fromtimestamp(1701035606, dt.timezone.utc)
+    df = spark.createDataFrame(
+        [
+            Row(a=right_now, b=yesterday, w="12 hours", expect=False),
+            Row(a=right_now, b=yesterday + dt.timedelta(milliseconds=1), w="24 hours", expect=True),
+            Row(a=right_now, b=yesterday, w="48 hours", expect=True),
+            # exactly one day apart, strict 24h window → False
+            Row(a=right_now, b=yesterday, w="24 hours", expect=False),
+        ]
+    )
+    for r in df.collect():
+        got = (
+            spark.createDataFrame([Row(a=r["a"], b=r["b"])])
+            .select(within_window(F.col("a"), F.col("b"), r["w"]).alias("x"))
+            .collect()[0]["x"]
+        )
+        assert got == r["expect"], r["w"]
+
+
+def test_serde_roundtrip(spark):
+    df = spark.createDataFrame([Row(key=7, sym="TSLA", px=122.87)])
+    msg = parsed_message(df, "key", "sym", "px")
+    assert msg.columns == ["key", "value"]
+    wire = msg.select("key", to_bytes("value").alias("raw"))
+    row = wire.collect()[0]
+    assert row["key"] == "7"
+    assert json.loads(bytes(row["raw"]).decode()) == {
+        "value": {"sym": "TSLA", "px": 122.87}
+    }
+    back = wire.select(
+        "key", from_bytes(F.col("raw"), "value struct<sym string, px double>").alias("v")
+    ).collect()[0]
+    assert back["v"]["value"]["sym"] == "TSLA"
