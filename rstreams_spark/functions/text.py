@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "norm_text", "tokens", "hash64", "md5_fingerprint",
-    "bpe_ish_tokens", "STOPWORDS",
+    "bpe_ish_tokens", "token_chunks", "STOPWORDS",
 ]
 
 # small per-language stopword lists for the lang-id heuristic; kept
@@ -47,6 +47,33 @@ BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 def bpe_ish_tokens(col: Column) -> Column:
     """BPE-ish lexer: letter runs, digit runs, single symbols."""
     return F.regexp_extract_all(F.lower(col), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def token_chunks(tok_col: Column, size: int, overlap: int = 0) -> Column:
+    """Sliding token windows for training-data chunking: chunk i
+    covers tokens [i·stride, i·stride+size) with stride=size−overlap;
+    every token is covered, the tail chunk may be short. Returns
+    array<struct<chunk_idx int, chunk_text string, n_tokens int>>.
+
+    The per-chunk lambda re-evaluates ``tok_col`` per chunk (not per
+    token) — O(n·n_chunks) worst case; pass a materialized token
+    column for very long documents.
+    """
+    stride = size - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than size")
+    n = F.size(tok_col)
+    last = F.floor((n - 1) / stride).cast("int")
+    idx = F.sequence(F.lit(0), last)
+    chunk = lambda i: F.struct(  # noqa: E731
+        i.alias("chunk_idx"),
+        F.concat_ws(" ", F.slice(tok_col, i * stride + 1, size)).alias("chunk_text"),
+        F.least(n - i * stride, F.lit(size)).alias("n_tokens"),
+    )
+    empty = F.array().cast(
+        "array<struct<chunk_idx:int,chunk_text:string,n_tokens:int>>"
+    )
+    return F.when(n > 0, F.transform(idx, chunk)).otherwise(empty)
 
 
 def hash64(col: Column, salt: int = 0) -> Column:

@@ -10,7 +10,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import (
-    BPE_ISH_PATTERN, STOPWORDS, bpe_ish_tokens, md5_fingerprint, tokens,
+    BPE_ISH_PATTERN, STOPWORDS, bpe_ish_tokens, md5_fingerprint, token_chunks,
+    tokens,
 )
 from ._util import SQL_NORM, SQL_TOKS, t
 
@@ -108,6 +109,31 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE, CHUNK_OVERLAP = 64, 16
+_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: explode each document into sliding
+    64-token windows with 16-token overlap. One narrow explode — at
+    100 TB this pipelines with the scan, no shuffle at all."""
+    docs = t(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    toks = docs.repartition(n_parts).select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    )
+    out = toks.select(
+        "doc_id",
+        F.explode(token_chunks(F.col("__toks"), CHUNK_SIZE, CHUNK_OVERLAP)).alias("c"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def _sql_stoplist(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
@@ -134,6 +160,7 @@ QUERIES = {
     "token_count": token_count,
     "text_quality": text_quality,
     "lang_id": lang_id,
+    "doc_chunks": doc_chunks,
 }
 
 SQL_ORACLES = {
@@ -184,5 +211,19 @@ SQL_ORACLES = {
                {", ".join(f"{_SQL_SCORES[lang]} as s_{lang}" for lang in sorted(STOPWORDS))},
                {_SQL_PRED} as pred_lang
         from documents
+    """,
+    "doc_chunks": f"""
+        with tk as (select doc_id, {_TOKS} as toks from documents),
+        ex as (
+          select doc_id, toks,
+                 unnest(range(0, (len(toks) - 1) // {_STRIDE} + 1)) as chunk_idx
+          from tk where len(toks) > 0
+        )
+        select doc_id, chunk_idx,
+               array_to_string(
+                 toks[chunk_idx * {_STRIDE} + 1 : chunk_idx * {_STRIDE} + {CHUNK_SIZE}],
+                 ' ') as chunk_text,
+               least(len(toks) - chunk_idx * {_STRIDE}, {CHUNK_SIZE}) as n_tokens
+        from ex
     """,
 }

@@ -125,3 +125,27 @@ def test_multimodal_meta_deterministic(spark):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_token_chunks(spark):
+    from pyspark.sql import Row as R
+
+    df = spark.createDataFrame([R(t=[f"w{i}" for i in range(10)]), R(t=[])])
+    got = [
+        r["c"]
+        for r in df.select(text.token_chunks(F.col("t"), 4, 1).alias("c")).collect()
+    ]
+    # stride 3: starts 0,3,6,9 → last chunk is the 1-token tail
+    chunks = [(c["chunk_idx"], c["chunk_text"], c["n_tokens"]) for c in got[0]]
+    assert chunks == [
+        (0, "w0 w1 w2 w3", 4), (1, "w3 w4 w5 w6", 4),
+        (2, "w6 w7 w8 w9", 4), (3, "w9", 1),
+    ]
+    assert got[1] == []
+
+
+def test_token_chunks_rejects_bad_overlap():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        text.token_chunks(F.lit(None), 4, 4)
