@@ -138,6 +138,49 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS = 16
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: KMeans cells as the inverted index; probes
+    search only their own cell (nprobe=1). The centroid table is tiny
+    and ships with the closure; the corpus is scanned once to assign
+    cells and once per probe-join — both shuffle-free w.r.t. the big
+    side. Rows-only correctness check (KMeans is not expressible in
+    the SQL oracle); recall behavior is covered by pytest instead.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = t(spark, sf_dir, "embeddings").withColumn(
+        "__vec", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(
+        k=IVF_CELLS, seed=42, featuresCol="__vec", predictionCol="cell"
+    ).fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
+
+    probes = assigned.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("cell").alias("p_cell"),
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), F.col("cell") == F.col("p_cell"))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id", "vec_id",
+            cosine(F.col("embedding"), F.col("p_emb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select("probe_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def minhash_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates → exact jaccard verify → top-k neighbors/doc.
 
@@ -204,6 +247,7 @@ QUERIES = {
     "embedding_cosine_dup": embedding_cosine_dup,
     "ann_topk": ann_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ivf_topk": ivf_topk,
     "minhash_lsh_topk": minhash_lsh_topk,
     "multimodal_meta": multimodal_meta,
 }

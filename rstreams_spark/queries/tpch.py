@@ -112,8 +112,57 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q10_START, Q10_END = "1997-01-01", "1997-04-01"
+Q18_QTY = 250
+
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue by customer (q10 shape, adapted to the
+    driver's schema: no address/phone columns)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q10_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_END).cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers: orders whose total quantity exceeds a
+    threshold (semi-join on a grouped HAVING)."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > Q18_QTY)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
 QUERIES = {
     "tpch_q1": tpch_q1, "tpch_q3": tpch_q3, "tpch_q5": tpch_q5, "tpch_q6": tpch_q6,
+    "tpch_q10": tpch_q10, "tpch_q18": tpch_q18,
 }
 
 SQL_ORACLES = {
@@ -168,5 +217,32 @@ SQL_ORACLES = {
           and l_shipdate < timestamp '{Q5_END}'
           and l_discount >= 0.05 and l_discount <= 0.07
           and l_quantity < 24
+    """,
+    "tpch_q10": f"""
+        select c_custkey, c_name, c_acctbal, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+        from customer
+        join orders on c_custkey = o_custkey
+        join lineitem on l_orderkey = o_orderkey
+        join nation on c_nationkey = n_nationkey
+        where o_orderdate >= timestamp '{Q10_START}'
+          and o_orderdate < timestamp '{Q10_END}'
+          and l_returnflag = 'R'
+        group by c_custkey, c_name, c_acctbal, n_name
+        order by revenue desc, c_custkey
+        limit 20
+    """,
+    "tpch_q18": f"""
+        with big as (
+          select l_orderkey, sum(l_quantity) as total_qty
+          from lineitem group by l_orderkey
+          having sum(l_quantity) > {Q18_QTY}
+        )
+        select c_custkey, c_name, o_orderkey,
+               cast(floor(epoch(o_orderdate)) as bigint) as o_orderdate_epoch,
+               o_totalprice, total_qty
+        from orders
+        join big on o_orderkey = l_orderkey
+        join customer on o_custkey = c_custkey
     """,
 }

@@ -53,3 +53,20 @@ def test_lsh_bucket_groups_similar_vectors(spark):
     }
     assert got[1] == got[2]
     assert got[1] != got[3]
+
+
+def test_ivf_topk_finds_near_neighbors(spark):
+    from rstreams_spark.queries.dedupq import ivf_topk
+    from conftest import SF_SMOKE
+
+    got = ivf_topk(spark, SF_SMOKE)
+    rows = got.collect()
+    assert len(rows) > 0
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for probe, neighbors in by_probe.items():
+        ranks = sorted(r["rank"] for r in neighbors)
+        assert ranks == list(range(1, len(ranks) + 1))
+        cosines = [r["cosine"] for r in sorted(neighbors, key=lambda x: x["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
