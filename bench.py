@@ -35,6 +35,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM + parquet footers so per-query times measure the plan
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # spin up the Python worker pool once (workers are reused), so
+    # pandas-UDF queries measure steady-state, not interpreter start
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     times: dict[str, float] = {}
     for name in HEADLINERS:

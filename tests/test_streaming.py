@@ -127,3 +127,42 @@ def test_kafka_builder_shapes(spark):
         # kafka source requires the kafka package/broker — building
         # the reader itself should fail cleanly in this environment
         k.read_kafka_stream(spark, "localhost:9092", "t").explain()
+
+
+def test_stream_foreach_batch_upsert(spark, tmp_path):
+    """foreachBatch changelog upsert — the reference's Table-into-
+    redb-store role (src/table.rs + src/store.rs) done scalably."""
+    path = _write_batch(
+        tmp_path, "fb", [("a", 1, 10), ("a", 5, 50), ("b", 2, 20)]
+    )
+    stream = files.stream_files(spark, path, "json", SCHEMA)
+    table = stateful.stream_latest_per_key(stream, "key", "ts", "v")
+
+    store = {}
+
+    def upsert(batch_df, batch_id):
+        for r in batch_df.collect():
+            store[r["key"]] = r["v"]
+
+    q = writers.stream_foreach_batch(table, upsert, "update")
+    _run(q)
+    assert store == {"a": 50.0, "b": 20.0}
+
+
+def test_stream_exact_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: dropDuplicatesWithinWatermark bounds
+    dedup state by event time — the streaming path of dedup_exact."""
+    path = _write_batch(
+        tmp_path, "dd",
+        [("a", 1, 1), ("a", 1, 1), ("b", 2, 2), ("a", 1, 1), ("c", 900, 3)],
+    )
+    stream = files.stream_files(spark, path, "json", SCHEMA)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["key", "v"]
+    )
+    q = writers.stream_to_memory(deduped, "dd_out", "append")
+    _run(q)
+    got = sorted(
+        (r["key"], r["v"]) for r in spark.sql("select * from dd_out").collect()
+    )
+    assert got == [("a", 1.0), ("b", 2.0), ("c", 3.0)]
