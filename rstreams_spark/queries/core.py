@@ -237,6 +237,23 @@ def strat_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``StreamExt::timeout`` analog (reference README stateless ops):
+    surface per-key silences longer than a bound. Batch form: consecutive
+    event pairs with gap > 6h — one shuffle on key, lag over the sorted
+    partition."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    out = ev.select(
+        "user_id",
+        epoch(prev).alias("prev_ts_epoch"),
+        epoch(F.col("ts")).alias("ts_epoch"),
+        (epoch(F.col("ts")) - epoch(prev)).alias("gap_seconds"),
+    )
+    return out.where(F.col("gap_seconds") > 6 * 3600)
+
+
 def parse_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload parsing — the reference's ``from_bytes`` serde
     step (src/lib.rs:25-29) as a Catalyst expression: typed
@@ -289,6 +306,7 @@ QUERIES = {
     "stream_table_join": stream_table_join,
     "candles": candles,
     "strat_classify": strat_classify,
+    "gap_detect": gap_detect,
     "parse_json_props": parse_json_props,
     "throttle_sample": throttle_sample,
     "split_routes": split_routes,
@@ -440,6 +458,17 @@ SQL_ORACLES = {
                     else 'inside' end as strat_class,
                case when open < close then 'green' else 'red' end as color
         from lagged where prev_top is not null
+    """,
+    "gap_detect": f"""
+        select user_id, prev_ts_epoch, ts_epoch,
+               ts_epoch - prev_ts_epoch as gap_seconds
+        from (
+          select user_id,
+                 {SQL_EPOCH.format(c='lag(ts) over w')} as prev_ts_epoch,
+                 {_E} as ts_epoch
+          from events
+          window w as (partition by user_id order by ts, event_id)
+        ) where ts_epoch - prev_ts_epoch > {6 * 3600}
     """,
     "parse_json_props": """
         select event_type, count(*) as n,

@@ -46,13 +46,28 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def register_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[str]:
+    """Register the sf tables as temp views so users can drive the
+    engine with plain ``spark.sql(...)`` — the SQL face of the same
+    Catalyst plans the DataFrame API builds. Returns view names."""
+    tables = load_tables(spark, sf_dir, *names)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return list(tables)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Load parquet tables from an sf dir; returns dict name->DataFrame.
 
     Scans stay columnar/pushdown-friendly: callers select/filter on
     the returned frames and Catalyst prunes at the parquet reader.
     """
+    from .sources.files import read_parquet
+
     all_names = names or (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split()
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in all_names}
+    return {
+        n: read_parquet(spark, f"{sf_dir}/{n}.parquet", nanos_cols={"ts": "ns"})
+        for n in all_names
+    }

@@ -85,3 +85,16 @@ def test_rstream_split_merge(spark):
     merged = evens.merge(odds)
     assert merged.df.count() == 10
     assert evens.df.count() == 5
+
+
+def test_register_tables_sql_face(spark):
+    from conftest import SF_SMOKE
+    from rstreams_spark.session import register_tables
+
+    names = register_tables(spark, SF_SMOKE)
+    assert "lineitem" in names and "events" in names
+    n = spark.sql("select count(*) as n from lineitem").collect()[0]["n"]
+    assert n > 0
+    # events nanos column is readable as a proper timestamp via SQL
+    r = spark.sql("select min(ts) as t from events").collect()[0]["t"]
+    assert r.year == 2024
