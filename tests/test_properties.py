@@ -1,0 +1,92 @@
+"""Property-based tests: Spark operators vs tiny pure-Python models
+on hypothesis-generated inputs. Few examples (each round-trips a
+Spark job), but they cover shapes hand-picked vectors miss —
+duplicate timestamps, single-key bursts, empty-ish streams.
+"""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from rstreams_spark.operators import table, windows
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+events = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),            # key
+        st.integers(min_value=0, max_value=50),  # second offset
+        st.integers(min_value=-5, max_value=5),  # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+SLOW = settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(key=k, ts=EPOCH + dt.timedelta(seconds=s), seq=i, v=v)
+            for i, (k, s, v) in enumerate(rows)
+        ]
+    )
+
+
+@given(rows=events)
+@SLOW
+def test_tumbling_window_totals_conserved(spark, rows):
+    """Every row lands in exactly one tumbling window: per-key counts
+    and sums across windows equal the input totals."""
+    got = windows.tumbling_window(
+        _df(spark, rows), "key", "ts", "7 seconds",
+        F.count("*").alias("n"), F.sum("v").alias("s"),
+    ).collect()
+    for key in {k for k, _, _ in rows}:
+        mine = [(s, v) for k, s, v in rows if k == key]
+        assert sum(r["n"] for r in got if r["key"] == key) == len(mine)
+        assert sum(r["s"] for r in got if r["key"] == key) == sum(v for _, v in mine)
+    # window membership: every window's rows actually fall inside it
+    for r in got:
+        assert (r["window_end"] - r["window_start"]).total_seconds() == 7
+
+
+@given(rows=events)
+@SLOW
+def test_latest_per_key_matches_python_model(spark, rows):
+    got = table.latest_per_key(
+        _df(spark, rows), "key", "ts", ["v"], tiebreakers=["seq"]
+    ).collect()
+    model = {}
+    for i, (k, s, v) in enumerate(rows):
+        best = model.get(k)
+        if best is None or (s, i) > best[0]:
+            model[k] = ((s, i), v)
+    assert {r["key"]: r["v"] for r in got} == {k: v for k, (_, v) in model.items()}
+
+
+@given(rows=events, lag=st.integers(min_value=1, max_value=4))
+@SLOW
+def test_lag_window_matches_python_model(spark, rows, lag):
+    got = windows.lag_window(
+        _df(spark, rows), "key", "ts", lag, ["v"], tiebreakers=["seq"]
+    ).collect()
+    # model: per key, rows sorted by (ts, seq); sliding windows of `lag`
+    per_key = {}
+    for i, (k, s, v) in enumerate(rows):
+        per_key.setdefault(k, []).append((s, i, v))
+    expected = []
+    for k, items in per_key.items():
+        items.sort()
+        for j in range(lag - 1, len(items)):
+            expected.append((k, tuple(v for _, _, v in items[j - lag + 1 : j + 1])))
+    assert sorted(
+        (r["key"], tuple(x["v"] for x in r["values"])) for r in got
+    ) == sorted(expected)
