@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["with_binary_payload", "extract_meta", "decode_image"]
+__all__ = ["with_binary_payload", "extract_meta", "decode_image", "sample_frames"]
 
 META_SCHEMA = (
     "doc_id bigint, n_bytes int, magic string, "
@@ -45,6 +45,39 @@ def _fake_decode_meta(payload: bytes) -> tuple[int, int]:
     """Deterministic pseudo width/height derived from content bytes."""
     digest = hashlib.sha1(payload).digest()
     return 16 + digest[0] % 64, 16 + digest[1] % 64
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary, frame_sha1 string"
+
+
+def sample_frames(df: DataFrame, n_frames: int, id_col: str = "doc_id") -> DataFrame:
+    """Frame-sampling plumbing: one input payload → up to ``n_frames``
+    evenly-spaced output rows, each carrying a frame payload. The
+    row-expanding ``mapInPandas`` shape is exactly what a real video
+    decoder stage uses (input batch in, larger frame batch out, Arrow
+    both ways); the decode itself is faked deterministically — frames
+    are evenly-spaced byte slices — since no codec libs exist here.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, digests = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                payload = bytes(payload)
+                k = min(n_frames, max(len(payload), 1))
+                step = max(len(payload) // k, 1)
+                for i in range(k):
+                    frame = payload[i * step : (i + 1) * step] or b"\x00"
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(frame)
+                    digests.append(hashlib.sha1(frame).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames,
+                 "frame_sha1": digests}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, FRAME_SCHEMA)
 
 
 def extract_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -149,3 +149,19 @@ def test_token_chunks_rejects_bad_overlap():
 
     with _pytest.raises(ValueError):
         text.token_chunks(F.lit(None), 4, 4)
+
+
+def test_sample_frames_plumbing(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="abcdefghij"), Row(doc_id=2, text="xy")])
+    got = multimodal.sample_frames(multimodal.with_binary_payload(docs), 4).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 10 bytes / 4 frames of step 2
+    f1 = sorted(by_doc[1], key=lambda r: r["frame_idx"])
+    assert [bytes(r["frame"]) for r in f1] == [b"ab", b"cd", b"ef", b"gh"]
+    assert all(
+        r["frame_sha1"] == hashlib.sha1(bytes(r["frame"])).hexdigest() for r in f1
+    )
+    # doc 2: only 2 bytes → 2 frames
+    assert [bytes(r["frame"]) for r in sorted(by_doc[2], key=lambda r: r["frame_idx"])] == [b"x", b"y"]

@@ -98,3 +98,27 @@ def test_register_tables_sql_face(spark):
     # events nanos column is readable as a proper timestamp via SQL
     r = spark.sql("select min(ts) as t from events").collect()[0]["t"]
     assert r.year == 2024
+
+
+def test_rstream_take_skip_filter_map(spark):
+    df = spark.createDataFrame([Row(key="k", ts=i, v=float(i)) for i in range(10)])
+    s = RStream(df, key="key", ts="ts")
+    assert s.take(3, order_by=["ts"]).df.count() == 3
+    skipped = s.skip(7, order_by=["ts"]).df.collect()
+    assert sorted(r["v"] for r in skipped) == [7.0, 8.0, 9.0]
+    fm = s.filter_map(F.col("v") >= 8, "key", (F.col("v") * 2).alias("w"))
+    assert sorted(r["w"] for r in fm.df.collect()) == [16.0, 18.0]
+
+
+def test_rstream_windows_and_table(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [Row(key="k", ts=base + dt.timedelta(seconds=i), v=float(i)) for i in range(6)]
+    )
+    s = RStream(df, key="key", ts="ts")
+    tw = s.tumbling_window("3 seconds", F.sum("v").alias("sv"))
+    assert sorted(r["sv"] for r in tw.collect()) == [3.0, 12.0]
+    lat = s.to_table(["v"])
+    assert lat.collect()[0]["v"] == 5.0
