@@ -237,6 +237,20 @@ def strat_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per key — the distribution-
+    profiling aggregate an analytics engine owes its users. Spark's
+    ``percentile`` is the sort-based exact form (same interpolation
+    as DuckDB ``quantile_cont``); at 100 TB swap for
+    ``approx_percentile`` and drop the oracle to rows-only."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+
+
 def gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``StreamExt::timeout`` analog (reference README stateless ops):
     surface per-key silences longer than a bound. Batch form: consecutive
@@ -306,6 +320,7 @@ QUERIES = {
     "stream_table_join": stream_table_join,
     "candles": candles,
     "strat_classify": strat_classify,
+    "value_percentiles": value_percentiles,
     "gap_detect": gap_detect,
     "parse_json_props": parse_json_props,
     "throttle_sample": throttle_sample,
@@ -458,6 +473,13 @@ SQL_ORACLES = {
                     else 'inside' end as strat_class,
                case when open < close then 'green' else 'red' end as color
         from lagged where prev_top is not null
+    """,
+    "value_percentiles": """
+        select event_type,
+               quantile_cont(value, 0.5) as p50,
+               quantile_cont(value, 0.9) as p90,
+               quantile_cont(value, 0.99) as p99
+        from events group by event_type
     """,
     "gap_detect": f"""
         select user_id, prev_ts_epoch, ts_epoch,
