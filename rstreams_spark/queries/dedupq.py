@@ -189,40 +189,49 @@ def minhash_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = t(spark, sf_dir, "documents")
     sh = doc_shingles(docs, "text", 2)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     cands = lsh_band_pairs(minhash_signature(sh, NUM_PERM), NUM_PERM, BANDS)
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .agg(F.count("*").alias("inter"))
+    # exact-verify ONLY candidate pairs — that is the point of LSH.
+    # Shingle sets ride as per-doc arrays; |A∩B| is an in-row
+    # array_intersect per candidate, so verification work is
+    # O(candidates × doc-shingles), never the shingle⨝shingle blowup
+    # (popular shingles make that join quadratic in matching docs).
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shset"), F.count("*").alias("n")
     )
+    s1 = sets.select(
+        F.col("doc_id").alias("id1"), F.col("shset").alias("s1"), F.col("n").alias("n1")
+    )
+    s2 = sets.select(
+        F.col("doc_id").alias("id2"), F.col("shset").alias("s2"), F.col("n").alias("n2")
+    )
+    inter = F.size(F.array_intersect(F.col("s1"), F.col("s2")))
+    # broadcast the per-doc set table: the pair stream never shuffles.
+    # (At corpus scales where doc arrays exceed the broadcast budget,
+    # drop the hints and AQE falls back to a shuffled hash join.)
     verified = (
-        cands.join(inter, ["id1", "id2"], "inner")
-        .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))),
-            "id1",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))),
-            "id2",
-        )
+        cands.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
         .select(
             "id1", "id2",
-            (F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))).alias("jac"),
+            (inter / (F.col("n1") + F.col("n2") - inter)).alias("jac"),
         )
+        # zero-overlap LSH collisions carry no similarity signal (and
+        # the SQL oracle's inner join on shared shingles drops them)
+        .where(F.col("jac") > 0)
     )
+    # symmetrize in ONE pass: a union of two selects over `verified`
+    # would evaluate the whole candidate+verify lineage twice (Spark
+    # only reuses exchanges for identical subplans) — explode both
+    # orientations from the single stream instead
     sym = verified.select(
-        F.col("id1").alias("doc_id"), F.col("id2").alias("neighbor_id"), "jac"
-    ).unionByName(
-        verified.select(
-            F.col("id2").alias("doc_id"), F.col("id1").alias("neighbor_id"), "jac"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("id1").alias("doc_id"), F.col("id2").alias("neighbor_id")),
+                F.struct(F.col("id2").alias("doc_id"), F.col("id1").alias("neighbor_id")),
+            )
+        ).alias("e"),
+        "jac",
+    ).select("e.doc_id", "e.neighbor_id", "jac")
     w = Window.partitionBy("doc_id").orderBy(F.col("jac").desc(), F.col("neighbor_id"))
     return (
         sym.withColumn("rank", F.row_number().over(w))
