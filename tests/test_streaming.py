@@ -166,3 +166,40 @@ def test_stream_exact_dedup_within_watermark(spark, tmp_path):
         (r["key"], r["v"]) for r in spark.sql("select * from dd_out").collect()
     )
     assert got == [("a", 1.0), ("b", 2.0), ("c", 3.0)]
+
+
+def test_checkpoint_restart_carries_state(spark, tmp_path):
+    """Persistence parity (reference src/join.rs test_inner_join_with_
+    persistence + src/store.rs redb Store): stop a checkpointed
+    stateful query, deliver more data, restart from the checkpoint —
+    per-key buffer state survives the restart."""
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    _write_batch(tmp_path, "src", [("a", 1, 1.0)])
+
+    def start():
+        stream = files.stream_files(spark, str(src), "json", SCHEMA)
+        out = stateful.stream_lag_window(stream, "key", "ts", 2, "v")
+        return (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # first run: buffer holds [1.0], nothing emitted yet
+
+    with open(src / "part-1.json", "w") as f:
+        ts = (EPOCH + dt.timedelta(seconds=2)).strftime("%Y-%m-%dT%H:%M:%S")
+        f.write(json.dumps({"key": "a", "ts": ts, "v": 2.0}) + "\n")
+
+    q2 = start()  # NEW query object, same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+
+    rows = spark.read.parquet(sink).collect()
+    assert [tuple(r["values"]) for r in rows] == [(1.0, 2.0)]
