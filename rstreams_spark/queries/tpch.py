@@ -160,9 +160,28 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share: lineitem ⋈ part with a conditional
+    aggregate. Part is the broadcast side; the single-row result is
+    two sums in one pass."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q5_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q5_END).cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.round(F.sum(promo), 2).alias("promo_revenue"),
+        F.round(F.sum(rev), 2).alias("total_revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 QUERIES = {
     "tpch_q1": tpch_q1, "tpch_q3": tpch_q3, "tpch_q5": tpch_q5, "tpch_q6": tpch_q6,
-    "tpch_q10": tpch_q10, "tpch_q18": tpch_q18,
+    "tpch_q10": tpch_q10, "tpch_q14": tpch_q14, "tpch_q18": tpch_q18,
 }
 
 SQL_ORACLES = {
@@ -244,5 +263,15 @@ SQL_ORACLES = {
         from orders
         join big on o_orderkey = l_orderkey
         join customer on o_custkey = c_custkey
+    """,
+    "tpch_q14": f"""
+        select round(sum(case when p_type = 'PROMO'
+                         then l_extendedprice * (1 - l_discount)
+                         else 0.0 end), 2) as promo_revenue,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as total_revenue,
+               count(*) as n_items
+        from lineitem join part on l_partkey = p_partkey
+        where l_shipdate >= timestamp '{Q5_START}'
+          and l_shipdate < timestamp '{Q5_END}'
     """,
 }
