@@ -52,3 +52,28 @@ def test_interval_join_filters_pushed(spark):
     df = REGISTRY["interval_join"](spark, SF_SMOKE)
     fs = plans.pushed_filters(df)
     assert any("purchase" in f for f in fs) and any("error" in f for f in fs)
+
+
+def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
+    """Bucketing pre-distributes join keys at write time: a fact-fact
+    equi-join between co-bucketed tables runs with ZERO exchanges —
+    the 100 TB answer for repeated big-table joins."""
+    from rstreams_spark.queries._util import t as load
+
+    ev = load(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    for name in ("ev_bkt_a", "ev_bkt_b"):
+        (
+            ev.write.mode("overwrite")
+            .bucketBy(8, "user_id")
+            .sortBy("user_id")
+            .option("path", str(tmp_path / name))
+            .saveAsTable(name)
+        )
+    a, b = spark.table("ev_bkt_a"), spark.table("ev_bkt_b")
+    joined = a.join(b.withColumnRenamed("event_id", "e2").withColumnRenamed("value", "v2"), "user_id")
+    try:
+        assert plans.count_shuffles(joined) == 0
+        assert joined.count() > 0
+    finally:
+        spark.sql("drop table if exists ev_bkt_a")
+        spark.sql("drop table if exists ev_bkt_b")
