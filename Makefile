@@ -1,0 +1,24 @@
+# Developer entry points (the reference drives everything through
+# `make` too — Makefile at reference repo root).
+
+SF ?= /root/testdata/sf0.01
+
+.PHONY: test oracle bench smoke examples
+
+test:
+	python -m pytest tests/ -x -q
+
+oracle:
+	python tools/oracle_check.py $(SF)
+
+bench:
+	python bench.py
+
+smoke:
+	python -c "import __spark_entry__ as e; from pyspark.sql import SparkSession; \
+	s = SparkSession.builder.master('local[4]').getOrCreate(); \
+	print(e.entry(s).count(), 'rows')"
+
+examples:
+	python examples/stocks_pipeline.py /root/testdata/sf0.001
+	python examples/wordcount_pipeline.py /root/testdata/sf0.001 10
