@@ -18,7 +18,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["with_binary_payload", "extract_meta", "decode_image", "sample_frames"]
+__all__ = [
+    "with_binary_payload", "extract_meta", "decode_image", "sample_frames",
+    "resize_images",
+]
 
 META_SCHEMA = (
     "doc_id bigint, n_bytes int, magic string, "
@@ -45,6 +48,42 @@ def _fake_decode_meta(payload: bytes) -> tuple[int, int]:
     """Deterministic pseudo width/height derived from content bytes."""
     digest = hashlib.sha1(payload).digest()
     return 16 + digest[0] % 64, 16 + digest[1] % 64
+
+
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, thumb binary, thumb_sha1 string"
+
+
+def resize_images(df: DataFrame, width: int, height: int, id_col: str = "doc_id") -> DataFrame:
+    """Resize plumbing: payload in → fixed-size thumbnail payload out,
+    batch-at-a-time through Arrow. The resample itself is STUBBED
+    (deterministic byte striding to exactly width×height bytes —
+    swap for a real resampler when codec libs exist); the schema,
+    batch flow and output contract are the real pipeline stage.
+    """
+    n_out = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for payload in pdf["payload"]:
+                payload = bytes(payload) or b"\x00"
+                # deterministic stride-resample of the byte stream
+                step = max(len(payload) / n_out, 1e-9)
+                thumb = bytes(
+                    payload[min(int(i * step), len(payload) - 1)] for i in range(n_out)
+                )
+                thumbs.append(thumb)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "thumb": thumbs,
+                    "thumb_sha1": [hashlib.sha1(b).hexdigest() for b in thumbs],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, RESIZE_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary, frame_sha1 string"

@@ -160,6 +160,38 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations by year (q7 shape):
+    supplier-nation ↔ customer-nation flows."""
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    supplier = t(spark, sf_dir, "supplier")
+    customer = t(spark, sf_dir, "customer")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promotion revenue share: lineitem ⋈ part with a conditional
     aggregate. Part is the broadcast side; the single-row result is
@@ -181,7 +213,8 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "tpch_q1": tpch_q1, "tpch_q3": tpch_q3, "tpch_q5": tpch_q5, "tpch_q6": tpch_q6,
-    "tpch_q10": tpch_q10, "tpch_q14": tpch_q14, "tpch_q18": tpch_q18,
+    "tpch_q7": tpch_q7, "tpch_q10": tpch_q10, "tpch_q14": tpch_q14,
+    "tpch_q18": tpch_q18,
 }
 
 SQL_ORACLES = {
@@ -263,6 +296,24 @@ SQL_ORACLES = {
         from orders
         join big on o_orderkey = l_orderkey
         join customer on o_custkey = c_custkey
+    """,
+    "tpch_q7": """
+        select supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) as revenue
+        from (
+          select n1.n_name as supp_nation, n2.n_name as cust_nation,
+                 year(l_shipdate) as l_year,
+                 l_extendedprice * (1 - l_discount) as volume
+          from supplier
+          join lineitem on s_suppkey = l_suppkey
+          join orders on o_orderkey = l_orderkey
+          join customer on c_custkey = o_custkey
+          join nation n1 on s_nationkey = n1.n_nationkey
+          join nation n2 on c_nationkey = n2.n_nationkey
+          where (n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2')
+             or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1')
+        )
+        group by supp_nation, cust_nation, l_year
     """,
     "tpch_q14": f"""
         select round(sum(case when p_type = 'PROMO'

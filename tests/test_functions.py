@@ -165,3 +165,18 @@ def test_sample_frames_plumbing(spark):
     )
     # doc 2: only 2 bytes → 2 frames
     assert [bytes(r["frame"]) for r in sorted(by_doc[2], key=lambda r: r["frame_idx"])] == [b"x", b"y"]
+
+
+def test_resize_images_plumbing(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="abcdefgh")])
+    got = multimodal.resize_images(
+        multimodal.with_binary_payload(docs), 2, 2
+    ).collect()[0]
+    assert (got["width"], got["height"]) == (2, 2)
+    assert len(bytes(got["thumb"])) == 4
+    assert got["thumb_sha1"] == hashlib.sha1(bytes(got["thumb"])).hexdigest()
+    # deterministic: same input → same thumb
+    again = multimodal.resize_images(
+        multimodal.with_binary_payload(docs), 2, 2
+    ).collect()[0]
+    assert bytes(again["thumb"]) == bytes(got["thumb"])
