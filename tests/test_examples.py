@@ -3,7 +3,7 @@ same classifications in batch and in streaming mode."""
 
 from pyspark.sql import functions as F
 
-from examples.stocks_pipeline import build_pipeline, candles, classify_strat
+from examples.stocks_pipeline import build_pipeline, candles
 from rstreams_spark.queries._util import t
 from rstreams_spark.sinks import writers
 from rstreams_spark.streaming import windows as swindows
