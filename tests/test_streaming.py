@@ -203,3 +203,20 @@ def test_checkpoint_restart_carries_state(spark, tmp_path):
 
     rows = spark.read.parquet(sink).collect()
     assert [tuple(r["values"]) for r in rows] == [(1.0, 2.0)]
+
+
+def test_stream_hopping_window(spark, tmp_path):
+    path = _write_batch(tmp_path, "hop", [("a", 0, 1), ("a", 1, 2), ("a", 5, 4)])
+    stream = files.stream_files(spark, path, "json", SCHEMA)
+    out = swindows.stream_hopping_window(
+        stream, "key", "ts", "4 seconds", "2 seconds",
+        F.sum("v").alias("s"), watermark="0 seconds",
+    )
+    q = writers.stream_to_memory(out, "hop_out", "complete")
+    _run(q)
+    got = {
+        int(r["window_start"].timestamp() - EPOCH.timestamp()): r["s"]
+        for r in spark.sql("select * from hop_out").collect()
+    }
+    # events at 0,1 → windows starting -2,0; event at 5 → windows 2,4
+    assert got == {-2: 3.0, 0: 3.0, 2: 4.0, 4: 4.0}
