@@ -11,6 +11,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parquet columns (Spark reads them as long ns with the legacy
     flag; we truncate to µs like DuckDB/Arrow consumers do)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # parquet timestamps read as timestamp_ntz; epoch outputs
+    # (unix_timestamp) interpret ntz in the session zone — pin UTC so
+    # results match the DuckDB oracle regardless of the host TZ
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
