@@ -28,7 +28,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["interval_join", "stream_table_join", "asof_join"]
+__all__ = ["interval_join", "stream_table_join", "asof_join", "range_join"]
+
+
+def range_join(
+    points: DataFrame,
+    point_col: str,
+    ranges: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    cell_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-range join (lo ≤ p ≤ hi) as an equi-join, not a
+    nested loop.
+
+    Spark has no native range join: a plain non-equi condition plans
+    as BroadcastNestedLoopJoin — O(|points|·|ranges|), dead at scale.
+    Grid-bucketing fixes the plan shape: every range explodes into
+    the grid cells it overlaps (⌈span/cell_width⌉ rows), every point
+    maps to exactly ONE cell, and the join runs hash-partitioned on
+    the cell id with the exact between-predicate evaluated after the
+    match. Pick ``cell_width`` near the typical range span so range
+    duplication stays O(1) per range. Points match each range at most
+    once (single cell per point ⇒ no dedup needed).
+    """
+    cell = lambda c: F.floor(c / F.lit(cell_width)).cast("long")  # noqa: E731
+    r_cells = ranges.withColumn(
+        "__cell",
+        F.explode(F.sequence(cell(F.col(lo_col)), cell(F.col(hi_col)))),
+    )
+    p_cells = points.withColumn("__cell", cell(F.col(point_col)))
+    cond = (
+        (p_cells["__cell"] == r_cells["__cell"])
+        & (p_cells[point_col] >= r_cells[lo_col])
+        & (p_cells[point_col] <= r_cells[hi_col])
+    )
+    return p_cells.join(r_cells, cond, how).drop("__cell")
 
 
 def interval_join(

@@ -237,6 +237,29 @@ def strat_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_RANGES = 50
+RANGE_CELL = 16.0
+
+
+def range_band_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed range join (operator Spark lacks natively):
+    50 deterministic overlapping value bands, each event joined to
+    every band containing its value — planned as a hash join on grid
+    cells, not a nested loop (see operators/joins.py::range_join)."""
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    ids = spark.range(N_RANGES)
+    lo = F.pmod(hash64(F.col("id").cast("string")), F.lit(90)).cast("double")
+    hi = lo + 5 + F.pmod(hash64(F.col("id").cast("string"), salt=1), F.lit(20)).cast("double")
+    ranges = ids.select(
+        F.col("id").alias("range_id"), lo.alias("lo"), hi.alias("hi")
+    )
+    joined = joins.range_join(ev, "value", ranges, "lo", "hi", RANGE_CELL)
+    return joined.groupBy("range_id", "lo", "hi").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per key — the distribution-
     profiling aggregate an analytics engine owes its users. Spark's
@@ -320,6 +343,7 @@ QUERIES = {
     "stream_table_join": stream_table_join,
     "candles": candles,
     "strat_classify": strat_classify,
+    "range_band_count": range_band_count,
     "value_percentiles": value_percentiles,
     "gap_detect": gap_detect,
     "parse_json_props": parse_json_props,
@@ -473,6 +497,19 @@ SQL_ORACLES = {
                     else 'inside' end as strat_class,
                case when open < close then 'green' else 'red' end as color
         from lagged where prev_top is not null
+    """,
+    "range_band_count": f"""
+        with r as (
+          select i as range_id,
+                 cast({sql_h64('cast(i as varchar)')} % 90 as double) as lo,
+                 cast({sql_h64('cast(i as varchar)')} % 90 as double)
+                   + 5 + cast({sql_h64('cast(i as varchar)', salt=1)} % 20 as double) as hi
+          from range({N_RANGES}) t(i)
+        )
+        select range_id, lo, hi, count(*) as n,
+               round(sum(value), 2) as sum_value
+        from events join r on value >= lo and value <= hi
+        group by range_id, lo, hi
     """,
     "value_percentiles": """
         select event_type,

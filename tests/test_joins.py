@@ -77,3 +77,34 @@ def test_asof_join_tolerance(spark):
     )
     vals = {r["v"]: r["r_rv"] for r in got.collect()}
     assert vals == {5: 4, 30: None}  # 30-4 > 10s tolerance
+
+
+def test_range_join_grid_bucketing(spark):
+    from pyspark.sql import Row as R
+
+    points = spark.createDataFrame([R(pid=i, x=float(i)) for i in range(20)])
+    ranges = spark.createDataFrame(
+        [R(rid=1, lo=2.0, hi=5.0), R(rid=2, lo=4.0, hi=12.0), R(rid=3, lo=18.0, hi=30.0)]
+    )
+    got = joins.range_join(points, "x", ranges, "lo", "hi", cell_width=4.0)
+    pairs = sorted((r["pid"], r["rid"]) for r in got.collect())
+    expect = sorted(
+        (p, rid)
+        for p in range(20)
+        for rid, lo, hi in [(1, 2, 5), (2, 4, 12), (3, 18, 30)]
+        if lo <= p <= hi
+    )
+    assert pairs == expect
+
+
+def test_range_join_plans_as_hash_join(spark):
+    from pyspark.sql import Row as R
+
+    from rstreams_spark import plans
+
+    points = spark.createDataFrame([R(x=float(i)) for i in range(100)])
+    ranges = spark.createDataFrame([R(rid=i, lo=float(i), hi=float(i + 5)) for i in range(50)])
+    joined = joins.range_join(points, "x", ranges, "lo", "hi", cell_width=8.0)
+    # the whole point: equi-join on the grid cell, not a nested loop
+    txt = plans.explain_str(joined)
+    assert "NestedLoop" not in txt
