@@ -46,6 +46,7 @@ def candles(ticks: DataFrame, symbol: str, ts: str, price: str, size: str) -> Da
         F.min(price).alias("low"),
         F.max_by(price, order).alias("close"),
         F.count("*").alias("volume"),
+        F.count("*").alias("n_trades"),
     )
 
 
@@ -73,11 +74,15 @@ def classify_strat(c: DataFrame, symbol: str) -> DataFrame:
 
 def build_pipeline(ticks: DataFrame) -> dict[str, DataFrame]:
     """One classified-candle DataFrame per timeframe (the reference's
-    per-timeframe Kafka topics, example/stocks.rs:160-177)."""
-    out = {}
-    for name, size in TIMEFRAMES.items():
-        c = candles(ticks, "event_type", "ts", "value", size)
-        out[name] = classify_strat(c, "event_type")
+    per-timeframe Kafka topics, example/stocks.rs:160-177) — built as
+    a rollup lattice: ticks are windowed ONCE at the finest
+    timeframe; every coarser level re-aggregates the (tiny) previous
+    level via ``rollup_candles`` instead of re-scanning ticks."""
+    level = candles(ticks, "event_type", "ts", "value", TIMEFRAMES["1h"])
+    out = {"1h": classify_strat(level, "event_type")}
+    for name, size in list(TIMEFRAMES.items())[1:]:
+        level = windows.rollup_candles(level, "event_type", size)
+        out[name] = classify_strat(level, "event_type")
     return out
 
 

@@ -24,7 +24,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["tumbling_window", "hopping_window", "lag_window", "session_window"]
+__all__ = [
+    "tumbling_window", "hopping_window", "lag_window", "session_window",
+    "rollup_candles",
+]
 
 
 def _windowed(
@@ -67,6 +70,43 @@ def hopping_window(
     does not scale and carries no data).
     """
     return _windowed(df, key, ts, size, hop, *aggs)
+
+
+def rollup_candles(
+    candles: DataFrame, key: str | Sequence[str], size: str
+) -> DataFrame:
+    """Hierarchical OHLCV rollup: coarser candles from finer candles.
+
+    The reference's stocks pipeline chains its timeframes off one
+    tick stream, re-windowing RAW ticks per timeframe
+    (example/stocks.rs:160-207). At 100 TB the scale answer is a
+    rollup lattice: compute the finest candles once, then derive 4h
+    from 1h, 1d from 4h… — each level aggregates the (tiny) previous
+    level, not the tick table. OHLCV composes exactly over aligned
+    windows: open = open of earliest sub-candle (min_by window_start),
+    close = close of latest, high/low = max/min, volume/n = sums.
+
+    Input: a frame produced by ``tumbling_window``-style candle
+    queries with columns (key…, window_start, window_end, open, high,
+    low, close, volume, n_trades). ``size`` must be a multiple of the
+    input candle width.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    win = F.window(F.col("window_start"), size)
+    out = candles.groupBy(*keys, win.alias("window")).agg(
+        F.min_by("open", F.col("window_start")).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", F.col("window_start")).alias("close"),
+        F.sum("volume").alias("volume"),
+        F.sum("n_trades").alias("n_trades"),
+    )
+    return out.select(
+        *keys,
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "open", "high", "low", "close", "volume", "n_trades",
+    )
 
 
 def session_window(

@@ -211,6 +211,34 @@ def candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _candles_df(spark, sf_dir)
 
 
+def candles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily candles derived hierarchically: ticks → 6h candles →
+    1d rollup (operators/windows.py::rollup_candles). Logically
+    identical to ``candles`` — the oracle IS the direct 1-day SQL —
+    but the physical plan re-aggregates the small 6h level instead of
+    re-scanning ticks: the multi-timeframe lattice strategy for the
+    reference's stocks pipeline at 100 TB."""
+    ev = t(spark, sf_dir, "events")
+    order = F.struct("ts", "event_id")
+    fine = windows.tumbling_window(
+        ev, "event_type", "ts", "6 hours",
+        F.min_by("value", order).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", order).alias("close"),
+        F.sum("value").alias("volume"),  # unrounded: round once at the top
+        F.count("*").alias("n_trades"),
+    )
+    day = windows.rollup_candles(fine, "event_type", "1 day")
+    return day.select(
+        "event_type",
+        epoch(F.col("window_start")).alias("window_start_epoch"),
+        "open", "high", "low", "close",
+        F.round("volume", 2).alias("volume"),
+        F.col("n_trades").cast("long").alias("n_trades"),
+    )
+
+
 def strat_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _candles_df(spark, sf_dir)
     top = F.greatest("open", "close")
@@ -342,6 +370,7 @@ QUERIES = {
     "interval_join": interval_join,
     "stream_table_join": stream_table_join,
     "candles": candles,
+    "candles_rollup": candles_rollup,
     "strat_classify": strat_classify,
     "range_band_count": range_band_count,
     "value_percentiles": value_percentiles,
@@ -479,6 +508,10 @@ SQL_ORACLES = {
         from orders left join customer on o_custkey = c_custkey
     """,
     "candles": _CANDLES_CTE + """
+        select * from candles
+    """,
+    # the rollup is logically the direct daily aggregation — same SQL
+    "candles_rollup": _CANDLES_CTE + """
         select * from candles
     """,
     "strat_classify": _CANDLES_CTE + """

@@ -95,3 +95,24 @@ def test_lag_window_emits_once_full(spark):
         (r["key"], [x["v"] for x in r["values"]]) for r in got.collect()
     )
     assert rows == [("a", [1, 2, 3]), ("a", [2, 3, 4])]  # b never fills
+
+
+def test_rollup_candles_equals_direct(spark):
+    # the lattice strategy must be lossless: ticks→1s→3s == ticks→3s
+    ticks = _events(spark, VECTOR).withColumn("event_id", F.col("v"))
+    def direct(size):
+        order = F.struct("ts", "event_id")
+        return windows.tumbling_window(
+            ticks, "key", "ts", size,
+            F.min_by("v", order).alias("open"), F.max("v").alias("high"),
+            F.min("v").alias("low"), F.max_by("v", order).alias("close"),
+            F.sum("v").alias("volume"), F.count("*").alias("n_trades"),
+        )
+    rolled = windows.rollup_candles(direct("1 second"), "key", "3 seconds")
+    def key(df):
+        return {
+            (r["key"], r["window_start"]): (
+                r["open"], r["high"], r["low"], r["close"], r["volume"], r["n_trades"]
+            ) for r in df.collect()
+        }
+    assert key(rolled) == key(direct("3 seconds"))
