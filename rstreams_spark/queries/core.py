@@ -174,6 +174,38 @@ def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT variant of the windowed stream join — the reference lists
+    'Left join' as TBD (README Features TBD); here it is the same
+    equi-key + time-band plan with outer semantics: unmatched
+    purchases survive with NULL error columns."""
+    ev = t(spark, sf_dir, "events")
+    cols = ["user_id", "event_id", "ts"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(*cols)
+    errors = ev.where(F.col("event_type") == "error").select(*cols)
+    joined = joins.interval_join(
+        purchases, errors, "user_id", "user_id", "ts", "ts", "1 hour", how="left"
+    )
+    return joined.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("error_id"),
+        epoch(F.col("ts")).alias("purchase_ts_epoch"),
+        epoch(F.col("r_ts")).alias("error_ts_epoch"),
+    )
+
+
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (two-phase under the hood); the
+    approx path at 100 TB is approx_count_distinct (HLL) — same call
+    site, sketch-based, no exact-distinct shuffle."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def stream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     customer = t(spark, sf_dir, "customer").select(
@@ -368,6 +400,8 @@ QUERIES = {
     "session_window": session_window,
     "lag_window": lag_window,
     "interval_join": interval_join,
+    "interval_join_left": interval_join_left,
+    "distinct_count": distinct_count,
     "stream_table_join": stream_table_join,
     "candles": candles,
     "candles_rollup": candles_rollup,
@@ -502,6 +536,23 @@ SQL_ORACLES = {
          and a.ts > b.ts - interval 1 hour
          and a.ts < b.ts + interval 1 hour
         where a.event_type = 'purchase' and b.event_type = 'error'
+    """,
+    "interval_join_left": f"""
+        select a.user_id,
+               a.event_id as purchase_id, b.event_id as error_id,
+               {SQL_EPOCH.format(c='a.ts')} as purchase_ts_epoch,
+               {SQL_EPOCH.format(c='b.ts')} as error_ts_epoch
+        from (select * from events where event_type = 'purchase') a
+        left join (select * from events where event_type = 'error') b
+          on a.user_id = b.user_id
+         and a.ts > b.ts - interval 1 hour
+         and a.ts < b.ts + interval 1 hour
+    """,
+    "distinct_count": """
+        select event_type,
+               count(distinct user_id) as n_users,
+               count(*) as n_events
+        from events group by event_type
     """,
     "stream_table_join": """
         select o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
