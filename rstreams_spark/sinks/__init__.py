@@ -1,1 +1,3 @@
+"""Batch and streaming sinks."""
+
 from . import writers  # noqa: F401
