@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINERS = [
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q18",
     "wordcount", "hopping_window", "session_window", "candles",
+    "candles_rollup", "range_band_count",
     "interval_join", "latest_per_key", "value_percentiles",
     "dedup_minhash", "dedup_simhash", "minhash_lsh_topk", "doc_chunks",
     "ann_topk", "ann_lsh_topk", "text_quality",
