@@ -1,10 +1,14 @@
 """TPC-H-style analytics on the driver's star schema (SURVEY §2 #16-18).
 
 Bench headliners: they exercise the engine's scan + shuffle + join
-machinery the way a 100 TB warehouse would. Dimension sides are
-explicitly ``broadcast()`` so the fact tables (orders/lineitem)
-never shuffle for the joins; aggregations are single hash shuffles
-with map-side partials. Adapted to the driver's schema (orders has
+machinery the way a 100 TB warehouse would. Broadcast discipline:
+only genuine dimensions (region/nation/supplier/part — bounded or
+sublinear in SF) carry an explicit ``broadcast()`` hint. Fact-sized
+sides (orders, customer, lineitem — linear in SF) are joined with no
+hint so Catalyst/AQE picks shuffle joins, or dynamically broadcasts
+when the *runtime* size qualifies; a static hint there would OOM
+executors at 100×. Aggregations are single hash shuffles with
+map-side partials. Adapted to the driver's schema (orders has
 ``o_orderpriority``, not ``o_shippriority``; dates span 1995-2001).
 """
 
@@ -50,10 +54,8 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(
-            F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey")
-        )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(revenue), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
@@ -79,10 +81,10 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(customer),
+            customer,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -128,8 +130,8 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = t(spark, sf_dir, "nation")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.round(F.sum(revenue), 2).alias("revenue"))
@@ -151,7 +153,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey", "c_name", "o_orderkey",
             F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
@@ -179,8 +181,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .where(pair)

@@ -1,10 +1,38 @@
 """Plan-shape regression tests: pushdown, pruning, broadcast, shuffle
 counts — the properties that decide 100 TB behavior."""
 
+from contextlib import contextmanager
+
 from rstreams_spark import plans
 from rstreams_spark.queries import REGISTRY
 
 from conftest import SF_SMOKE
+
+
+@contextmanager
+def _conf(spark, settings):
+    old = {}
+    for k in settings:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    for k, v in settings.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+# with size-based auto-broadcast off, any BroadcastHashJoin left in the
+# initial plan comes from a hard-coded hint — this is how we pin WHICH
+# sides carry hints independently of the tiny test-file sizes
+NO_AUTO_BHJ = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
 
 
 def test_q1_pushdown_and_pruning(spark):
@@ -19,15 +47,44 @@ def test_q1_pushdown_and_pruning(spark):
     }
 
 
-def test_q3_broadcasts_dims_no_smj(spark):
+def test_q3_no_static_fact_broadcast(spark):
+    """q3 joins only fact-sized sides (orders, customer — linear in
+    SF): no broadcast hint may survive; the facts shuffle-join."""
+    with _conf(spark, NO_AUTO_BHJ):
+        df = REGISTRY["tpch_q3"](spark, SF_SMOKE)
+        assert plans.count_broadcast_joins(df) == 0
+        assert plans.count_sortmerge_joins(df) >= 2
+
+
+def test_q5_dims_hinted_facts_shuffle(spark):
+    """q5: supplier/nation/region keep dim hints; orders/customer
+    joins must shuffle when their runtime size doesn't qualify."""
+    with _conf(spark, NO_AUTO_BHJ):
+        df = REGISTRY["tpch_q5"](spark, SF_SMOKE)
+        assert plans.count_broadcast_joins(df) == 3
+        assert plans.count_sortmerge_joins(df) == 2
+
+
+def test_q7_q10_q18_fact_broadcasts_are_dynamic_only(spark):
+    """Remaining multi-join headliners: hinted broadcasts == dim joins
+    only; every fact join is a shuffle join in the static plan."""
+    for key, n_dims, n_facts in (
+        ("tpch_q7", 3, 2),   # supplier + nation×2 | orders, customer
+        ("tpch_q10", 1, 2),  # nation              | orders, customer
+        ("tpch_q18", 0, 2),  # —                   | big-orders, customer
+    ):
+        with _conf(spark, NO_AUTO_BHJ):
+            df = REGISTRY[key](spark, SF_SMOKE)
+            assert plans.count_broadcast_joins(df) == n_dims, key
+            assert plans.count_sortmerge_joins(df) >= n_facts, key
+
+
+def test_q3_small_sf_still_broadcasts_dynamically(spark):
+    """Dropping the hints costs nothing at driver SFs: size-based
+    planning (or AQE at runtime) still picks broadcast when the
+    filtered sides genuinely fit."""
     df = REGISTRY["tpch_q3"](spark, SF_SMOKE)
     assert plans.count_broadcast_joins(df) >= 2
-    assert plans.count_sortmerge_joins(df) == 0
-
-
-def test_q5_six_way_join_all_broadcast(spark):
-    df = REGISTRY["tpch_q5"](spark, SF_SMOKE)
-    assert plans.count_broadcast_joins(df) >= 5
     assert plans.count_sortmerge_joins(df) == 0
 
 
