@@ -7,8 +7,11 @@ sequential folds inside codegen — deterministic summation order
 Scale paths:
 - ``cosine_pairs``: all-pairs only behind a bucketing key (caller
   supplies block/bucket column) — default usage buckets the join.
-- ``brute_topk``: probes are broadcast; per-partition partial top-k
-  via window rank after AQE-coalesced join (probe count ≪ corpus).
+- ``brute_topk``: the exact baseline. Probes ride a broadcast join
+  (never a driver collect) behind a hard plan-side cap; the scored
+  set is projected to scalar triplets before the rank shuffle. The
+  *scale* answers for ANN are the LSH/IVF paths — brute force is
+  inherently corpus × probes work.
 """
 
 from __future__ import annotations
@@ -100,55 +103,52 @@ def brute_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    max_probes: int = 1024,
 ) -> DataFrame:
     """Exact top-k nearest corpus vectors per probe (cosine).
 
-    Scale shape: the (small, bounded) probe matrix ships to every
-    task; each corpus partition computes a vectorized Arrow-batch
-    matmul (numpy float64) and keeps only its LOCAL top-k per probe,
-    so the final global rank sees ≤ partitions × k × probes rows —
-    never the full corpus × probes cross product. This is the
-    (b)-tier pattern from the design rules: built-in ops can't
-    express a matmul efficiently, so it's a vectorized batch UDF,
-    never per-row Python.
+    Scale shape: the probe set rides a ``broadcast()`` join — it
+    never touches the driver (no ``collect``), so executor memory is
+    the only bound, and that bound is enforced *inside the plan*: a
+    row_number + ``assert_true`` guard fails the job the moment the
+    probe side exceeds ``max_probes``, instead of silently shipping
+    an unbounded matrix to every task. The scored set is projected
+    to (probe_id, id, cosine) scalar triplets before the per-probe
+    rank shuffle, so the exchange moves ~24 bytes × corpus × probes,
+    not the vectors. Cosines are JVM sequential folds (``cosine``) —
+    deterministic op order, bit-identical to the DuckDB oracle, no
+    per-row rounding needed.
     """
-    import numpy as np
-    import pandas as pd
-
-    probe_rows = probes.select(id_col, vec_col).collect()  # bounded by contract
-    pids = np.array([r[id_col] for r in probe_rows], dtype=np.int64)
-    pmat = np.array([list(r[vec_col]) for r in probe_rows], dtype=np.float64)
-    pmat = pmat / np.linalg.norm(pmat, axis=1, keepdims=True)
-
-    schema = f"{probe_id_col} long, {id_col} long, cosine double"
-
-    def local_topk(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = mat @ pmat.T  # (corpus_rows, probes)
-            ids = pdf[id_col].to_numpy()
-            out_p, out_i, out_c = [], [], []
-            for j, pid in enumerate(pids):
-                col = sims[:, j]
-                mask = ids != pid  # exclude self
-                cand_ids, cand_cos = ids[mask], col[mask]
-                # deterministic local order: cosine desc, id asc
-                order = np.lexsort((cand_ids, -cand_cos))[:k]
-                out_p.extend([pid] * len(order))
-                out_i.extend(cand_ids[order])
-                out_c.extend(cand_cos[order])
-            yield pd.DataFrame(
-                {probe_id_col: out_p, id_col: out_i, "cosine": out_c}
-            )
-
-    # respects upstream partitioning: at scale the corpus scan is
-    # already many tasks; forcing a repartition here only shuffles
-    # the vectors and cold-starts extra Python workers
-    local = corpus.select(id_col, vec_col).mapInPandas(local_topk, schema)
+    probe_sel = probes.select(
+        F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("__p_vec")
+    )
+    # plan-side hard cap: probes are small by contract, so the
+    # single-partition row_number is itself bounded by the cap
+    guard = Window.orderBy(probe_id_col)
+    probe_sel = (
+        probe_sel.withColumn("__pn", F.row_number().over(guard))
+        # filter (not a dropped column) so pruning can't eliminate the
+        # guard: assert_true returns NULL when the cap holds, raises
+        # otherwise — isNull() keeps every legal row
+        .where(
+            F.assert_true(
+                F.col("__pn") <= max_probes,
+                F.lit(f"brute_topk: probe set exceeds max_probes={max_probes}; "
+                      "use ann_lsh_topk/ivf_topk for large probe sets"),
+            ).isNull()
+        )
+        .drop("__pn")
+    )
+    scored = (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(probe_sel), F.col(id_col) != F.col(probe_id_col))
+        .select(
+            probe_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col("__p_vec")).alias("cosine"),
+        )
+    )
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
-    return local.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

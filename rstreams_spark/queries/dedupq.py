@@ -90,12 +90,14 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force baseline. Cosines are the same sequential
+    JVM folds as the oracle's list_reduce — bit-identical doubles, no
+    per-row rounding (CLAUDE.md invariant #2)."""
     vecs = t(spark, sf_dir, "embeddings")
     probes = vecs.where(F.col("vec_id") % 50 == 0)
     out = brute_topk(vecs, probes, ANN_K)
     return out.select(
-        "probe_id", "vec_id",
-        F.round("cosine", 4).alias("cosine"),
+        "probe_id", "vec_id", "cosine",
         F.col("rank").cast("long").alias("rank"),
     )
 
@@ -403,7 +405,7 @@ SQL_ORACLES = {
                                     order by cos desc, vec_id) as rank
           from scored
         )
-        select probe_id, vec_id, round(cos, 4) as cosine, rank
+        select probe_id, vec_id, cos as cosine, rank
         from ranked where rank <= {ANN_K}
     """,
     "minhash_lsh_topk": f"""

@@ -112,6 +112,19 @@ def test_brute_topk(spark):
     assert got[0]["vec_id"] == 10  # closest to e_0 is the (1, .1) vector
 
 
+def test_brute_topk_probe_cap_enforced(spark):
+    """The max_probes bound is a hard in-plan guard, not advice: a
+    probe side over the cap fails the job at execution time."""
+    vecs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(8)]
+    )
+    with pytest.raises(Exception, match="max_probes"):
+        similarity.brute_topk(vecs, vecs, 1, max_probes=4).collect()
+    # at or under the cap: runs clean
+    ok = similarity.brute_topk(vecs, vecs.limit(3), 1, max_probes=4)
+    assert ok.count() == 3
+
+
 def test_multimodal_meta_deterministic(spark):
     docs = spark.createDataFrame([Row(doc_id=7, text="hello")])
     got = multimodal.extract_meta(multimodal.with_binary_payload(docs)).collect()[0]
