@@ -3,9 +3,13 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + count) after a
-warm-up of the session. ``value`` is the total wall time across the
-headline set.
+Each query is timed end-to-end with a **noop sink**
+(``write.format("noop")``), not ``.count()`` — count lets Catalyst
+prune every projection it doesn't need, so projection-heavy queries
+would measure scan+count instead of their real work. The noop sink
+materializes every output column through the full plan. ``value`` is
+the total wall time across the headline set; a streaming throughput
+metric (bench_streaming.measure) rides along under ``streaming``.
 """
 
 from __future__ import annotations
@@ -48,19 +52,30 @@ def main() -> None:
     # warm for the same sf0.1 query)
     warm_dir = "/root/testdata/sf0.001"
     import os.path as _p
+
+    def run(df) -> None:
+        # noop sink: executes the FULL plan incl. every projection
+        # (count would let Catalyst prune unused expressions)
+        df.write.format("noop").mode("overwrite").save()
+
     if _p.isdir(warm_dir):
         for name in HEADLINERS:
-            REGISTRY[name](spark, warm_dir).count()
+            run(REGISTRY[name](spark, warm_dir))
 
     times: dict[str, float] = {}
     for name in HEADLINERS:
-        best, n = float("inf"), 0
+        n = REGISTRY[name](spark, sf_dir).count()  # untimed: row sanity
+        best = float("inf")
         for _ in range(2):  # min-of-2: absorb scheduler/GC jitter
             start = time.perf_counter()
-            n = REGISTRY[name](spark, sf_dir).count()
+            run(REGISTRY[name](spark, sf_dir))
             best = min(best, time.perf_counter() - start)
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    import bench_streaming
+    streaming = bench_streaming.measure(spark)
+    print(f"# streaming: {streaming}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -68,6 +83,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "streaming": streaming,
     }))
 
 

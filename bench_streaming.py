@@ -1,0 +1,83 @@
+"""Streaming throughput bench (repeatable; promoted from PERF.md).
+
+Rate source → 100-key watermarked 1 s tumbling aggregation → noop
+sink. Reports sustained processed rows/s computed from the engine's
+own progress metrics (Σ inputRows / Σ trigger wall time), the same
+pipeline PERF.md's 1.6 M rows/s figure came from.
+
+Standalone: prints ONE JSON line. Also importable — ``measure()`` is
+embedded in bench.py's round artifact so rounds are comparable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+OFFERED_ROWS_PER_SEC = 2_000_000
+RUN_SECONDS = 8.0
+
+
+def measure(spark, offered: int = OFFERED_ROWS_PER_SEC,
+            seconds: float = RUN_SECONDS) -> dict:
+    from pyspark.sql import functions as F
+
+    from rstreams_spark.sources.files import stream_rate
+    from rstreams_spark.streaming.windows import stream_tumbling_window
+
+    src = stream_rate(spark, offered).withColumn(
+        "key", (F.col("value") % 100).cast("long")
+    )
+    agg = stream_tumbling_window(
+        src, "key", "timestamp", "1 second",
+        F.count("*").alias("n"), F.avg("value").alias("avg_v"),
+        watermark="2 seconds",
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", f"/tmp/bench_stream_ckpt_{os.getpid()}")
+        .start()
+    )
+    try:
+        deadline = time.perf_counter() + seconds
+        while time.perf_counter() < deadline:
+            time.sleep(0.25)
+        progresses = [p for p in q.recentProgress if p is not None]
+    finally:
+        q.stop()
+    rows = sum(p["numInputRows"] for p in progresses)
+    # skip the cold first batch: it pays codegen + state-store init
+    busy_ms = sum(
+        p["durationMs"]["triggerExecution"] for p in progresses[1:]
+    )
+    warm_rows = sum(p["numInputRows"] for p in progresses[1:])
+    rate = (warm_rows / (busy_ms / 1000.0)) if busy_ms else 0.0
+    return {
+        "offered_rows_per_sec": offered,
+        "processed_rows_per_sec": round(rate),
+        "total_rows": rows,
+        "batches": len(progresses),
+    }
+
+
+def main() -> None:
+    from rstreams_spark.session import get_spark
+
+    spark = get_spark("bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = measure(spark)
+    print(json.dumps({
+        "metric": "streaming_processed_rows_per_sec",
+        "value": out["processed_rows_per_sec"],
+        "unit": "rows/sec",
+        **{k: v for k, v in out.items() if k != "processed_rows_per_sec"},
+    }))
+
+
+if __name__ == "__main__":
+    main()

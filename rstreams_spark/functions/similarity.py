@@ -139,13 +139,22 @@ def brute_topk(
         )
         .drop("__pn")
     )
+    # norms once per ROW, not per pair: l2_norm(v) is a pure fold, so
+    # hoisting it above the join yields the identical double while
+    # cutting the per-pair work to one dot product
+    corpus_n = corpus.select(id_col, vec_col).withColumn(
+        "__c_norm", l2_norm(F.col(vec_col))
+    )
+    probe_sel = probe_sel.withColumn("__p_norm", l2_norm(F.col("__p_vec")))
     scored = (
-        corpus.select(id_col, vec_col)
-        .join(F.broadcast(probe_sel), F.col(id_col) != F.col(probe_id_col))
+        corpus_n.join(F.broadcast(probe_sel), F.col(id_col) != F.col(probe_id_col))
         .select(
             probe_id_col,
             id_col,
-            cosine(F.col(vec_col), F.col("__p_vec")).alias("cosine"),
+            (
+                dot(F.col(vec_col), F.col("__p_vec"))
+                / (F.col("__c_norm") * F.col("__p_norm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(probe_id_col).orderBy(

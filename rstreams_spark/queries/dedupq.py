@@ -112,20 +112,28 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set shrinks ~2^bits×; recall trades against bits."""
     from pyspark.sql.window import Window as W
 
+    from ..functions.similarity import dot, l2_norm
+
     vecs = t(spark, sf_dir, "embeddings").withColumn(
         "bucket", lsh_bucket(F.col("embedding"), _PLANES)
-    )
+    ).withColumn("v_norm", l2_norm(F.col("embedding")))
     probes = vecs.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("p_emb"),
         F.col("bucket").alias("p_bucket"),
+        F.col("v_norm").alias("p_norm"),
     )
+    # norms hoisted above the join: identical doubles (pure fold),
+    # one dot product per candidate pair instead of three
     scored = (
         vecs.join(F.broadcast(probes), F.col("bucket") == F.col("p_bucket"))
         .where(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id", "vec_id",
-            cosine(F.col("embedding"), F.col("p_emb")).alias("cos"),
+            (
+                dot(F.col("embedding"), F.col("p_emb"))
+                / (F.col("v_norm") * F.col("p_norm"))
+            ).alias("cos"),
         )
     )
     w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
@@ -157,22 +165,29 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = t(spark, sf_dir, "embeddings").withColumn(
         "__vec", array_to_vector(F.col("embedding").cast("array<double>"))
     )
+    from ..functions.similarity import dot, l2_norm
+
     model = KMeans(
         k=IVF_CELLS, seed=42, featuresCol="__vec", predictionCol="cell"
     ).fit(vecs)
     assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
+    assigned = assigned.withColumn("v_norm", l2_norm(F.col("embedding")))
 
     probes = assigned.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("p_emb"),
         F.col("cell").alias("p_cell"),
+        F.col("v_norm").alias("p_norm"),
     )
     scored = (
         assigned.join(F.broadcast(probes), F.col("cell") == F.col("p_cell"))
         .where(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id", "vec_id",
-            cosine(F.col("embedding"), F.col("p_emb")).alias("cosine"),
+            (
+                dot(F.col("embedding"), F.col("p_emb"))
+                / (F.col("v_norm") * F.col("p_norm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
