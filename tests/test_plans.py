@@ -88,6 +88,15 @@ def test_q3_small_sf_still_broadcasts_dynamically(spark):
     assert plans.count_sortmerge_joins(df) == 0
 
 
+def test_ngram_jaccard_no_static_broadcast(spark):
+    """The size tables are doc-count-sized — no broadcast hint may
+    survive; everything joins by shuffle (or AQE picks broadcast at
+    runtime when the actual size qualifies)."""
+    with _conf(spark, NO_AUTO_BHJ):
+        df = REGISTRY["dedup_ngram_jaccard"](spark, SF_SMOKE)
+        assert plans.count_broadcast_joins(df) == 0
+
+
 def test_stream_table_join_no_fact_shuffle(spark):
     df = REGISTRY["stream_table_join"](spark, SF_SMOKE)
     # broadcast table side ⇒ the orders fact side needs no exchange
