@@ -18,7 +18,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-__all__ = ["within_window", "from_bytes", "to_bytes", "parsed_message"]
+__all__ = [
+    "within_window", "from_bytes", "to_bytes", "parsed_message",
+    "ensure_fanout_parallelism",
+]
+
+
+def ensure_fanout_parallelism(df: DataFrame, by: str | None = None) -> DataFrame:
+    """Repartition ahead of a row-multiplying explode ONLY when the
+    input is under-parallel (fewer partitions than the cluster's
+    default parallelism — e.g. the driver's single-row-group files).
+
+    When the scan already yields ≥ defaultParallelism tasks — any
+    real-scale read — this returns the input untouched: an
+    unconditional repartition there would shuffle the full corpus to
+    gain nothing, which is exactly the 100 TB anti-pattern.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, by) if by else df.repartition(n)
 
 
 def within_window(a: Column, b: Column, window: str) -> Column:

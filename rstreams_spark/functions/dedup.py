@@ -72,13 +72,15 @@ def shingles(tok_col: Column, n: int) -> Column:
 def doc_shingles(docs: DataFrame, text_col: str, n: int, id_col: str = "doc_id") -> DataFrame:
     """(id, shingle) exploded view — the unit of candidate generation.
 
-    Repartitions before the explode: shingling fans each row out
-    ~|tokens|×, so upstream partitioning (sized for the raw scan)
-    under-parallelizes the fan-out; redistributing the *small* input
-    ahead of it is the cheap side of that trade at any scale.
+    Shingling fans each row out ~|tokens|×, so an under-parallel
+    input (single-row-group files) is redistributed first; a scan
+    that already carries ≥ defaultParallelism partitions passes
+    through with no exchange — repartitioning a full-scale corpus
+    ahead of a narrow explode would move all the data for nothing.
     """
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.repartition(n_parts, id_col).select(
+    from .core import ensure_fanout_parallelism
+
+    return ensure_fanout_parallelism(docs, by=id_col).select(
         F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle")
     )
 

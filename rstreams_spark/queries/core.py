@@ -42,11 +42,13 @@ def fold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    # redistribute the (small) doc rows before the ~|tokens|× explode
-    # fan-out — single-row-group files otherwise serialize the stage
-    n_parts = spark.sparkContext.defaultParallelism
+    # redistribute the doc rows before the ~|tokens|× explode fan-out
+    # ONLY if the scan is under-parallel (single-row-group files);
+    # a real-scale scan passes through untouched
+    from ..functions.core import ensure_fanout_parallelism
+
     return (
-        docs.repartition(n_parts)
+        ensure_fanout_parallelism(docs)
         .select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))

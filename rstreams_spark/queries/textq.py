@@ -117,9 +117,10 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data chunking: explode each document into sliding
     64-token windows with 16-token overlap. One narrow explode — at
     100 TB this pipelines with the scan, no shuffle at all."""
+    from ..functions.core import ensure_fanout_parallelism
+
     docs = t(spark, sf_dir, "documents")
-    n_parts = spark.sparkContext.defaultParallelism
-    toks = docs.repartition(n_parts).select(
+    toks = ensure_fanout_parallelism(docs).select(
         "doc_id", tokens(F.col("text")).alias("__toks")
     )
     out = toks.select(

@@ -120,6 +120,21 @@ def test_interval_join_filters_pushed(spark):
     assert any("purchase" in f for f in fs) and any("error" in f for f in fs)
 
 
+def test_fanout_repartition_is_conditional(spark):
+    """Pre-explode repartition fires only for under-parallel inputs:
+    an input already at ≥ defaultParallelism partitions passes
+    through untouched (no exchange added)."""
+    from rstreams_spark.functions.core import ensure_fanout_parallelism
+
+    n = spark.sparkContext.defaultParallelism
+    wide = spark.range(10_000).repartition(n)
+    assert ensure_fanout_parallelism(wide) is wide  # literally a no-op
+    narrow = spark.range(100).coalesce(1)
+    out = ensure_fanout_parallelism(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == n
+
+
 def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
     """Bucketing pre-distributes join keys at write time: a fact-fact
     equi-join between co-bucketed tables runs with ZERO exchanges —
