@@ -52,10 +52,43 @@ def _windowed(
 
 
 def tumbling_window(
-    df: DataFrame, key: str | Sequence[str], ts: str, size: str, *aggs: Column
+    df: DataFrame,
+    key: str | Sequence[str],
+    ts: str,
+    size: str,
+    *aggs: Column,
+    gap_fill: bool = False,
 ) -> DataFrame:
-    """Non-overlapping event-time windows of ``size`` per key."""
-    return _windowed(df, key, ts, size, None, *aggs)
+    """Non-overlapping event-time windows of ``size`` per key.
+
+    ``gap_fill=True`` restores the reference's empty-window emission
+    (src/window.rs:71-84: silent gaps between a key's windows yield
+    empty buffers): each key's window grid from its first to its last
+    window is sequence-generated and left-joined, so gap windows
+    appear with NULL aggregates (coalesce counts to 0 downstream).
+    Scale shape: the grid derives from the already-aggregated (small)
+    window frame — one extra shuffle on key over window rows, never
+    over raw events; per-key grid length is span/size, bounded for
+    any real retention window.
+    """
+    out = _windowed(df, key, ts, size, None, *aggs)
+    if not gap_fill:
+        return out
+    keys = [key] if isinstance(key, str) else list(key)
+    span = out.groupBy(*keys).agg(
+        F.min("window_start").alias("__lo"), F.max("window_start").alias("__hi")
+    )
+    grid = span.select(
+        *keys,
+        F.explode(
+            F.expr(f"sequence(__lo, __hi, interval {size})")
+        ).alias("window_start"),
+    )
+    filled = grid.join(out.drop("window_end"), [*keys, "window_start"], "left")
+    filled = filled.withColumn(
+        "window_end", F.col("window_start") + F.expr(f"interval {size}")
+    )
+    return filled.select(*out.columns)
 
 
 def hopping_window(

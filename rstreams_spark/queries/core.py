@@ -107,6 +107,31 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GAPFILL_TAU = 300.0  # sparse high-value events => real gap windows
+
+
+def tumbling_window_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity empty-window emission (src/window.rs:71-84):
+    daily windows over sparse high-value events, with silent days
+    emitted as n=0 rows."""
+    ev = t(spark, sf_dir, "events").where(F.col("value") >= GAPFILL_TAU)
+    out = windows.tumbling_window(
+        ev,
+        "event_type",
+        "ts",
+        "1 day",
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        gap_fill=True,
+    )
+    return out.select(
+        "event_type",
+        epoch(F.col("window_start")).alias("window_start_epoch"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        "sum_value",
+    )
+
+
 def hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     out = windows.hopping_window(
@@ -398,6 +423,7 @@ QUERIES = {
     "chunk_fold": chunk_fold,
     "latest_per_key": latest_per_key,
     "tumbling_window": tumbling_window,
+    "tumbling_window_gapfill": tumbling_window_gapfill,
     "hopping_window": hopping_window,
     "session_window": session_window,
     "lag_window": lag_window,
@@ -487,6 +513,25 @@ SQL_ORACLES = {
                cast(floor(epoch(ts)/{DAY})*{DAY} as bigint) as window_start_epoch,
                count(*) as n, round(sum(value), 2) as sum_value
         from events group by 1, 2
+    """,
+    "tumbling_window_gapfill": f"""
+        with base as (
+          select event_type,
+                 cast(floor(epoch(ts)/{DAY})*{DAY} as bigint) as ws,
+                 count(*) as n, round(sum(value), 2) as sum_value
+          from events where value >= {GAPFILL_TAU} group by 1, 2
+        ),
+        span as (
+          select event_type, min(ws) as lo, max(ws) as hi from base group by 1
+        ),
+        grid as (
+          select event_type, unnest(generate_series(lo, hi, {DAY})) as ws
+          from span
+        )
+        select g.event_type, g.ws as window_start_epoch,
+               cast(coalesce(b.n, 0) as bigint) as n, b.sum_value
+        from grid g
+        left join base b on g.event_type = b.event_type and g.ws = b.ws
     """,
     "hopping_window": f"""
         with expanded as (

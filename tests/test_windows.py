@@ -42,6 +42,23 @@ def test_tumbling_matches_reference_vector(spark):
     }
 
 
+def test_tumbling_gap_fill_emits_empty_windows(spark):
+    """Reference src/window.rs:71-84: silent gaps between a key's
+    windows yield empty emissions. VECTOR has a gap at window 15."""
+    df = _events(spark, VECTOR)
+    got = windows.tumbling_window(
+        df, "key", "ts", "3 seconds",
+        F.count("*").alias("n"), gap_fill=True,
+    )
+    rows = {
+        int(r["window_start"].timestamp() - EPOCH.timestamp()): r["n"]
+        for r in got.collect()
+    }
+    assert rows == {0: 2, 3: 2, 6: 5, 9: 4, 12: 2, 15: None, 18: 1}
+    # window_end is filled on gap rows too
+    assert all(r["window_end"] is not None for r in got.collect())
+
+
 def test_hopping_matches_reference_vector(spark):
     df = _events(spark, VECTOR)
     got = windows.hopping_window(
