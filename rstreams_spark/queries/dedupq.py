@@ -17,7 +17,7 @@ from ..functions.dedup import (
     P61, doc_shingles, lsh_band_pairs, minhash_signature, perm_coeffs, simhash32,
 )
 from ..functions.similarity import (
-    brute_topk, cosine, cosine_pairs, hyperplanes, lsh_bucket,
+    brute_topk, cosine_pairs, hyperplanes, lsh_bucket,
 )
 from ._util import SQL_TOKS, sql_h64, t
 
@@ -173,15 +173,21 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_CELLS = 16
+IVF_NPROBE = 2
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: KMeans cells as the inverted index; probes
-    search only their own cell (nprobe=1). The centroid table is tiny
-    and ships with the closure; the corpus is scanned once to assign
-    cells and once per probe-join — both shuffle-free w.r.t. the big
-    side. Rows-only correctness check (KMeans is not expressible in
-    the SQL oracle); recall behavior is covered by pytest instead.
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """IVF-style ANN: KMeans cells as the inverted index; each probe
+    searches its ``nprobe`` nearest cells (by centroid L2 distance,
+    the same metric KMeans assigns with). The centroid table is tiny
+    (IVF_CELLS rows) and rides a broadcast; the corpus is scanned
+    once to assign cells and the (probe, cell) fan-out joins the big
+    side on cell — shuffle-free w.r.t. the corpus. Rows-only
+    correctness check (KMeans is not expressible in the SQL oracle);
+    recall vs the exact ann_topk ground truth is asserted in pytest
+    (tests/test_skew_similarity.py).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -197,14 +203,39 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
     assigned = assigned.withColumn("v_norm", l2_norm(F.col("embedding")))
 
+    # centroids are model state (k × dims floats) — a legitimate tiny
+    # driver-side table, broadcast to rank cells per probe
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
     probes = assigned.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("p_emb"),
-        F.col("cell").alias("p_cell"),
         F.col("v_norm").alias("p_norm"),
     )
+    d2 = dot(
+        F.zip_with(
+            F.col("p_emb"),
+            F.col("centroid"),
+            lambda x, y: x.cast("double") - y,
+        ),
+        F.zip_with(
+            F.col("p_emb"),
+            F.col("centroid"),
+            lambda x, y: x.cast("double") - y,
+        ),
+    )
+    wc = Window.partitionBy("probe_id").orderBy(F.col("__d2").asc(), F.col("cell").asc())
+    probe_cells = (
+        probes.crossJoin(F.broadcast(cents))
+        .withColumn("__d2", d2)
+        .withColumn("__cr", F.row_number().over(wc))
+        .where(F.col("__cr") <= nprobe)
+        .select("probe_id", "p_emb", "p_norm", F.col("cell").alias("p_cell"))
+    )
     scored = (
-        assigned.join(F.broadcast(probes), F.col("cell") == F.col("p_cell"))
+        assigned.join(F.broadcast(probe_cells), F.col("cell") == F.col("p_cell"))
         .where(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id", "vec_id",

@@ -70,3 +70,24 @@ def test_ivf_topk_finds_near_neighbors(spark):
         assert ranks == list(range(1, len(ranks) + 1))
         cosines = [r["cosine"] for r in sorted(neighbors, key=lambda x: x["rank"])]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_recall_vs_exact_and_nprobe_monotone(spark):
+    """Quality gate for the IVF index: recall@k against the exact
+    brute-force ground truth at sf0.01, and more probed cells must
+    not lose recall. Floors calibrated on the fixed KMeans seed
+    (measured: 0.34 / 0.48 / 0.72 for nprobe 1/2/3)."""
+    from rstreams_spark.queries import REGISTRY
+    from rstreams_spark.queries.dedupq import ivf_topk
+
+    sf = "/root/testdata/sf0.01"
+    truth = {(r["probe_id"], r["vec_id"]) for r in REGISTRY["ann_topk"](spark, sf).collect()}
+
+    def recall(nprobe):
+        got = {(r["probe_id"], r["vec_id"]) for r in ivf_topk(spark, sf, nprobe=nprobe).collect()}
+        return len(got & truth) / len(truth)
+
+    r1, r3 = recall(1), recall(3)
+    assert r1 >= 0.25
+    assert r3 >= 0.60
+    assert r3 >= r1  # widening the probe set never loses recall
