@@ -2,21 +2,32 @@
 
 Images/audio/video ride as opaque ``binary`` columns with typed
 metadata. The Spark-side shape is real and tested — schema, Arrow
-batch flow through ``mapInPandas``, partition-preserving transforms —
-while the actual codec step is STUBBED (no image/audio libraries in
-this container): ``decode_image`` raises ``NotImplementedError`` and
-``fake_decode_meta`` produces deterministic pseudo-metadata from the
-bytes so pipelines are testable end-to-end.
+batch flow through ``mapInPandas``, partition-preserving transforms.
+The codec step is OPTIONAL: when PIL is importable (``HAS_PIL``),
+``decode_image``/``resize_images`` run the real codec per payload and
+fall back per-row to the deterministic byte-derived stub for
+undecodable payloads; without PIL everything uses the stub, so the
+same tests pass in both environments and the synthetic (text-bytes)
+corpus always takes the deterministic path.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # optional codec: absent in this container, real on full images
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - exercised implicitly here
+    _PILImage = None
+    HAS_PIL = False
 
 __all__ = [
     "with_binary_payload", "extract_meta", "decode_image", "sample_frames",
@@ -36,12 +47,17 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes):
-    """Real codec hook — requires an image library not present here.
+    """Decode image bytes → (width, height, mode) via PIL.
 
-    STUB: the Spark plumbing around it (``extract_meta``) is real;
-    swap this for PIL/libvips when available.
+    Raises ``NotImplementedError`` when no codec library is present
+    (this container); the Spark plumbing around it is real either way.
     """
-    raise NotImplementedError("image decoding requires an image library (e.g. PIL)")
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "image decoding requires an image library (e.g. PIL)"
+        )
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        return im.width, im.height, im.mode
 
 
 def _fake_decode_meta(payload: bytes) -> tuple[int, int]:
@@ -50,29 +66,51 @@ def _fake_decode_meta(payload: bytes) -> tuple[int, int]:
     return 16 + digest[0] % 64, 16 + digest[1] % 64
 
 
+def _decode_dims(payload: bytes) -> tuple[int, int]:
+    """Real dims when a codec exists AND the payload decodes; the
+    deterministic stub otherwise (so synthetic text-bytes corpora
+    behave identically with or without PIL installed)."""
+    if HAS_PIL:
+        try:
+            w, h, _ = decode_image(payload)
+            return w, h
+        except Exception:
+            pass
+    return _fake_decode_meta(payload)
+
+
 RESIZE_SCHEMA = "doc_id bigint, width int, height int, thumb binary, thumb_sha1 string"
 
 
 def resize_images(df: DataFrame, width: int, height: int, id_col: str = "doc_id") -> DataFrame:
     """Resize plumbing: payload in → fixed-size thumbnail payload out,
-    batch-at-a-time through Arrow. The resample itself is STUBBED
-    (deterministic byte striding to exactly width×height bytes —
-    swap for a real resampler when codec libs exist); the schema,
-    batch flow and output contract are the real pipeline stage.
+    batch-at-a-time through Arrow. With PIL present, decodable images
+    get a real grayscale resample to width×height; otherwise (or for
+    undecodable payloads) a deterministic byte-stride resample to
+    exactly width×height bytes. Schema, batch flow and output
+    contract are the real pipeline stage in both modes.
     """
     n_out = width * height
 
+    def _stub_resample(payload: bytes) -> bytes:
+        # deterministic stride-resample of the byte stream
+        step = max(len(payload) / n_out, 1e-9)
+        return bytes(
+            payload[min(int(i * step), len(payload) - 1)] for i in range(n_out)
+        )
+
+    def _resample(payload: bytes) -> bytes:
+        if HAS_PIL:
+            try:
+                with _PILImage.open(io.BytesIO(payload)) as im:
+                    return im.convert("L").resize((width, height)).tobytes()
+            except Exception:
+                pass
+        return _stub_resample(payload)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            thumbs = []
-            for payload in pdf["payload"]:
-                payload = bytes(payload) or b"\x00"
-                # deterministic stride-resample of the byte stream
-                step = max(len(payload) / n_out, 1e-9)
-                thumb = bytes(
-                    payload[min(int(i * step), len(payload) - 1)] for i in range(n_out)
-                )
-                thumbs.append(thumb)
+            thumbs = [_resample(bytes(p) or b"\x00") for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -130,7 +168,7 @@ def extract_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            dims = [_fake_decode_meta(p) for p in payloads]
+            dims = [_decode_dims(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],

@@ -125,6 +125,22 @@ def test_brute_topk_probe_cap_enforced(spark):
     assert ok.count() == 3
 
 
+def test_decode_image_gated_on_codec():
+    """decode_image is a real PIL call when the codec exists, a clean
+    NotImplementedError when it doesn't — same test green both ways."""
+    if multimodal.HAS_PIL:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (5, 3)).save(buf, format="PNG")
+        assert multimodal.decode_image(buf.getvalue())[:2] == (5, 3)
+    else:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG\r\n\x1a\n")
+
+
 def test_multimodal_meta_deterministic(spark):
     docs = spark.createDataFrame([Row(doc_id=7, text="hello")])
     got = multimodal.extract_meta(multimodal.with_binary_payload(docs)).collect()[0]

@@ -116,6 +116,41 @@ def test_stream_rate_source_smoke(spark):
     assert set(df.columns) == {"timestamp", "value"}
 
 
+def test_throttled_reader_bounds_batch_rows(spark):
+    """StreamExt::throttle parity: every microbatch ingests exactly
+    the configured cap, never more."""
+    import time
+
+    from rstreams_spark.streaming.throttle import throttled, throttled_reader
+
+    cap = 7
+    src = throttled_reader(
+        spark, "rate-micro-batch", cap, startTimestamp="0", advanceMillisPerBatch="100"
+    ).load()
+    writer = throttled(
+        src.writeStream.format("noop").outputMode("append"), "1 second"
+    )
+    q = writer.start()
+    try:
+        deadline = time.time() + 10
+        while len(q.recentProgress) < 3 and time.time() < deadline:
+            time.sleep(0.25)
+        progresses = list(q.recentProgress)
+    finally:
+        q.stop()
+    batches = [p["numInputRows"] for p in progresses if p is not None]
+    assert len(batches) >= 2
+    assert all(n <= cap for n in batches)
+    assert any(n == cap for n in batches)
+
+
+def test_throttled_reader_rejects_uncappable_format(spark):
+    from rstreams_spark.streaming.throttle import throttled_reader
+
+    with pytest.raises(ValueError, match="no per-trigger cap"):
+        throttled_reader(spark, "socket", 5)
+
+
 def test_kafka_builder_shapes(spark):
     # no broker here: assert the builders construct valid plans
     from rstreams_spark.sources import kafka as k
