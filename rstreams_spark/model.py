@@ -84,10 +84,14 @@ class RStream:
     def throttle_sample(self, one_in: int, on: str | None = None) -> "RStream":
         """Deterministic 1-in-N down-sampling (batch analog of
         ``StreamExt::throttle`` back-pressure: bound the record rate).
-        Uses a positive hash-mod so it is stable across runs/engines.
+        Uses the portable md5-based ``hash64`` (the same hash the
+        catalog's oracle-checked ``throttle_sample`` uses), so the
+        kept set is stable across runs AND across engines.
         """
-        col = F.col(on or self.key)
-        return self.filter(F.pmod(F.xxhash64(col), F.lit(one_in)) == 0)
+        from .functions.text import hash64
+
+        col = F.col(on or self.key).cast("string")
+        return self.filter(F.pmod(hash64(col), F.lit(one_in)) == 0)
 
     def split(self, *conds: Column) -> list["RStream"]:
         """fork/split: one logical scan, N filtered branches."""

@@ -51,8 +51,16 @@ def range_join(
     the cell id with the exact between-predicate evaluated after the
     match. Pick ``cell_width`` near the typical range span so range
     duplication stays O(1) per range. Points match each range at most
-    once (single cell per point ⇒ no dedup needed).
+    once (single cell per point ⇒ no dedup needed). Only ``inner``
+    and ``left`` (points-preserving) joins are supported: a range row
+    is exploded per overlapped cell, so right/full would emit each
+    unmatched range once per cell.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"range_join supports how='inner'|'left' (points side), got {how!r}: "
+            "exploded ranges would duplicate unmatched range rows per grid cell"
+        )
     cell = lambda c: F.floor(c / F.lit(cell_width)).cast("long")  # noqa: E731
     r_cells = ranges.withColumn(
         "__cell",
@@ -85,12 +93,23 @@ def interval_join(
     names get ``l_``/``r_`` disambiguation only when they collide.
     """
     lcols = set(left.columns)
-    r = right
+    # guaranteed-unique disambiguation: keep prefixing until the new
+    # name collides with neither side (a left column named r_<x>
+    # would otherwise produce duplicate output names)
+    taken = lcols | set(right.columns)
+    rename: dict[str, str] = {}
     for c in right.columns:
         if c in lcols:
-            r = r.withColumnRenamed(c, f"r_{c}")
-    r_key = f"r_{right_key}" if right_key in lcols else right_key
-    r_ts = f"r_{right_ts}" if right_ts in lcols else right_ts
+            new = f"r_{c}"
+            while new in taken:
+                new = f"r_{new}"
+            rename[c] = new
+            taken.add(new)
+    r = right
+    for c, new in rename.items():
+        r = r.withColumnRenamed(c, new)
+    r_key = rename.get(right_key, right_key)
+    r_ts = rename.get(right_ts, right_ts)
 
     band = F.expr(f"INTERVAL {high_water_mark}")
     cond = (
@@ -127,6 +146,7 @@ def asof_join(
     right_ts: str,
     right_vals: Sequence[str],
     tolerance: str | None = None,
+    right_tiebreakers: Sequence[str] = (),
 ) -> DataFrame:
     """Latest right record at-or-before each left record (per key).
 
@@ -134,16 +154,22 @@ def asof_join(
     origin, one window sort per key carries right-side values forward
     (``last(..., ignorenulls)``) — a single shuffle on ``key``, no
     per-row lookups. ``tolerance`` (interval string) drops matches
-    older than ``left_ts - tolerance``.
+    older than ``left_ts - tolerance``. When multiple right rows
+    share a (key, ts), ``right_tiebreakers`` orders them (ascending;
+    the LAST one wins — mirroring ``latest_per_key``); without
+    tiebreakers their relative order is undefined.
     """
+    tbs = list(right_tiebreakers)
     l_tagged = left.select(
         F.col(key), F.col(left_ts).alias("__t"), F.lit(1).alias("__is_left"),
         *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}") for v in right_vals],
+        *[F.lit(None).cast(right.schema[tb].dataType).alias(f"__tb_{tb}") for tb in tbs],
         *[F.col(c) for c in left.columns if c not in (key, left_ts)],
     )
     r_tagged = right.select(
         F.col(key), F.col(right_ts).alias("__t"), F.lit(0).alias("__is_left"),
         *[F.col(v).alias(f"__r_{v}") for v in right_vals],
+        *[F.col(tb).alias(f"__tb_{tb}") for tb in tbs],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in (key, left_ts)],
     )
@@ -151,10 +177,13 @@ def asof_join(
     l_tagged = l_tagged.withColumn("__rt", F.lit(None).cast(r_tagged.schema["__rt"].dataType))
 
     unioned = l_tagged.unionByName(r_tagged)
-    # rights sort before lefts at equal timestamps → at-or-before
-    w = Window.partitionBy(key).orderBy("__t", "__is_left").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    # rights sort before lefts at equal timestamps → at-or-before;
+    # tiebreakers order equal-(ts) right rows so `last` is
+    # deterministic (left rows carry NULL tiebreakers and are already
+    # ordered after rights by the __is_left term)
+    w = Window.partitionBy(key).orderBy(
+        "__t", "__is_left", *[f"__tb_{tb}" for tb in tbs]
+    ).rowsBetween(Window.unboundedPreceding, 0)
     filled = unioned.select(
         "*",
         *[F.last(f"__r_{v}", ignorenulls=True).over(w).alias(f"r_{v}") for v in right_vals],

@@ -79,6 +79,45 @@ def test_asof_join_tolerance(spark):
     assert vals == {5: 4, 30: None}  # 30-4 > 10s tolerance
 
 
+def test_asof_join_right_tiebreaker_deterministic(spark):
+    """Two right rows at the same (key, ts): the highest tiebreaker
+    wins, mirroring latest_per_key (ADVICE: without an explicit
+    tiebreaker the picked row is undefined)."""
+    left = _stream(spark, [("k", 5)])
+    right = spark.createDataFrame(
+        [
+            Row(key="k", ts=EPOCH + dt.timedelta(seconds=4), rv=100, seq=1),
+            Row(key="k", ts=EPOCH + dt.timedelta(seconds=4), rv=200, seq=2),
+        ]
+    )
+    got = joins.asof_join(
+        left, right, "key", "ts", "ts", ["rv"], right_tiebreakers=["seq"]
+    )
+    assert [r["r_rv"] for r in got.collect()] == [200]
+
+
+def test_interval_join_rename_never_collides(spark):
+    """Left already owns r_v: disambiguation must keep prefixing
+    until unique instead of emitting duplicate column names."""
+    left = _stream(spark, [("a", 0)]).selectExpr("key", "ts", "v", "v * 10 as r_v")
+    right = _stream(spark, [("a", 1)]).selectExpr("key", "ts", "v", "v * 0 as r_v")
+    got = joins.interval_join(left, right, "key", "key", "ts", "ts", "10 seconds")
+    assert len(got.columns) == len(set(got.columns))  # all names unique
+    assert got.count() == 1
+
+
+def test_range_join_rejects_range_duplicating_how(spark):
+    import pytest
+
+    from pyspark.sql import Row as R
+
+    points = spark.createDataFrame([R(x=1.0)])
+    ranges = spark.createDataFrame([R(lo=0.0, hi=10.0)])
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="range_join supports"):
+            joins.range_join(points, "x", ranges, "lo", "hi", 4.0, how=how)
+
+
 def test_range_join_grid_bucketing(spark):
     from pyspark.sql import Row as R
 
