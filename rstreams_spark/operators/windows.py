@@ -74,6 +74,15 @@ def tumbling_window(
     out = _windowed(df, key, ts, size, None, *aggs)
     if not gap_fill:
         return out
+    return _gap_filled(out, key, size, size)
+
+
+def _gap_filled(
+    out: DataFrame, key: str | Sequence[str], size: str, step: str
+) -> DataFrame:
+    """Left-join ``out`` (a windowed frame) against each key's full
+    window grid (start advancing by ``step`` from first to last
+    window), so silent gaps appear as NULL-aggregate rows."""
     keys = [key] if isinstance(key, str) else list(key)
     span = out.groupBy(*keys).agg(
         F.min("window_start").alias("__lo"), F.max("window_start").alias("__hi")
@@ -81,7 +90,7 @@ def tumbling_window(
     grid = span.select(
         *keys,
         F.explode(
-            F.expr(f"sequence(__lo, __hi, interval {size})")
+            F.expr(f"sequence(__lo, __hi, interval {step})")
         ).alias("window_start"),
     )
     filled = grid.join(out.drop("window_end"), [*keys, "window_start"], "left")
@@ -92,17 +101,29 @@ def tumbling_window(
 
 
 def hopping_window(
-    df: DataFrame, key: str | Sequence[str], ts: str, size: str, hop: str, *aggs: Column
+    df: DataFrame,
+    key: str | Sequence[str],
+    ts: str,
+    size: str,
+    hop: str,
+    *aggs: Column,
+    gap_fill: bool = False,
 ) -> DataFrame:
     """Overlapping windows of ``size`` advancing by ``hop`` per key.
 
     Spark's ``F.window(ts, size, hop)`` assigns each event to all
-    ``size/hop`` windows containing it — exactly the reference's
-    per-hop emission (src/window.rs:127-156) minus its empty-window
-    gap-fill (a cosmetic artifact of single-threaded iteration that
-    does not scale and carries no data).
+    ``size/hop`` windows containing it — the reference's per-hop
+    emission (src/window.rs:127-156). ``gap_fill=True`` additionally
+    emits the reference's empty hop windows (src/window.rs:147-163):
+    the per-key hop grid between first and last window is generated
+    and left-joined, so hops whose window contains no events appear
+    with NULL aggregates. Same scale shape as tumbling gap-fill: the
+    grid derives from the aggregated frame, never the raw events.
     """
-    return _windowed(df, key, ts, size, hop, *aggs)
+    out = _windowed(df, key, ts, size, hop, *aggs)
+    if not gap_fill:
+        return out
+    return _gap_filled(out, key, size, hop)
 
 
 def rollup_candles(

@@ -78,6 +78,23 @@ def test_hopping_matches_reference_vector(spark):
     assert _contents(got) == expect
 
 
+def test_hopping_gap_fill_emits_empty_hops(spark):
+    """Reference src/window.rs:147-163: hops whose window holds no
+    events are still emitted. With size=3 hop=1 over VECTOR, the
+    silent stretch between 14 and 20 leaves hops 15,16,17 empty."""
+    df = _events(spark, VECTOR)
+    got = windows.hopping_window(
+        df, "key", "ts", "3 seconds", "1 second",
+        F.count("*").alias("n"), gap_fill=True,
+    )
+    rows = {
+        int(r["window_start"].timestamp() - EPOCH.timestamp()): r["n"]
+        for r in got.collect()
+    }
+    assert sorted(rows) == list(range(-2, 21))  # full hop grid
+    assert {s for s, n in rows.items() if n is None} == {15, 16, 17}
+
+
 def test_hopping_windows_per_event_count(spark):
     # every event lands in exactly size/hop windows
     df = _events(spark, VECTOR)
