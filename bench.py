@@ -26,7 +26,8 @@ HEADLINERS = [
     "wordcount", "hopping_window", "session_window", "candles",
     "candles_rollup", "range_band_count",
     "interval_join", "latest_per_key", "value_percentiles",
-    "dedup_minhash", "dedup_simhash", "minhash_lsh_topk", "doc_chunks",
+    "dedup_minhash", "dedup_simhash", "dedup_clusters", "minhash_lsh_topk",
+    "doc_chunks",
     "ann_topk", "ann_lsh_topk", "text_quality",
 ]
 

@@ -26,6 +26,7 @@ from .text import hash64, tokens
 __all__ = [
     "shingles", "doc_shingles", "minhash_signature",
     "lsh_band_pairs", "simhash32", "P61", "perm_coeffs",
+    "connected_components",
 ]
 
 P61 = (1 << 61) - 1  # Mersenne prime modulus for minhash permutations
@@ -176,3 +177,62 @@ def simhash32(exploded: DataFrame, id_col: str = "doc_id") -> DataFrame:
         bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         value = bit if value is None else value + bit
     return voted.select(F.col(id_col), value.alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list: the cluster
+    step of a dedup pipeline (dup PAIRS → dup GROUPS, from which one
+    canonical doc per group survives).
+
+    Returns (node, cluster_id) with ``cluster_id`` = the minimum node
+    id in the component — a canonical, engine-independent labeling.
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes ``min(own label, neighbor labels)``; a round is one
+    shuffle-join edges⨝labels plus one groupBy — both hash-partitioned
+    on node id. Converges in ≤ diameter rounds (dup clusters are
+    near-cliques, so 2-3 in practice); iteration stops early the
+    first round nothing changes. Each round is ``localCheckpoint``-ed
+    to cut lineage — on a real cluster use a checkpoint dir so state
+    survives executor loss. Driver-side loop control (a per-round
+    count) is metadata, not data: no row set ever reaches the driver.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["node2"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

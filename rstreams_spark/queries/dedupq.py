@@ -14,7 +14,8 @@ from pyspark.sql.window import Window
 
 from ..functions import multimodal
 from ..functions.dedup import (
-    P61, doc_shingles, lsh_band_pairs, minhash_signature, perm_coeffs, simhash32,
+    P61, connected_components, doc_shingles, lsh_band_pairs, minhash_signature,
+    perm_coeffs, simhash32,
 )
 from ..functions.similarity import (
     brute_topk, cosine_pairs, hyperplanes, lsh_bucket,
@@ -100,6 +101,23 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = doc_shingles(docs, "text", 2)
     sig = minhash_signature(sh, NUM_PERM)
     return lsh_band_pairs(sig, NUM_PERM, BANDS)
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup pairs → dup groups: connected components over the minhash
+    LSH candidate pairs, labeling every involved doc with the min
+    doc_id of its component (the canonical survivor). This is the
+    step that turns pairwise dedup output into 'keep one per group'
+    at corpus scale. Oracle: DuckDB recursive CTE computing min
+    reachable node — identical labeling by construction.
+    """
+    docs = t(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, "text", 2)
+    pairs = lsh_band_pairs(minhash_signature(sh, NUM_PERM), NUM_PERM, BANDS)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("cluster_id")
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,6 +345,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash": dedup_minhash,
+    "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "embedding_cosine_dup": embedding_cosine_dup,
     "ann_topk": ann_topk,
@@ -457,6 +476,26 @@ SQL_ORACLES = {
         {_sql_bands()},
         {_SQL_CAND_PAIRS}
         select id1, id2 from pairs
+    """,
+    "dedup_clusters": f"""
+        with recursive {_sql_shingles(2)},
+        {_sql_sig()},
+        {_sql_bands()},
+        {_SQL_CAND_PAIRS},
+        nodes as (
+          select id1 as n from pairs union select id2 from pairs
+        ),
+        e as (
+          select id1 as a, id2 as b from pairs
+          union select id2, id1 from pairs
+        ),
+        reach(a, b) as (
+          select n, n from nodes
+          union
+          select r.a, e.b from reach r join e on r.b = e.a
+        )
+        select a as doc_id, min(b) as cluster_id
+        from reach group by a
     """,
     "dedup_simhash": f"""
         with {_sql_shingles(2)},

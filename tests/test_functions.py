@@ -125,6 +125,20 @@ def test_brute_topk_probe_cap_enforced(spark):
     assert ok.count() == 3
 
 
+def test_connected_components_labels_min_node(spark):
+    """Path 1-2-3 plus pair 10-11 plus chain 20-21-22-23 (diameter >
+    1 round): every node labeled with its component minimum."""
+    from rstreams_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [Row(id1=a, id2=b) for a, b in
+         [(2, 1), (2, 3), (10, 11), (23, 22), (22, 21), (21, 20)]]
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+
 def test_decode_image_gated_on_codec():
     """decode_image is a real PIL call when the codec exists, a clean
     NotImplementedError when it doesn't — same test green both ways."""
