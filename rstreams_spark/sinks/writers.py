@@ -9,8 +9,33 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 __all__ = [
-    "write_parquet", "stream_to_memory", "stream_to_parquet", "stream_foreach_batch",
+    "write_parquet", "write_bucketed", "stream_to_memory", "stream_to_parquet",
+    "stream_foreach_batch",
 ]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed+sorted table write: the 100 TB answer for REPEATED
+    big-table equi-joins/aggs on the same key. Co-bucketed tables
+    join with ZERO exchanges (pinned by
+    tests/test_plans.py::test_bucketed_join_needs_no_shuffle) — pay
+    the shuffle once at write time, never again per query.
+    """
+    writer = (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .option("path", path)
+    )
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.saveAsTable(table)
 
 
 def write_parquet(

@@ -140,16 +140,11 @@ def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
     equi-join between co-bucketed tables runs with ZERO exchanges —
     the 100 TB answer for repeated big-table joins."""
     from rstreams_spark.queries._util import t as load
+    from rstreams_spark.sinks.writers import write_bucketed
 
     ev = load(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
     for name in ("ev_bkt_a", "ev_bkt_b"):
-        (
-            ev.write.mode("overwrite")
-            .bucketBy(8, "user_id")
-            .sortBy("user_id")
-            .option("path", str(tmp_path / name))
-            .saveAsTable(name)
-        )
+        write_bucketed(ev, name, str(tmp_path / name), ["user_id"], 8)
     a, b = spark.table("ev_bkt_a"), spark.table("ev_bkt_b")
     joined = a.join(b.withColumnRenamed("event_id", "e2").withColumnRenamed("value", "v2"), "user_id")
     try:

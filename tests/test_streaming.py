@@ -116,6 +116,23 @@ def test_stream_rate_source_smoke(spark):
     assert set(df.columns) == {"timestamp", "value"}
 
 
+def test_stream_dedup_exact_first_wins(spark, tmp_path):
+    """Live exact-dedup: same normalized content later in the stream
+    is dropped; distinct content passes. State bounded by watermark."""
+    from rstreams_spark.streaming.dedup import stream_dedup_exact
+
+    path = _write_batch(
+        tmp_path, "dd",
+        [("dup text", 0, 1.0), ("dup text", 5, 2.0), ("other", 1, 3.0)],
+    )
+    stream = files.stream_files(spark, path, "json", SCHEMA)
+    out = stream_dedup_exact(stream, "key", "ts", horizon="10 minutes")
+    q = writers.stream_to_memory(out, "dedup_out", "append")
+    _run(q)
+    got = sorted(r["key"] for r in spark.sql("select * from dedup_out").collect())
+    assert got == ["dup text", "other"]
+
+
 def test_throttled_reader_bounds_batch_rows(spark):
     """StreamExt::throttle parity: every microbatch ingests exactly
     the configured cap, never more."""
