@@ -337,6 +337,42 @@ def minhash_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANT_MAX = 127  # symmetric int8
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the storage/transfer
+    op for ANN at corpus scale (4× smaller vectors, SIMD-friendly
+    int dot products downstream). scale = max|v|/127; q_i =
+    floor(v_i/scale + 0.5), which stays in [-127, 127] by
+    construction. floor(x+0.5) (not round()) so both engines use the
+    identical half-up rule — engine round() modes differ at .5
+    boundaries (CLAUDE.md invariant #2). Output is exploded to
+    scalar rows so the oracle hashes every element. Narrow
+    projection, no shuffle: pipelines with the scan at any SF.
+    """
+    vecs = t(spark, sf_dir, "embeddings")
+    amax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    v = vecs.withColumn("__amax", amax).withColumn(
+        "scale", F.col("__amax") / F.lit(float(QUANT_MAX))
+    )
+    ex = v.select(
+        "vec_id", "scale", "__amax",
+        F.posexplode("embedding").alias("idx", "val"),
+    )
+    q = F.when(F.col("__amax") == 0, F.lit(0)).otherwise(
+        F.floor(F.col("val").cast("double") / F.col("scale") + F.lit(0.5))
+    )
+    return ex.select(
+        "vec_id",
+        F.col("idx").cast("long").alias("idx"),
+        q.cast("bigint").alias("q"),
+        "scale",
+    )
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return multimodal.extract_meta(multimodal.with_binary_payload(docs))
@@ -350,6 +386,7 @@ QUERIES = {
     "embedding_cosine_dup": embedding_cosine_dup,
     "ann_topk": ann_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "embedding_quantize": embedding_quantize,
     "ivf_topk": ivf_topk,
     "minhash_lsh_topk": minhash_lsh_topk,
     "multimodal_meta": multimodal_meta,
@@ -523,6 +560,25 @@ SQL_ORACLES = {
         )
         select probe_id, vec_id, cos as cosine, rank
         from ranked where rank <= {ANN_K}
+    """,
+    "embedding_quantize": f"""
+        with a as (
+          select vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(x::double))) as amax
+          from embeddings
+        ),
+        s as (
+          select vec_id, embedding, amax, amax / {QUANT_MAX}.0 as scale from a
+        )
+        select vec_id,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> cast(i - 1 as bigint))) as idx,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> cast(case when amax = 0 then 0
+                                else floor(embedding[i]::double / scale + 0.5)
+                                end as bigint))) as q,
+               scale
+        from s
     """,
     "minhash_lsh_topk": f"""
         with {_sql_shingles(2)},
