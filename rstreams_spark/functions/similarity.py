@@ -113,11 +113,13 @@ def brute_topk(
     row_number + ``assert_true`` guard fails the job the moment the
     probe side exceeds ``max_probes``, instead of silently shipping
     an unbounded matrix to every task. The scored set is projected
-    to (probe_id, id, cosine) scalar triplets before the per-probe
-    rank shuffle, so the exchange moves ~24 bytes × corpus × probes,
-    not the vectors. Cosines are JVM sequential folds (``cosine``) —
-    deterministic op order, bit-identical to the DuckDB oracle, no
-    per-row rounding needed.
+    to (probe_id, id, cosine) scalar triplets, and Spark's
+    WindowGroupLimit pushes the rank<=k cut BELOW the exchange — each
+    partition ships only its local top-k per probe (≤ partitions × k
+    × probes rows), never corpus × probes (pinned by
+    tests/test_plans.py). Cosines are JVM sequential folds — same op
+    order as the DuckDB oracle, bit-identical doubles, no per-row
+    rounding needed.
     """
     probe_sel = probes.select(
         F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("__p_vec")

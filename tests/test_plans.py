@@ -120,6 +120,21 @@ def test_interval_join_filters_pushed(spark):
     assert any("purchase" in f for f in fs) and any("error" in f for f in fs)
 
 
+def test_ann_topk_partial_topk_below_shuffle(spark):
+    """brute_topk scale shape: probes ride a broadcast (never a
+    driver collect), and the rank<=k cut runs per-partition BELOW
+    the exchange (WindowGroupLimit pushdown) so the shuffle moves
+    local winners only, never corpus × probes."""
+    import re
+
+    df = REGISTRY["ann_topk"](spark, SF_SMOKE)
+    txt = plans.explain_str(df)
+    assert "BroadcastNestedLoopJoin" in txt
+    # partial WindowGroupLimit below the Exchange + final one above:
+    # two distinct nodes
+    assert len(set(re.findall(r"\(\d+\) WindowGroupLimit", txt))) >= 2
+
+
 def test_fanout_repartition_is_conditional(spark):
     """Pre-explode repartition fires only for under-parallel inputs:
     an input already at ≥ defaultParallelism partitions passes
