@@ -216,23 +216,22 @@ def connected_components(
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # carry the old label through the same select so convergence
+        # detection is a filter over the checkpointed frame, not an
+        # extra old⨝new join per round
+        stepped = (
             labels.join(nbr, labels["node"] == nbr["node2"], "left")
             .select(
                 "node",
+                F.col("label").alias("__old"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where(F.col("label") != F.col("__old")).count()
+        labels = stepped.drop("__old")
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

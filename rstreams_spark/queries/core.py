@@ -89,6 +89,35 @@ def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom op Spark lacks natively): each purchase
+    enriched with the latest prior-or-equal view's value per user.
+    Oracle uses DuckDB's native ASOF LEFT JOIN — the operator's
+    window-fill composition must reproduce it exactly."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    # one view row per (user, ts) — max value — so neither engine
+    # faces an equal-timestamp tie (ASOF tie order is undefined in
+    # both; the aggregation makes parity unconditional)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = joins.asof_join(
+        purchases, views, "user_id", "ts", "ts", ["view_value"]
+    )
+    return out.select(
+        "user_id",
+        epoch(F.col("ts")).alias("ts_epoch"),
+        "event_id",
+        "value",
+        F.col("r_view_value").alias("view_value"),
+    )
+
+
 def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     out = windows.tumbling_window(
@@ -431,6 +460,7 @@ QUERIES = {
     "interval_join_left": interval_join_left,
     "distinct_count": distinct_count,
     "stream_table_join": stream_table_join,
+    "asof_enrich": asof_enrich,
     "candles": candles,
     "candles_rollup": candles_rollup,
     "strat_classify": strat_classify,
@@ -604,6 +634,21 @@ SQL_ORACLES = {
     "stream_table_join": """
         select o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
         from orders left join customer on o_custkey = c_custkey
+    """,
+    "asof_enrich": f"""
+        with p as (
+          select user_id, ts, event_id, value from events
+          where event_type = 'purchase'
+        ),
+        v as (
+          select user_id, ts, max(value) as view_value from events
+          where event_type = 'view' group by 1, 2
+        )
+        select p.user_id,
+               {SQL_EPOCH.format(c='p.ts')} as ts_epoch,
+               p.event_id, p.value, v.view_value
+        from p asof left join v
+          on p.user_id = v.user_id and v.ts <= p.ts
     """,
     "candles": _CANDLES_CTE + """
         select * from candles
