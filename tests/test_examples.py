@@ -27,6 +27,19 @@ def test_stocks_pipeline_all_timeframes(spark):
     assert bad == 0
 
 
+def test_llm_corpus_pipeline_monotone_funnel(spark):
+    """The curation funnel only ever narrows the doc set, the
+    verified near-dup stage actually removes something on the
+    synthetic corpus (it contains planted near-dups), and survivors
+    still produce chunks."""
+    from examples.llm_corpus_pipeline import run
+
+    c = run(spark, SF_SMOKE)
+    assert c["raw"] >= c["after_exact"] >= c["after_near_dup"] > 0
+    assert c["after_near_dup"] < c["raw"]  # planted dups were caught
+    assert c["chunks"] > 0
+
+
 def test_streaming_candles_match_batch(spark, tmp_path):
     """The streaming window agg over the same ticks produces the
     batch candle table (complete mode, watermark irrelevant once all
