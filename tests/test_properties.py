@@ -90,3 +90,90 @@ def test_lag_window_matches_python_model(spark, rows, lag):
     assert sorted(
         (r["key"], tuple(x["v"] for x in r["values"])) for r in got
     ) == sorted(expected)
+
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=edge_lists)
+@SLOW
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation == classic union-find on
+    arbitrary random graphs (self-loops, multi-edges, chains)."""
+    from rstreams_spark.functions.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame([Row(id1=a, id2=b) for a, b in edges])
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == want
+
+
+vectors = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-100.0, max_value=100.0,
+            allow_nan=False, allow_infinity=False, width=32,
+        ),
+        min_size=4, max_size=4,
+    ),
+    min_size=1, max_size=8,
+)
+
+
+@given(vecs=vectors)
+@SLOW
+def test_embedding_quantize_error_bound(spark, vecs):
+    """Dequantized values stay within scale/2 of the original (the
+    half-up rounding bound), and q stays in [-127, 127]."""
+    from rstreams_spark.queries.dedupq import QUANT_MAX
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)]
+    )
+    amax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    d = df.withColumn("__amax", amax).withColumn(
+        "scale", F.col("__amax") / F.lit(float(QUANT_MAX))
+    )
+    ex = d.select(
+        "vec_id", "scale", "__amax",
+        F.posexplode("embedding").alias("idx", "val"),
+    )
+    q = F.when(F.col("__amax") == 0, F.lit(0)).otherwise(
+        F.floor(F.col("val").cast("double") / F.col("scale") + F.lit(0.5))
+    )
+    rows = ex.select(
+        "scale", F.col("val").cast("double").alias("val"), q.alias("q")
+    ).collect()
+    for r in rows:
+        assert -QUANT_MAX <= r["q"] <= QUANT_MAX
+        err_bound = (r["scale"] or 0.0) / 2 + 1e-12
+        assert abs(r["q"] * r["scale"] - r["val"]) <= err_bound
