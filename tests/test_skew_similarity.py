@@ -29,6 +29,33 @@ def test_salted_agg_spreads_hot_key(spark):
     assert n_salts > 1  # phase-1 genuinely fans the hot key out
 
 
+def test_salted_join_matches_plain_join(spark):
+    """Same result set as an unsalted equi-join, for inner and left,
+    including a hot key dominating the big side."""
+    from rstreams_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [Row(k=("hot" if i % 10 else f"cold{i}"), v=i) for i in range(200)]
+    )
+    small = spark.createDataFrame(
+        [Row(k="hot", tag="H"), Row(k="cold10", tag="C")]
+    )
+    for how in ("inner", "left"):
+        want = sorted(
+            (r["k"], r["v"], r["tag"])
+            for r in big.join(small, "k", how).collect()
+        )
+        got = sorted(
+            (r["k"], r["v"], r["tag"])
+            for r in salted_join(big, small, "k", salt_n=8, how=how).collect()
+        )
+        assert got == want, how
+    import pytest
+
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(big, small, "k", how="full")
+
+
 def test_hyperplanes_deterministic():
     a = similarity.hyperplanes(4, 8)
     b = similarity.hyperplanes(4, 8)
