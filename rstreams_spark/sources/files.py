@@ -13,7 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-__all__ = ["read_parquet", "read_json", "read_csv", "stream_files", "stream_rate"]
+__all__ = [
+    "read_parquet", "read_json", "read_csv", "stream_files", "stream_rate",
+    "register_tables", "TABLES",
+]
 
 
 def _fix_nanos(df: DataFrame, nanos_cols: dict[str, str] | None) -> DataFrame:
@@ -70,3 +73,23 @@ def stream_rate(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
         .option("rowsPerSecond", rows_per_second)
         .load()
     )
+
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> None:
+    """Register the sf-dir tables as temp views so the whole catalog
+    surface is reachable through plain ``spark.sql`` — same nanos
+    handling as the DataFrame path (queries/_util.t). Views are lazy:
+    registration reads only parquet footers.
+    """
+    from ..queries._util import t
+
+    for name in tables:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)

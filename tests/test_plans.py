@@ -1,7 +1,10 @@
 """Plan-shape regression tests: pushdown, pruning, broadcast, shuffle
 counts — the properties that decide 100 TB behavior."""
 
+import re
 from contextlib import contextmanager
+
+from pyspark.sql import functions as F
 
 from rstreams_spark import plans
 from rstreams_spark.queries import REGISTRY
@@ -148,6 +151,42 @@ def test_fanout_repartition_is_conditional(spark):
     out = ensure_fanout_parallelism(narrow)
     assert out is not narrow
     assert out.rdd.getNumPartitions() == n
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """write_parquet(partition_by=...) gives downstream readers
+    partition pruning: a filter on the partition column must show up
+    as a PartitionFilters entry on the scan, not a row filter."""
+    from rstreams_spark.queries._util import t as load
+    from rstreams_spark.sinks.writers import write_parquet
+
+    ev = load(spark, SF_SMOKE, "events").select("event_id", "event_type", "value")
+    path = str(tmp_path / "ev_part")
+    write_parquet(ev, path, partition_by=["event_type"])
+    back = spark.read.parquet(path).where(F.col("event_type") == "purchase")
+    txt = plans.explain_str(back)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", txt)
+    assert m and "event_type" in m.group(1)
+    assert back.count() > 0
+
+
+def test_sql_surface_matches_dataframe(spark):
+    """register_tables exposes the corpus to plain spark.sql; a SQL
+    restatement of a catalog query returns the DataFrame result."""
+    from rstreams_spark.sources.files import register_tables
+
+    register_tables(spark, SF_SMOKE)
+    got = spark.sql(
+        "select event_type, count(*) as n from events group by event_type"
+    ).collect()
+    want = (
+        REGISTRY["fold_count"](spark, SF_SMOKE)
+        .select("event_type", "n")
+        .collect()
+    )
+    assert {(r["event_type"], r["n"]) for r in got} == {
+        (r["event_type"], r["n"]) for r in want
+    }
 
 
 def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
