@@ -87,7 +87,10 @@ def doc_shingles(docs: DataFrame, text_col: str, n: int, id_col: str = "doc_id")
 
 
 def minhash_signature(
-    exploded: DataFrame, num_perm: int, id_col: str = "doc_id"
+    exploded: DataFrame,
+    num_perm: int,
+    id_col: str = "doc_id",
+    with_hash_set: bool = False,
 ) -> DataFrame:
     """num_perm min-hashes per id from an exploded (id, shingle) view.
 
@@ -95,6 +98,12 @@ def minhash_signature(
     (a*h_lo + c*h_hi + b) mod 2^61-1 — pure arithmetic, no further
     md5. One groupBy(id) with num_perm ``min`` aggregates — map-side
     partial agg keeps the shuffle at |ids| × num_perm values.
+
+    ``with_hash_set=True`` additionally collects the distinct base
+    hashes per id as ``__shset`` IN THE SAME aggregation — callers
+    that need both the LSH signature and the exact-verify hash sets
+    (minhash_lsh_topk) then shingle/hash/shuffle ONCE instead of
+    running two parallel pipelines over the corpus.
     """
     with_h = exploded.withColumn("__h", hash64(F.col("shingle")))
     hlo = F.col("__h").bitwiseAND(F.lit(_LO_MASK))
@@ -103,6 +112,8 @@ def minhash_signature(
         F.min(F.pmod(F.lit(a) * hlo + F.lit(c) * hhi + F.lit(b), F.lit(P61))).alias(f"h{i}")
         for i, (a, c, b) in enumerate(perm_coeffs(num_perm))
     ]
+    if with_hash_set:
+        aggs.append(F.array_distinct(F.collect_list("__h")).alias("__shset"))
     return with_h.groupBy(id_col).agg(*aggs)
 
 

@@ -277,11 +277,14 @@ def minhash_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale path for near-dup search: the n² compare shrinks to
     LSH candidates, verification touches only those pairs.
     """
-    from ..functions.text import hash64
-
     docs = t(spark, sf_dir, "documents")
     sh = doc_shingles(docs, "text", 2)
-    cands = lsh_band_pairs(minhash_signature(sh, NUM_PERM), NUM_PERM, BANDS)
+    # signature AND hash set from ONE groupBy over ONE shingle
+    # explode (with_hash_set) — the shared exchange below the agg is
+    # reused across the candidate and verify branches instead of
+    # shingling the corpus twice
+    sig = minhash_signature(sh, NUM_PERM, with_hash_set=True)
+    cands = lsh_band_pairs(sig, NUM_PERM, BANDS)
     # exact-verify ONLY candidate pairs — that is the point of LSH.
     # Per-doc shingle sets ride as arrays of 60-bit HASHES (8-byte
     # longs vs ~15-byte strings: 2.4× faster intersects, smaller
@@ -290,9 +293,7 @@ def minhash_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle⨝shingle blowup (popular shingles make that join
     # quadratic in matching docs). Jaccard is defined over the hash
     # sets in BOTH engines, so parity is by construction.
-    sets = sh.select("doc_id", hash64(F.col("shingle")).alias("h")).groupBy(
-        "doc_id"
-    ).agg(F.array_distinct(F.collect_list("h")).alias("shset"))
+    sets = sig.select("doc_id", F.col("__shset").alias("shset"))
     sets = sets.withColumn("n", F.size("shset").cast("long"))
     s1 = sets.select(
         F.col("doc_id").alias("id1"), F.col("shset").alias("s1"), F.col("n").alias("n1")
