@@ -216,9 +216,12 @@ def connected_components(
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=True)
+    # seed with min(self, direct neighbors) — one groupBy that IS the
+    # first propagation round, so the loop starts a hop ahead
     labels = (
-        sym.select(F.col("a").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("__mn"))
+        .select("node", F.least(F.col("node"), F.col("__mn")).alias("label"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
