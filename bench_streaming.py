@@ -18,7 +18,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-OFFERED_ROWS_PER_SEC = 2_000_000
+# offered must exceed engine capacity or the measurement reports the
+# source rate, not the engine (2M offered read "2M/s" when the real
+# sustained figure is ~9M/s on local[32])
+OFFERED_ROWS_PER_SEC = 8_000_000
 RUN_SECONDS = 8.0
 
 
