@@ -180,6 +180,29 @@ def hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hopping_window_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity empty-hop emission (src/window.rs:147-163):
+    daily windows hopping by 6h over sparse high-value events; hops
+    whose window holds no events appear with n=0."""
+    ev = t(spark, sf_dir, "events").where(F.col("value") >= GAPFILL_TAU)
+    out = windows.hopping_window(
+        ev,
+        "event_type",
+        "ts",
+        "1 day",
+        "6 hours",
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        gap_fill=True,
+    )
+    return out.select(
+        "event_type",
+        epoch(F.col("window_start")).alias("window_start_epoch"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        "sum_value",
+    )
+
+
 def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     out = windows.session_window(
@@ -454,6 +477,7 @@ QUERIES = {
     "tumbling_window": tumbling_window,
     "tumbling_window_gapfill": tumbling_window_gapfill,
     "hopping_window": hopping_window,
+    "hopping_window_gapfill": hopping_window_gapfill,
     "session_window": session_window,
     "lag_window": lag_window,
     "interval_join": interval_join,
@@ -573,6 +597,30 @@ SQL_ORACLES = {
         select event_type, ws as window_start_epoch,
                count(*) as n, round(sum(value), 2) as sum_value
         from expanded group by 1, 2
+    """,
+    "hopping_window_gapfill": f"""
+        with expanded as (
+          select event_type, value,
+                 unnest([cast(floor(epoch(ts)/{HOP})*{HOP} - k*{HOP} as bigint)
+                         for k in range(0, {DAY // HOP})]) as ws
+          from events where value >= {GAPFILL_TAU}
+        ),
+        base as (
+          select event_type, ws, count(*) as n,
+                 round(sum(value), 2) as sum_value
+          from expanded group by 1, 2
+        ),
+        span as (
+          select event_type, min(ws) as lo, max(ws) as hi from base group by 1
+        ),
+        grid as (
+          select event_type, unnest(generate_series(lo, hi, {HOP})) as ws
+          from span
+        )
+        select g.event_type, g.ws as window_start_epoch,
+               cast(coalesce(b.n, 0) as bigint) as n, b.sum_value
+        from grid g
+        left join base b on g.event_type = b.event_type and g.ws = b.ws
     """,
     "session_window": f"""
         with marked as (
