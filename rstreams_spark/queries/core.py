@@ -447,6 +447,31 @@ def parse_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRATA_RATES = {"purchase": 1, "view": 10, "click": 4}  # keep 1-in-N
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-rebalance
+    op of a training-data pipeline (keep all rare strata, thin the
+    dominant ones). Strata not in the rate map are dropped. Pure
+    filter over the portable hash: no shuffle, engine-reproducible,
+    and any worker can decide membership without coordination.
+    """
+    ev = t(spark, sf_dir, "events")
+    keep = None
+    conds = [
+        (F.col("event_type") == stype)
+        & (F.pmod(hash64(F.col("event_id").cast("string")), F.lit(n)) == 0)
+        for stype, n in sorted(STRATA_RATES.items())
+    ]
+    for c in conds:
+        keep = c if keep is None else keep | c
+    return ev.where(keep).select(
+        "event_id", "user_id", "event_type",
+        epoch(F.col("ts")).alias("ts_epoch"), "value",
+    )
+
+
 def throttle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     keep = F.pmod(hash64(F.col("event_id").cast("string")), F.lit(10)) == 0
@@ -493,6 +518,7 @@ QUERIES = {
     "gap_detect": gap_detect,
     "parse_json_props": parse_json_props,
     "throttle_sample": throttle_sample,
+    "stratified_sample": stratified_sample,
     "split_routes": split_routes,
 }
 
@@ -764,6 +790,15 @@ SQL_ORACLES = {
         select event_id, user_id, event_type, {_E} as ts_epoch, value
         from events
         where {sql_h64('cast(event_id as varchar)')} % 10 = 0
+    """,
+    "stratified_sample": f"""
+        select event_id, user_id, event_type, {_E} as ts_epoch, value
+        from events
+        where {' or '.join(
+            f"(event_type = '{stype}' and "
+            f"{sql_h64('cast(event_id as varchar)')} % {n} = 0)"
+            for stype, n in sorted(STRATA_RATES.items())
+        )}
     """,
     "split_routes": """
         select 'purchase' as route, event_id, user_id, value
