@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["stream_lag_window", "stream_latest_per_key"]
+__all__ = ["stream_lag_window", "stream_latest_per_key", "stream_strat_classify"]
 
 
 def stream_lag_window(
@@ -77,4 +77,70 @@ def stream_latest_per_key(df: DataFrame, key: str, ts: str, value_col: str) -> D
         key,
         F.col(f"__latest.{ts}").alias(ts),
         F.col(f"__latest.{value_col}").alias(value_col),
+    )
+
+
+def stream_strat_classify(
+    candles: DataFrame,
+    key: str,
+    ts: str,
+) -> DataFrame:
+    """Live candle-strat classification (reference
+    example/stocks.rs classify_candle_strat): per-key state holds the
+    previous candle's (top, bottom); each arriving FINALIZED candle
+    is classified against it — inside/up/down/outside + color —
+    mirroring the batch ``strat_classify`` lag logic exactly.
+
+    Spark forbids a second stateful operator directly after a
+    streaming aggregation, so the supported topology is two chained
+    queries: candles stream → file/Kafka sink, then this operator
+    over the candle stream (tests/test_streaming.py exercises the
+    full two-stage pipeline). State is one (top, bottom) pair per
+    key — constant size, watermark-independent.
+    """
+    out_schema = (
+        f"{key} string, {ts} timestamp, strat_class string, color string"
+    )
+    state_schema = "prev_top double, prev_bottom double"
+
+    def fn(
+        group_key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        prev = state.get if state.exists else None
+        out_ts, out_cls, out_color = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts)
+            for t_val, o, c in zip(pdf[ts], pdf["open"], pdf["close"]):
+                top, bottom = max(o, c), min(o, c)
+                if prev is not None:
+                    p_top, p_bottom = prev
+                    above, below = top > p_top, bottom < p_bottom
+                    cls = (
+                        "outside" if above and below
+                        else "up" if above
+                        else "down" if below
+                        else "inside"
+                    )
+                    out_ts.append(t_val)
+                    out_cls.append(cls)
+                    out_color.append("green" if o < c else "red")
+                prev = (float(top), float(bottom))
+        state.update(prev)
+        yield pd.DataFrame(
+            {
+                key: [group_key[0]] * len(out_ts),
+                ts: out_ts,
+                "strat_class": out_cls,
+                "color": out_color,
+            }
+        )
+
+    return (
+        candles.select(
+            F.col(key).cast("string").alias(key), ts, "open", "close"
+        )
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
     )

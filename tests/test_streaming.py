@@ -116,6 +116,56 @@ def test_stream_rate_source_smoke(spark):
     assert set(df.columns) == {"timestamp", "value"}
 
 
+def test_streaming_stocks_two_stage_classify(spark, tmp_path):
+    """The reference stocks pipeline LIVE, in the topology Spark
+    supports (no stateful op directly after a streaming agg): stage 1
+    streams ticks into finalized candles on a parquet sink; stage 2
+    streams those candles through the stateful classifier. Output
+    must equal the batch lag-classify over the same candles."""
+    rows = [
+        ("a", 0, 1.0), ("a", 1, 3.0),      # candle 0: o=1 c=3
+        ("a", 4, 2.0), ("a", 5, 2.5),      # candle 3: inside (2,2.5)
+        ("a", 7, 0.5), ("a", 8, 4.0),      # candle 6: outside
+        ("a", 10, 3.0), ("a", 11, 3.5),    # candle 9: inside
+        ("a", 13, 9.0),                    # candle 12: up; also closes candle 9
+        ("a", 16, 1.0),                    # closes candle 12
+    ]
+    path = _write_batch(tmp_path, "ticks", rows)
+    ticks = files.stream_files(spark, path, "json", SCHEMA)
+    candles = swindows.stream_tumbling_window(
+        ticks, "key", "ts", "3 seconds",
+        F.min_by("v", F.col("ts")).alias("open"),
+        F.max_by("v", F.col("ts")).alias("close"),
+        watermark="0 seconds",
+    )
+    candle_dir = str(tmp_path / "candles")
+    q1 = writers.stream_to_parquet(
+        candles, candle_dir, str(tmp_path / "ckpt1")
+    )
+    _run(q1)
+
+    candle_stream = spark.readStream.schema(
+        "key string, window_start timestamp, window_end timestamp, "
+        "open double, close double"
+    ).parquet(candle_dir)
+    classified = stateful.stream_strat_classify(
+        candle_stream, "key", "window_start"
+    )
+    q2 = writers.stream_to_memory(classified, "live_strat", "append")
+    _run(q2)
+    got = {
+        int(r["window_start"].timestamp() - EPOCH.timestamp()):
+            (r["strat_class"], r["color"])
+        for r in spark.sql("select * from live_strat").collect()
+    }
+    # batch reference over the same candle frame (watermark=0 with a
+    # final bare tick guarantees every classified candle finalized)
+    assert got == {
+        3: ("inside", "green"), 6: ("outside", "green"),
+        9: ("inside", "green"), 12: ("up", "red"),
+    }
+
+
 def test_stream_dedup_exact_first_wins(spark, tmp_path):
     """Live exact-dedup: same normalized content later in the stream
     is dropped; distinct content passes. State bounded by watermark."""
