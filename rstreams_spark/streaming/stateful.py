@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["stream_lag_window", "stream_latest_per_key", "stream_strat_classify"]
+__all__ = ["stream_lag_window", "stream_latest_per_key", "stream_strat_classify", "stream_gap_detect"]
 
 
 def stream_lag_window(
@@ -142,5 +142,59 @@ def stream_strat_classify(
         .groupBy(key)
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def stream_gap_detect(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Live silence detection (reference ``StreamExt::timeout``,
+    batch twin ``gap_detect``): emits one row per key whose stream
+    has gone silent for more than ``gap_seconds`` of EVENT time,
+    carrying the key and its last-seen timestamp.
+
+    Event-time timeouts make this deterministic: each key's state
+    arms a timeout at ``last_seen + gap``; when the watermark passes
+    it, the engine invokes the function with ``hasTimedOut`` and the
+    gap row is emitted — no wall-clock dependence, replayable from
+    checkpoint. State is one timestamp per key.
+    """
+    out_schema = f"{key} string, last_seen timestamp"
+    state_schema = "last_ms long"
+
+    def fn(
+        group_key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (last_ms,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key: [group_key[0]],
+                    "last_seen": [pd.Timestamp(last_ms, unit="ms")],
+                }
+            )
+            return
+        last_ms = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if len(pdf):
+                batch_max = pdf[ts].max()
+                last_ms = max(last_ms, int(batch_max.timestamp() * 1000))
+        state.update((last_ms,))
+        state.setTimeoutTimestamp(last_ms + gap_seconds * 1000)
+        yield pd.DataFrame({key: [], "last_seen": []})
+
+    return (
+        df.select(F.col(key).cast("string").alias(key), ts)
+        .withWatermark(ts, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -183,6 +183,42 @@ def test_stream_dedup_exact_first_wins(spark, tmp_path):
     assert got == ["dup text", "other"]
 
 
+def test_stream_gap_detect_event_time_timeout(spark, tmp_path):
+    """StreamExt::timeout live: keys silent > gap in EVENT time emit
+    a gap row once the watermark passes — batch 2 advances the
+    watermark far enough that only the silent key fires."""
+    from rstreams_spark.streaming.stateful import stream_gap_detect
+
+    src = tmp_path / "gap_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        import json as _json
+
+        with open(src / name, "w") as f:
+            for k, s in rows:
+                ts = (EPOCH + dt.timedelta(seconds=s)).strftime(
+                    "%Y-%m-%dT%H:%M:%S"
+                )
+                f.write(_json.dumps({"key": k, "ts": ts, "v": 1.0}) + "\n")
+
+    write_file("b0.json", [("a", 0), ("a", 2), ("b", 1)])
+    stream = files.stream_files(spark, str(src), "json", SCHEMA)
+    out = stream_gap_detect(stream, "key", "ts", gap_seconds=5)
+    q = writers.stream_to_memory(out, "gap_out", "append")
+    q.processAllAvailable()
+    # batch 2: only `a` speaks again, far in the future — watermark
+    # jumps past b's (1s + 5s) timeout
+    write_file("b1.json", [("a", 60)])
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["key"], int(r["last_seen"].timestamp() - EPOCH.timestamp()))
+        for r in spark.sql("select * from gap_out").collect()
+    }
+    assert got == {("b", 1)}
+
+
 def test_throttled_reader_bounds_batch_rows(spark):
     """StreamExt::throttle parity: every microbatch ingests exactly
     the configured cap, never more."""
