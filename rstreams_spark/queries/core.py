@@ -450,6 +450,97 @@ def parse_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 STRATA_RATES = {"purchase": 1, "view": 10, "click": 4}  # keep 1-in-N
 
 
+FOLLOW_WINDOW = "1 hour"
+
+
+def pattern_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP sequence detection (beyond the reference — the classic
+    stream-analytics ask): per user, each 'error' event followed by a
+    'purchase' STRICTLY after it within 1 hour, reported as the
+    earliest qualifying purchase per error. Same plan family as
+    interval_join: equi-join on user, time-band predicate, then a
+    min_by per left event — one shuffle on user_id."""
+    ev = t(spark, sf_dir, "events")
+    errs = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("buy_ts"),
+    )
+    band = F.expr(f"INTERVAL {FOLLOW_WINDOW}")
+    joined = errs.join(
+        buys,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("buy_ts") > F.col("err_ts"))
+        & (F.col("buy_ts") <= F.col("err_ts") + band),
+    )
+    first_buy = joined.groupBy("user_id", "err_id", "err_ts").agg(
+        F.min_by(
+            F.struct("buy_ts", "buy_id"), F.struct("buy_ts", "buy_id")
+        ).alias("b")
+    )
+    return first_buy.select(
+        "user_id", "err_id",
+        epoch(F.col("err_ts")).alias("err_ts_epoch"),
+        F.col("b.buy_id").alias("buy_id"),
+        epoch(F.col("b.buy_ts")).alias("buy_ts_epoch"),
+    )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day;
+    for each (cohort_day, day_offset) the distinct users active
+    again. Two shuffles total (first-seen per user; matrix agg) —
+    the standard warehouse shape at any SF."""
+    ev = t(spark, sf_dir, "events")
+    day = (F.floor(epoch(F.col("ts")) / DAY) * DAY).cast("long")
+    seen = ev.select("user_id", day.alias("day"))
+    first = seen.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        seen.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            ((F.col("day") - F.col("cohort_day")) / DAY).cast("long").alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
+    )
+
+
+def salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-robust two-phase aggregation as a catalog query: the
+    salted plan must produce the IDENTICAL totals a plain groupBy
+    (the oracle) produces — salting changes the physical
+    distribution, never the algebra. Doubles are summed in a
+    nondeterministic order either way (shuffle order), so the value
+    columns are counts and a 2-dp-rounded sum, same as fold_count."""
+    from ..operators.skew import SaltedAgg, salted_agg
+
+    ev = t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        [
+            SaltedAgg.count("n"),
+            SaltedAgg.sum("value", "sum_value"),
+            SaltedAgg.min("value", "min_value"),
+            SaltedAgg.max("value", "max_value"),
+        ],
+        salt_n=8,
+        salt_on="event_id",
+    )
+    return out.select(
+        "event_type", "n",
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value", "max_value",
+    )
+
+
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum downsampling — the corpus-rebalance
     op of a training-data pipeline (keep all rare strata, thin the
@@ -519,6 +610,9 @@ QUERIES = {
     "parse_json_props": parse_json_props,
     "throttle_sample": throttle_sample,
     "stratified_sample": stratified_sample,
+    "salted_sum": salted_sum,
+    "pattern_followed_by": pattern_followed_by,
+    "cohort_retention": cohort_retention,
     "split_routes": split_routes,
 }
 
@@ -790,6 +884,55 @@ SQL_ORACLES = {
         select event_id, user_id, event_type, {_E} as ts_epoch, value
         from events
         where {sql_h64('cast(event_id as varchar)')} % 10 = 0
+    """,
+    "pattern_followed_by": f"""
+        with errs as (
+          select user_id, event_id as err_id, ts as err_ts
+          from events where event_type = 'error'
+        ),
+        buys as (
+          select user_id as b_user, event_id as buy_id, ts as buy_ts
+          from events where event_type = 'purchase'
+        ),
+        joined as (
+          select user_id, err_id, err_ts, buy_id, buy_ts
+          from errs join buys
+            on user_id = b_user
+           and buy_ts > err_ts
+           and buy_ts <= err_ts + interval 1 hour
+        ),
+        ranked as (
+          select *, row_number() over (
+            partition by user_id, err_id order by buy_ts, buy_id
+          ) as rn
+          from joined
+        )
+        select user_id, err_id,
+               {SQL_EPOCH.format(c='err_ts')} as err_ts_epoch,
+               buy_id,
+               {SQL_EPOCH.format(c='buy_ts')} as buy_ts_epoch
+        from ranked where rn = 1
+    """,
+    "cohort_retention": f"""
+        with seen as (
+          select user_id,
+                 cast(floor(epoch(ts)/{DAY})*{DAY} as bigint) as day
+          from events
+        ),
+        first as (
+          select user_id, min(day) as cohort_day from seen group by user_id
+        )
+        select cohort_day,
+               cast((day - cohort_day) / {DAY} as bigint) as day_offset,
+               cast(count(distinct seen.user_id) as bigint) as active_users
+        from seen join first on seen.user_id = first.user_id
+        group by 1, 2
+    """,
+    "salted_sum": """
+        select event_type, count(*) as n,
+               round(sum(value), 2) as sum_value,
+               min(value) as min_value, max(value) as max_value
+        from events group by event_type
     """,
     "stratified_sample": f"""
         select event_id, user_id, event_type, {_E} as ts_epoch, value
