@@ -450,6 +450,56 @@ def parse_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 STRATA_RATES = {"purchase": 1, "view": 10, "click": 4}  # keep 1-in-N
 
 
+def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (event_type, day) — each
+    observation weighted by its holding time until the next event of
+    the same type that day (stocks-style TWAP). Window lag + one
+    grouped agg; the unrounded weighted sums divide once per group
+    and only that per-GROUP ratio is rounded (invariant #2 applies to
+    per-row values; group ratios tolerate sum-order jitter at 6 dp).
+    """
+    ev = t(spark, sf_dir, "events")
+    day = (F.floor(epoch(F.col("ts")) / DAY) * DAY).cast("long")
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    rows = (
+        ev.select("event_type", "ts", "event_id", "value", day.alias("day"))
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .where(F.col("next_ts").isNotNull())
+        .withColumn(
+            "dt", (epoch(F.col("next_ts")) - epoch(F.col("ts"))).cast("double")
+        )
+        .where(F.col("dt") > 0)
+    )
+    out = rows.groupBy("event_type", "day").agg(
+        F.sum(F.col("value") * F.col("dt")).alias("wsum"),
+        F.sum("dt").alias("tsum"),
+        F.count("*").alias("n_obs"),
+    )
+    return out.select(
+        "event_type", "day",
+        F.round(F.col("wsum") / F.col("tsum"), 6).alias("twap"),
+        "n_obs",
+    )
+
+
+HIST_BIN = 25.0
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event_type (profiling op):
+    bin = floor(value/width). Pure groupBy — single shuffle of
+    (type, bin) partials regardless of SF."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(HIST_BIN)).cast("long").alias("bin"),
+        )
+        .agg(F.count("*").alias("n"))
+        .withColumn("bin_lo", (F.col("bin") * HIST_BIN).cast("double"))
+    )
+
+
 FOLLOW_WINDOW = "1 hour"
 
 
@@ -613,6 +663,8 @@ QUERIES = {
     "salted_sum": salted_sum,
     "pattern_followed_by": pattern_followed_by,
     "cohort_retention": cohort_retention,
+    "twap_daily": twap_daily,
+    "value_histogram": value_histogram,
     "split_routes": split_routes,
 }
 
@@ -884,6 +936,39 @@ SQL_ORACLES = {
         select event_id, user_id, event_type, {_E} as ts_epoch, value
         from events
         where {sql_h64('cast(event_id as varchar)')} % 10 = 0
+    """,
+    "twap_daily": f"""
+        with rows as (
+          select event_type,
+                 cast(floor(epoch(ts)/{DAY})*{DAY} as bigint) as day,
+                 ts, event_id, value,
+                 lead(ts) over (
+                   partition by event_type, cast(floor(epoch(ts)/{DAY})*{DAY} as bigint)
+                   order by ts, event_id
+                 ) as next_ts
+          from events
+        ),
+        d as (
+          select event_type, day, value,
+                 cast({SQL_EPOCH.format(c='next_ts')}
+                      - {SQL_EPOCH.format(c='ts')} as double) as dt
+          from rows where next_ts is not null
+        )
+        select event_type, day,
+               round(sum(value * dt) / sum(dt), 6) as twap,
+               count(*) as n_obs
+        from d where dt > 0
+        group by 1, 2
+    """,
+    "value_histogram": f"""
+        select event_type, bin, count(*) as n,
+               cast(bin * {HIST_BIN} as double) as bin_lo
+        from (
+          select event_type,
+                 cast(floor(value / {HIST_BIN}) as bigint) as bin
+          from events
+        )
+        group by 1, 2
     """,
     "pattern_followed_by": f"""
         with errs as (
