@@ -26,8 +26,10 @@ HEADLINERS = [
     "wordcount", "hopping_window", "session_window", "candles",
     "candles_rollup", "range_band_count",
     "interval_join", "latest_per_key", "value_percentiles",
+    "asof_enrich", "pattern_followed_by", "cohort_retention", "twap_daily",
+    "tumbling_window_gapfill",
     "dedup_minhash", "dedup_simhash", "dedup_clusters", "minhash_lsh_topk",
-    "doc_chunks",
+    "doc_chunks", "embedding_quantize",
     "ann_topk", "ann_lsh_topk", "text_quality",
 ]
 
