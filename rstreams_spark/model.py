@@ -104,11 +104,19 @@ class RStream:
         return self.df.agg(*aggs)
 
     # -- stateful ops (reference src/window.rs, src/join.rs) ----------
-    def tumbling_window(self, size: str, *aggs: Column) -> DataFrame:
-        return _windows.tumbling_window(self.df, self.key, self.ts, size, *aggs)
+    def tumbling_window(
+        self, size: str, *aggs: Column, gap_fill: bool = False
+    ) -> DataFrame:
+        return _windows.tumbling_window(
+            self.df, self.key, self.ts, size, *aggs, gap_fill=gap_fill
+        )
 
-    def hopping_window(self, size: str, hop: str, *aggs: Column) -> DataFrame:
-        return _windows.hopping_window(self.df, self.key, self.ts, size, hop, *aggs)
+    def hopping_window(
+        self, size: str, hop: str, *aggs: Column, gap_fill: bool = False
+    ) -> DataFrame:
+        return _windows.hopping_window(
+            self.df, self.key, self.ts, size, hop, *aggs, gap_fill=gap_fill
+        )
 
     def lag_window(self, lag: int, value_cols: Sequence[str]) -> DataFrame:
         return _windows.lag_window(self.df, self.key, self.ts, lag, value_cols)

@@ -125,6 +125,30 @@ def test_brute_topk_probe_cap_enforced(spark):
     assert ok.count() == 3
 
 
+def test_empty_input_edge_cases(spark):
+    """Operators degrade to empty output, not errors, on empty
+    inputs — at scale a filtered-out partition/day is routine."""
+    from rstreams_spark.functions.dedup import (
+        connected_components, doc_shingles, minhash_signature,
+    )
+    from rstreams_spark.operators import windows
+
+    empty_edges = spark.createDataFrame([], "id1 bigint, id2 bigint")
+    assert connected_components(empty_edges).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    sh = doc_shingles(empty_docs, "text", 2)
+    assert sh.count() == 0
+    assert minhash_signature(sh, 4).count() == 0
+
+    empty_ev = spark.createDataFrame([], "key string, ts timestamp, v double")
+    out = windows.tumbling_window(
+        empty_ev, "key", "ts", "1 hour", F.count("*").alias("n"),
+        gap_fill=True,
+    )
+    assert out.count() == 0
+
+
 def test_connected_components_labels_min_node(spark):
     """Path 1-2-3 plus pair 10-11 plus chain 20-21-22-23 (diameter >
     1 round): every node labeled with its component minimum."""
