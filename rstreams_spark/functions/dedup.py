@@ -26,7 +26,7 @@ from .text import hash64, tokens
 __all__ = [
     "shingles", "doc_shingles", "minhash_signature",
     "lsh_band_pairs", "simhash32", "P61", "perm_coeffs",
-    "connected_components",
+    "connected_components", "incremental_dedup_exact",
 ]
 
 P61 = (1 << 61) - 1  # Mersenne prime modulus for minhash permutations
@@ -249,3 +249,35 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def incremental_dedup_exact(
+    new_docs: DataFrame,
+    seen_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest-time exact dedup against an existing corpus: from a new
+    batch keep only docs whose content fingerprint is (a) not already
+    in ``seen_fps`` (column ``fp``) and (b) not duplicated within the
+    batch (min id wins). Returns ``(fresh_docs, fresh_fps)`` — append
+    ``fresh_fps`` to the seen table after committing ``fresh_docs``.
+
+    This is the day-2 shape of ``dedup_exact``: the corpus-wide
+    variant rescans everything; here each ingest touches only
+    |batch| + a fingerprint-keyed anti-join against the seen table
+    (bucket/partition the seen table by fp prefix on a real lake and
+    the lookup co-locates instead of shuffling the batch).
+    """
+    from .text import md5_fingerprint
+
+    fp = new_docs.withColumn("__fp", md5_fingerprint(F.col(text_col)))
+    batch_first = (
+        fp.groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .join(fp, ["__fp", id_col])
+    )
+    fresh = batch_first.join(
+        seen_fps.select(F.col("fp").alias("__fp")), "__fp", "left_anti"
+    )
+    return fresh.drop("__fp"), fresh.select(F.col("__fp").alias("fp"))

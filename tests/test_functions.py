@@ -125,6 +125,34 @@ def test_brute_topk_probe_cap_enforced(spark):
     assert ok.count() == 3
 
 
+def test_incremental_dedup_exact(spark):
+    """Ingest batch against a seen-fingerprint table: already-seen
+    content drops, intra-batch dups keep min id, new content passes
+    and its fingerprints come back for the seen-table append."""
+    import hashlib
+
+    from rstreams_spark.functions.dedup import incremental_dedup_exact
+    from rstreams_spark.functions.text import md5_fingerprint
+
+    old = spark.createDataFrame([Row(doc_id=0, text="already seen")])
+    seen = old.select(md5_fingerprint(F.col("text")).alias("fp"))
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="already seen"),      # dup of corpus
+            Row(doc_id=12, text="twice in batch"),    # intra-batch dup
+            Row(doc_id=11, text="twice in batch"),    #   (11 wins)
+            Row(doc_id=13, text="genuinely new"),
+        ]
+    )
+    fresh, fresh_fps = incremental_dedup_exact(batch, seen)
+    assert sorted(r["doc_id"] for r in fresh.collect()) == [11, 13]
+    assert fresh_fps.count() == 2
+    # appending and re-ingesting the same batch yields nothing new
+    seen2 = seen.unionByName(fresh_fps)
+    again, _ = incremental_dedup_exact(batch, seen2)
+    assert again.count() == 0
+
+
 def test_empty_input_edge_cases(spark):
     """Operators degrade to empty output, not errors, on empty
     inputs — at scale a filtered-out partition/day is routine."""
