@@ -155,8 +155,32 @@ _SQL_PRED = (
 
 _SQL_STOP_EN = _sql_stoplist("en")
 
+# conservative RE2-and-Java-compatible patterns (no lookaround), so
+# Spark and DuckDB rewrite identically byte-for-byte
+REDACT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+REDACT_URL = r"https?://[^ \t\n]+"
+REDACT_LONGNUM = r"[0-9]{9,}"  # ids/phones/cards — 9+ consecutive digits
+
+
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing stage: mask emails, URLs and long digit
+    runs before training. Pure regexp_replace chain — JVM-side, no
+    shuffle, pipelines with the scan; the oracle applies the same
+    RE2/Java-compatible patterns so rewritten bytes match exactly."""
+    docs = t(spark, sf_dir, "documents")
+    red = F.regexp_replace(F.col("text"), REDACT_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, REDACT_URL, "<URL>")
+    red = F.regexp_replace(red, REDACT_LONGNUM, "<NUM>")
+    return docs.select(
+        "doc_id",
+        red.alias("clean_text"),
+        (F.length(F.col("text")) - F.length(red)).cast("long").alias("bytes_removed"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "text_redact": text_redact,
     "doc_fingerprint": doc_fingerprint,
     "token_count": token_count,
     "text_quality": text_quality,
@@ -165,6 +189,20 @@ QUERIES = {
 }
 
 SQL_ORACLES = {
+    "text_redact": f"""
+        with r as (
+          select doc_id, text,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, '{REDACT_EMAIL}', '<EMAIL>', 'g'),
+                     '{REDACT_URL}', '<URL>', 'g'),
+                   '{REDACT_LONGNUM}', '<NUM>', 'g') as clean_text
+          from documents
+        )
+        select doc_id, clean_text,
+               cast(length(text) - length(clean_text) as bigint) as bytes_removed
+        from r
+    """,
     "dedup_exact": f"""
         with fp as (select doc_id, md5({_NORM}) as fingerprint from documents),
         groups as (
