@@ -22,11 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # source rate, not the engine (2M offered read "2M/s" when the real
 # sustained figure is ~9M/s on local[32])
 OFFERED_ROWS_PER_SEC = 8_000_000
-RUN_SECONDS = 8.0
+MIN_BATCHES = 4       # ≥1 cold (excluded) + ≥3 warm
+MAX_WAIT_SECONDS = 45.0
 
 
 def measure(spark, offered: int = OFFERED_ROWS_PER_SEC,
-            seconds: float = RUN_SECONDS) -> dict:
+            min_batches: int = MIN_BATCHES,
+            max_wait: float = MAX_WAIT_SECONDS) -> dict:
     from pyspark.sql import functions as F
 
     from rstreams_spark.sources.files import stream_rate
@@ -47,8 +49,13 @@ def measure(spark, offered: int = OFFERED_ROWS_PER_SEC,
         .start()
     )
     try:
-        deadline = time.perf_counter() + seconds
-        while time.perf_counter() < deadline:
+        # batch-count-driven, not wall-clock: after a loaded session a
+        # fixed window can catch only the cold batch and report 0
+        deadline = time.perf_counter() + max_wait
+        while (
+            len([p for p in q.recentProgress if p is not None]) < min_batches
+            and time.perf_counter() < deadline
+        ):
             time.sleep(0.25)
         progresses = [p for p in q.recentProgress if p is not None]
     finally:
