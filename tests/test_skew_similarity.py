@@ -99,6 +99,41 @@ def test_ivf_topk_finds_near_neighbors(spark):
         assert cosines == sorted(cosines, reverse=True)
 
 
+def test_quantized_ann_recall(spark):
+    """int8-quantized vectors remain searchable: brute top-k over the
+    quantized corpus recovers almost all of the float-exact top-k
+    (scale factors cancel inside cosine, so error is pure rounding).
+    Proves embedding_quantize is a usable storage path, not just a
+    size trick."""
+    from rstreams_spark.functions.similarity import brute_topk
+    from rstreams_spark.queries import REGISTRY
+    from rstreams_spark.queries.dedupq import ANN_K, QUANT_MAX
+
+    sf = "/root/testdata/sf0.01"
+    from rstreams_spark.queries._util import t
+
+    vecs = t(spark, sf, "embeddings")
+    amax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    scale = amax / float(QUANT_MAX)
+    qvec = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("double"),
+    )
+    qcorpus = vecs.select("vec_id", qvec.alias("embedding"))
+    probes = qcorpus.where(F.col("vec_id") % 50 == 0)
+    got = {
+        (r["probe_id"], r["vec_id"])
+        for r in brute_topk(qcorpus, probes, ANN_K).collect()
+    }
+    truth = {
+        (r["probe_id"], r["vec_id"])
+        for r in REGISTRY["ann_topk"](spark, sf).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.9
+
+
 def test_ivf_recall_vs_exact_and_nprobe_monotone(spark):
     """Quality gate for the IVF index: recall@k against the exact
     brute-force ground truth at sf0.01, and more probed cells must
