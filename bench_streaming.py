@@ -42,10 +42,16 @@ def measure(spark, offered: int = OFFERED_ROWS_PER_SEC,
         F.count("*").alias("n"), F.avg("value").alias("avg_v"),
         watermark="2 seconds",
     )
+    import shutil
+    import tempfile
+
+    # fresh dir per run: a fixed/pid-keyed path could resume a stale
+    # checkpoint (pid reuse) and poison the measurement
+    ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
     q = (
         agg.writeStream.format("noop")
         .outputMode("append")
-        .option("checkpointLocation", f"/tmp/bench_stream_ckpt_{os.getpid()}")
+        .option("checkpointLocation", ckpt)
         .start()
     )
     try:
@@ -60,6 +66,7 @@ def measure(spark, offered: int = OFFERED_ROWS_PER_SEC,
         progresses = [p for p in q.recentProgress if p is not None]
     finally:
         q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
     rows = sum(p["numInputRows"] for p in progresses)
     # skip the cold first batch: it pays codegen + state-store init
     busy_ms = sum(

@@ -26,17 +26,23 @@ __all__ = [
 
 def ensure_fanout_parallelism(df: DataFrame, by: str | None = None) -> DataFrame:
     """Repartition ahead of a row-multiplying explode ONLY when the
-    input is under-parallel (fewer partitions than the cluster's
-    default parallelism — e.g. the driver's single-row-group files).
+    input is under-parallel; a real-scale read passes through
+    untouched (an unconditional repartition would shuffle the full
+    corpus to gain nothing — the 100 TB anti-pattern).
 
-    When the scan already yields ≥ defaultParallelism tasks — any
-    real-scale read — this returns the input untouched: an
-    unconditional repartition there would shuffle the full corpus to
-    gain nothing, which is exactly the 100 TB anti-pattern.
+    Under-parallel means either (a) fewer planned partitions than
+    defaultParallelism, or (b) a FILE scan backed by fewer files than
+    defaultParallelism: byte-range splits of a near-single-row-group
+    file report full split parallelism while only the split holding
+    the row-group start emits rows, so split count alone would skip
+    the repartition exactly where the stall happens. Non-file inputs
+    (memory, post-shuffle) are judged by partition count alone.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
-        return df
+        files = df.inputFiles()
+        if not files or len(files) >= n:
+            return df
     return df.repartition(n, by) if by else df.repartition(n)
 
 

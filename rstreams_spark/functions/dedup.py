@@ -224,6 +224,7 @@ def connected_components(
         .select("node", F.least(F.col("node"), F.col("__mn")).alias("label"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -248,6 +249,15 @@ def connected_components(
         labels = stepped.drop("__old")
         if changed == 0:
             break
+    if changed != 0:
+        # returning intermediate labels would be silently WRONG (and
+        # would fail the oracle's exact transitive closure) — make
+        # non-convergence loud instead
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); the graph has a "
+            "longer chain than expected — raise max_iter"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

@@ -65,14 +65,15 @@ def salted_agg(
     """Two-phase grouped aggregation robust to key skew.
 
     ``salt_on``: a high-cardinality column used to derive the salt
-    deterministically (keeps results reproducible); defaults to
-    ``spark_partition_id()`` + monotonically increasing id hash.
+    deterministically; defaults to a hash of ALL columns. Either way
+    the salt is a pure function of row content — positional ids
+    (monotonically_increasing_id) are not stable under stage
+    recomputation and could double-count rows on task retry.
     """
-    salt = (
-        F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salt_n))
-        if salt_on
-        else F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_n))
+    salt_src = (
+        [F.col(salt_on)] if salt_on else [F.col(c) for c in df.columns]
     )
+    salt = F.pmod(F.xxhash64(*salt_src), F.lit(salt_n))
     phase1 = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")
@@ -99,13 +100,21 @@ def salted_join(
     keys hot enough to pin a reducer. ``how`` is from the big side
     ('inner' or 'left'): every big row carries exactly one shard, so
     outer semantics are preserved without dedup.
+
+    The shard is a hash of the big row's COLUMNS, never a positional
+    id: positional ids are not stable under stage recomputation, so a
+    task retry after partial shuffle commit could re-shard rows and
+    duplicate/lose matches. Fully identical rows share a shard —
+    harmless for correctness, and real keys' rows still spread.
     """
     if how not in ("inner", "left"):
         raise ValueError(
             f"salted_join supports how='inner'|'left' (big side), got {how!r}: "
             "the replicated small side would duplicate unmatched rows"
         )
-    shard = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_n))
+    shard = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_n)
+    )
     b = big.withColumn("__shard", shard)
     s = small.withColumn(
         "__shard", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))

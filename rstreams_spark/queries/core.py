@@ -454,9 +454,10 @@ def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average value per (event_type, day) — each
     observation weighted by its holding time until the next event of
     the same type that day (stocks-style TWAP). Window lag + one
-    grouped agg; the unrounded weighted sums divide once per group
-    and only that per-GROUP ratio is rounded (invariant #2 applies to
-    per-row values; group ratios tolerate sum-order jitter at 6 dp).
+    grouped agg. Parity shape per invariant #2: round the two
+    aggregate SUMS (2 dp), then divide — both engines divide the
+    identical rounded doubles, so the ratio itself needs (and gets)
+    no rounding.
     """
     ev = t(spark, sf_dir, "events")
     day = (F.floor(epoch(F.col("ts")) / DAY) * DAY).cast("long")
@@ -471,13 +472,13 @@ def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dt") > 0)
     )
     out = rows.groupBy("event_type", "day").agg(
-        F.sum(F.col("value") * F.col("dt")).alias("wsum"),
-        F.sum("dt").alias("tsum"),
+        F.round(F.sum(F.col("value") * F.col("dt")), 2).alias("wsum"),
+        F.round(F.sum("dt"), 2).alias("tsum"),
         F.count("*").alias("n_obs"),
     )
     return out.select(
         "event_type", "day",
-        F.round(F.col("wsum") / F.col("tsum"), 6).alias("twap"),
+        (F.col("wsum") / F.col("tsum")).alias("twap"),
         "n_obs",
     )
 
@@ -955,7 +956,7 @@ SQL_ORACLES = {
           from rows where next_ts is not null
         )
         select event_type, day,
-               round(sum(value * dt) / sum(dt), 6) as twap,
+               round(sum(value * dt), 2) / round(sum(dt), 2) as twap,
                count(*) as n_obs
         from d where dt > 0
         group by 1, 2

@@ -45,9 +45,15 @@ def stream_lag_window(
         (buf,) = state.get if state.exists else ([],)
         buf = list(buf)
         out_ts, out_vals = [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts)
-            for t_val, v in zip(pdf[ts], pdf[value_col]):
+        # a group's microbatch may span multiple Arrow chunks —
+        # concatenate BEFORE sorting, or later chunks with earlier
+        # timestamps would be buffered out of order
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        whole = (
+            pd.concat(chunks).sort_values(ts) if chunks else pd.DataFrame()
+        )
+        if len(whole):
+            for t_val, v in zip(whole[ts], whole[value_col]):
                 buf.append(float(v))
                 if len(buf) > lag:
                     buf.pop(0)
@@ -108,9 +114,14 @@ def stream_strat_classify(
     ) -> Iterator[pd.DataFrame]:
         prev = state.get if state.exists else None
         out_ts, out_cls, out_color = [], [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts)
-            for t_val, o, c in zip(pdf[ts], pdf["open"], pdf["close"]):
+        # concatenate chunks before sorting (a group spanning Arrow
+        # chunk boundaries must still classify in global ts order)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        whole = (
+            pd.concat(chunks).sort_values(ts) if chunks else pd.DataFrame()
+        )
+        if len(whole):
+            for t_val, o, c in zip(whole[ts], whole["open"], whole["close"]):
                 top, bottom = max(o, c), min(o, c)
                 if prev is not None:
                     p_top, p_bottom = prev
@@ -125,7 +136,8 @@ def stream_strat_classify(
                     out_cls.append(cls)
                     out_color.append("green" if o < c else "red")
                 prev = (float(top), float(bottom))
-        state.update(prev)
+        if prev is not None:
+            state.update(prev)
         yield pd.DataFrame(
             {
                 key: [group_key[0]] * len(out_ts),

@@ -116,12 +116,17 @@ def test_quantized_ann_recall(spark):
     amax = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
     )
-    scale = amax / float(QUANT_MAX)
+    # materialize scale as a column FIRST: capturing the amax
+    # expression inside the next lambda would re-evaluate it per
+    # element (no CSE in higher-order functions — CLAUDE.md inv. #5)
+    scaled = vecs.withColumn("__scale", amax / float(QUANT_MAX))
     qvec = F.transform(
         F.col("embedding"),
-        lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("double"),
+        lambda x: F.floor(
+            x.cast("double") / F.col("__scale") + F.lit(0.5)
+        ).cast("double"),
     )
-    qcorpus = vecs.select("vec_id", qvec.alias("embedding"))
+    qcorpus = scaled.select("vec_id", qvec.alias("embedding"))
     probes = qcorpus.where(F.col("vec_id") % 50 == 0)
     got = {
         (r["probe_id"], r["vec_id"])
