@@ -9,8 +9,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 __all__ = [
-    "write_parquet", "write_bucketed", "stream_to_memory", "stream_to_parquet",
-    "stream_foreach_batch",
+    "write_parquet", "write_bucketed", "compact_parquet", "stream_to_memory",
+    "stream_to_parquet", "stream_foreach_batch",
 ]
 
 
@@ -48,6 +48,43 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 512,
+    nanos_cols: dict[str, str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ⌈bytes/target⌉ files. Streaming sinks and incremental ingests
+    leave thousands of tiny files; scans then pay per-file open/footer
+    costs and lose row-group-level parallelism. Returns the new file
+    count. Rewrites THROUGH a temp subdir then swaps, so a failure
+    mid-write never destroys the source.
+    """
+    import math
+    import os
+    import shutil
+
+    from ..sources.files import read_parquet
+
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    read_parquet(spark, path, nanos_cols).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    backup = path.rstrip("/") + "__compact_old"
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    shutil.rmtree(backup)
+    return n_files
 
 
 def stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):

@@ -47,3 +47,18 @@ def test_stream_to_parquet_roundtrip(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.read.parquet(sink).count() == 5
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from rstreams_spark.sinks.writers import compact_parquet
+
+    path = str(tmp_path / "many")
+    spark.range(10_000).repartition(20).write.parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 20
+    n = compact_parquet(spark, path, target_file_mb=512)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert n == 1 and after == 1
+    assert spark.read.parquet(path).count() == 10_000
