@@ -28,23 +28,39 @@ def stream_lag_window(
     key: str,
     ts: str,
     lag: int,
-    value_col: str,
+    value_col: str | list[str],
 ) -> DataFrame:
-    """Per-key sliding buffer of the last ``lag`` values (streaming).
+    """Per-key sliding buffer of the last ``lag`` rows (streaming
+    counterpart of ``operators.windows.lag_window``).
 
-    Output schema: (key string-compatible, ts, values array<double>).
-    Rows within a microbatch are processed in ``ts`` order; the
-    buffer carries across batches via GroupState.
+    ``value_col`` may be one column name or a list; the buffer holds
+    the last ``lag`` double values PER column (parallel arrays in
+    state, mirroring the batch operator's struct buffers for numeric
+    columns). Output: one ``values_<col> array<double>`` per column,
+    oldest → newest. Rows within a microbatch are processed in global
+    ``ts`` order across Arrow chunks; buffers carry across batches
+    via GroupState — bounded at ``lag`` × columns doubles per key.
     """
-    out_schema = f"{key} string, {ts} timestamp, values array<double>"
-    state_schema = "buf array<double>"
+    cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    # single-column keeps the original "values" name; multi-column
+    # disambiguates per source column
+    names = ["values"] if len(cols) == 1 else [f"values_{c}" for c in cols]
+    out_schema = (
+        f"{key} string, {ts} timestamp, "
+        + ", ".join(f"{n} array<double>" for n in names)
+    )
+    state_schema = ", ".join(f"buf_{c} array<double>" for c in cols)
 
     def fn(
         group_key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        (buf,) = state.get if state.exists else ([],)
-        buf = list(buf)
-        out_ts, out_vals = [], []
+        bufs = (
+            [list(b) for b in state.get]
+            if state.exists
+            else [[] for _ in cols]
+        )
+        out_ts = []
+        out_vals: list[list[list[float]]] = [[] for _ in cols]
         # a group's microbatch may span multiple Arrow chunks —
         # concatenate BEFORE sorting, or later chunks with earlier
         # timestamps would be buffered out of order
@@ -53,20 +69,27 @@ def stream_lag_window(
             pd.concat(chunks).sort_values(ts) if chunks else pd.DataFrame()
         )
         if len(whole):
-            for t_val, v in zip(whole[ts], whole[value_col]):
-                buf.append(float(v))
-                if len(buf) > lag:
-                    buf.pop(0)
-                if len(buf) == lag:
-                    out_ts.append(t_val)
-                    out_vals.append(list(buf))
-        state.update((buf,))
+            for row in whole.itertuples(index=False):
+                rowd = row._asdict()
+                for i, c in enumerate(cols):
+                    bufs[i].append(float(rowd[c]))
+                    if len(bufs[i]) > lag:
+                        bufs[i].pop(0)
+                if len(bufs[0]) == lag:
+                    out_ts.append(rowd[ts])
+                    for i in range(len(cols)):
+                        out_vals[i].append(list(bufs[i]))
+        state.update(tuple(bufs))
         yield pd.DataFrame(
-            {key: [group_key[0]] * len(out_ts), ts: out_ts, "values": out_vals}
+            {
+                key: [group_key[0]] * len(out_ts),
+                ts: out_ts,
+                **{n: out_vals[i] for i, n in enumerate(names)},
+            }
         )
 
     return (
-        df.select(F.col(key).cast("string").alias(key), ts, value_col)
+        df.select(F.col(key).cast("string").alias(key), ts, *cols)
         .groupBy(key)
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

@@ -66,6 +66,25 @@ def test_stream_lag_window(spark, tmp_path):
     assert rows == [("a", (1.0, 2.0)), ("a", (2.0, 3.0))]
 
 
+def test_stream_lag_window_multi_column(spark, tmp_path):
+    """Batch-parity upgrade: multiple buffered value columns ride
+    parallel state arrays; buffers stay aligned per row."""
+    path = _write_batch(
+        tmp_path, "mlag", [("a", 0, 1.0), ("a", 1, 2.0), ("a", 2, 3.0)]
+    )
+    stream = files.stream_files(spark, path, "json", SCHEMA)
+    # buffer both the value and its double (derived column)
+    stream = stream.withColumn("v2", F.col("v") * 10)
+    out = stateful.stream_lag_window(stream, "key", "ts", 2, ["v", "v2"])
+    q = writers.stream_to_memory(out, "mlag_out", "append")
+    _run(q)
+    rows = sorted(
+        (tuple(r["values_v"]), tuple(r["values_v2"]))
+        for r in spark.sql("select * from mlag_out").collect()
+    )
+    assert rows == [((1.0, 2.0), (10.0, 20.0)), ((2.0, 3.0), (20.0, 30.0))]
+
+
 def test_stream_lag_window_state_across_batches(spark, tmp_path):
     base = tmp_path / "lag2"
     _write_batch(tmp_path, "lag2", [("a", 1, 1)])
