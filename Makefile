@@ -23,3 +23,4 @@ examples:
 	python examples/stocks_pipeline.py /root/testdata/sf0.001
 	python examples/wordcount_pipeline.py /root/testdata/sf0.001 10
 	python examples/llm_corpus_pipeline.py /root/testdata/sf0.001
+	python examples/stocks_streaming.py /root/testdata/sf0.001

@@ -27,6 +27,68 @@ def test_stocks_pipeline_all_timeframes(spark):
     assert bad == 0
 
 
+def test_live_stocks_pipeline_matches_batch_classify(spark, tmp_path):
+    """The two-stage LIVE pipeline reproduces the oracle-checked
+    batch strat_classify exactly, minus each key's final candle
+    (append-mode watermark cannot finalize the last window of a
+    bounded replay; on a real stream the next tick closes it)."""
+    from examples.stocks_streaming import main as _unused  # noqa: F401
+    from rstreams_spark.queries import REGISTRY
+    from rstreams_spark.queries._util import t
+    from rstreams_spark.streaming import stateful
+    from rstreams_spark.streaming import windows as swindows
+
+    ticks_dir = tmp_path / "ticks"
+    (
+        t(spark, SF_SMOKE, "events")
+        .select("event_id", "ts", F.col("event_type").alias("sym"), "value")
+        .write.json(str(ticks_dir))
+    )
+    ticks = spark.readStream.schema(
+        "event_id bigint, ts timestamp, sym string, value double"
+    ).json(str(ticks_dir))
+    candles = swindows.stream_tumbling_window(
+        ticks, "sym", "ts", "1 day",
+        F.min_by("value", F.struct("ts", "event_id")).alias("open"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("close"),
+        watermark="0 seconds",
+    )
+    from rstreams_spark.sinks import writers as w
+
+    q1 = w.stream_to_parquet(
+        candles, str(tmp_path / "candles"), str(tmp_path / "ck1")
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    candle_stream = spark.readStream.schema(
+        "sym string, window_start timestamp, window_end timestamp, "
+        "open double, close double"
+    ).parquet(str(tmp_path / "candles"))
+    classified = stateful.stream_strat_classify(
+        candle_stream, "sym", "window_start"
+    )
+    q2 = w.stream_to_memory(classified, "parity_strat", "append")
+    q2.processAllAvailable()
+    q2.stop()
+    live = {
+        (r["sym"], int(r["window_start"].timestamp()), r["strat_class"], r["color"])
+        for r in spark.sql("select * from parity_strat").collect()
+    }
+
+    batch_rows = REGISTRY["strat_classify"](spark, SF_SMOKE).collect()
+    last_per_key = {}
+    for r in batch_rows:
+        last_per_key[r["event_type"]] = max(
+            last_per_key.get(r["event_type"], 0), r["window_start_epoch"]
+        )
+    batch = {
+        (r["event_type"], r["window_start_epoch"], r["strat_class"], r["color"])
+        for r in batch_rows
+        if r["window_start_epoch"] < last_per_key[r["event_type"]]
+    }
+    assert live == batch
+
+
 def test_llm_corpus_pipeline_monotone_funnel(spark):
     """The curation funnel only ever narrows the doc set, the
     verified near-dup stage actually removes something on the
