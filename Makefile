@@ -3,7 +3,13 @@
 
 SF ?= /root/testdata/sf0.01
 
-.PHONY: test oracle bench smoke examples
+.PHONY: test oracle bench smoke examples plans scaling
+
+plans:
+	python tools/plan_audit.py
+
+scaling:
+	python tools/scale_probe.py
 
 test:
 	python -m pytest tests/ -x -q
