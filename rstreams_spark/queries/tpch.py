@@ -213,10 +213,186 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q4_START, Q4_END = "1996-07-01", "1996-10-01"
+Q12_START, Q12_END = "1996-01-01", "1997-01-01"
+HIGH_PRIO = ("1-URGENT", "2-HIGH")
+
+
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (q4 shape): orders in a quarter that had
+    at least one late-shipped lineitem, counted by priority.
+
+    The driver's lineitem has no commit/receipt dates, so "late" is
+    ``l_shipdate > o_orderdate`` — same EXISTS(semi-join) plan shape.
+    Left-semi join: the orders side never duplicates, lineitem is
+    shuffled on its join key only; no fact broadcast.
+    """
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q4_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_END).cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority classes (q12 shape): for one ship-year, count
+    high- vs low-priority orders per lineitem return flag (the driver's
+    lineitem has no l_shipmode; l_returnflag plays the grouping role).
+    One shuffled join + one hash agg with two conditional sums.
+    """
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q12_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q12_END).cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin(*HIGH_PRIO)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (q13 shape): customers left-
+    joined to their non-low-priority orders, then the histogram of
+    per-customer order counts. Exercises outer join with an extra join
+    predicate + a two-level aggregation; customers with zero orders
+    survive with c_count = 0.
+    """
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+Q17_BRAND = "Brand#3"
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (q17 shape): lineitems of one brand
+    whose quantity is below half that part's average quantity.
+
+    The correlated scalar subquery becomes a per-part aggregate joined
+    back to the brand-filtered lineitems: the threshold table has at
+    most |part| rows (sublinear in SF) so AQE may broadcast it; the
+    brand filter itself rides a broadcast of the genuine `part` dim.
+    """
+    part_b = t(spark, sf_dir, "part").where(
+        F.col("p_brand") == Q17_BRAND
+    ).select("p_partkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(F.broadcast(part_b), F.col("l_partkey") == F.col("p_partkey"))
+    thresh = li_b.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("qty_thresh")
+    )
+    return (
+        li_b.join(thresh, F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+Q19_BANDS = [
+    ("Brand#1", 1, 15, 1.0, 30.0),
+    ("Brand#2", 10, 30, 10.0, 60.0),
+    ("Brand#3", 20, 50, 20.0, 80.0),
+]
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue under disjunctive brand/size/quantity bands
+    (q19 shape, p_size standing in for p_container). The OR-of-ANDs
+    predicate spans both sides of a broadcast equi-join; the part-only
+    disjuncts (brand+size) are pushed below the join by Catalyst.
+    """
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    band = None
+    for brand, smin, smax, qmin, qmax in Q19_BANDS:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(smin, smax)
+            & F.col("l_quantity").between(qmin, qmax)
+        )
+        band = c if band is None else (band | c)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(band)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant rich customers (q22 shape): customers with above-average
+    positive balance and no URGENT order, summarized per nation (the
+    driver's dense data gives every customer ~10 orders, so "no orders
+    at all" would be vacuous; the urgent-order filter keeps the
+    anti-join selective at every SF). Anti-join on the orders fact
+    (shuffled, never broadcast) + a one-row scalar-aggregate broadcast
+    for the balance threshold.
+    """
+    cust = t(spark, sf_dir, "customer")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("bal_thresh")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("bal_thresh"))
+        .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 QUERIES = {
-    "tpch_q1": tpch_q1, "tpch_q3": tpch_q3, "tpch_q5": tpch_q5, "tpch_q6": tpch_q6,
-    "tpch_q7": tpch_q7, "tpch_q10": tpch_q10, "tpch_q14": tpch_q14,
-    "tpch_q18": tpch_q18,
+    "tpch_q1": tpch_q1, "tpch_q3": tpch_q3, "tpch_q4": tpch_q4, "tpch_q5": tpch_q5,
+    "tpch_q6": tpch_q6, "tpch_q7": tpch_q7, "tpch_q10": tpch_q10,
+    "tpch_q12": tpch_q12, "tpch_q13": tpch_q13, "tpch_q14": tpch_q14,
+    "tpch_q17": tpch_q17, "tpch_q18": tpch_q18, "tpch_q19": tpch_q19,
+    "tpch_q22": tpch_q22,
 }
 
 SQL_ORACLES = {
@@ -326,5 +502,69 @@ SQL_ORACLES = {
         from lineitem join part on l_partkey = p_partkey
         where l_shipdate >= timestamp '{Q5_START}'
           and l_shipdate < timestamp '{Q5_END}'
+    """,
+    "tpch_q4": f"""
+        select o_orderpriority, count(*) as order_count
+        from orders
+        where o_orderdate >= timestamp '{Q4_START}'
+          and o_orderdate < timestamp '{Q4_END}'
+          and exists (select 1 from lineitem
+                      where l_orderkey = o_orderkey
+                        and l_shipdate > o_orderdate)
+        group by o_orderpriority
+    """,
+    "tpch_q12": f"""
+        select l_returnflag,
+               cast(sum(case when o_orderpriority in ('1-URGENT','2-HIGH')
+                        then 1 else 0 end) as bigint) as high_line_count,
+               cast(sum(case when o_orderpriority not in ('1-URGENT','2-HIGH')
+                        then 1 else 0 end) as bigint) as low_line_count
+        from lineitem join orders on l_orderkey = o_orderkey
+        where l_shipdate >= timestamp '{Q12_START}'
+          and l_shipdate < timestamp '{Q12_END}'
+        group by l_returnflag
+    """,
+    "tpch_q13": """
+        select c_count, count(*) as custdist
+        from (
+          select c_custkey, count(o_orderkey) as c_count
+          from customer
+          left join orders on c_custkey = o_custkey
+                          and o_orderpriority <> '5-LOW'
+          group by c_custkey
+        )
+        group by c_count
+    """,
+    "tpch_q17": f"""
+        select round(sum(l_extendedprice) / 7.0, 2) as avg_yearly,
+               count(*) as n_small
+        from lineitem join part on p_partkey = l_partkey
+        where p_brand = '{Q17_BRAND}'
+          and l_quantity < (select 0.5 * avg(l2.l_quantity)
+                            from lineitem l2
+                            where l2.l_partkey = p_partkey)
+    """,
+    "tpch_q19": """
+        select round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+               count(*) as n_items
+        from lineitem join part on p_partkey = l_partkey
+        where (p_brand = 'Brand#1' and p_size between 1 and 15
+               and l_quantity between 1.0 and 30.0)
+           or (p_brand = 'Brand#2' and p_size between 10 and 30
+               and l_quantity between 10.0 and 60.0)
+           or (p_brand = 'Brand#3' and p_size between 20 and 50
+               and l_quantity between 20.0 and 80.0)
+    """,
+    "tpch_q22": """
+        select cast(c_nationkey as bigint) as c_nationkey,
+               count(*) as numcust,
+               round(sum(c_acctbal), 2) as totacctbal
+        from customer
+        where c_acctbal > (select avg(c_acctbal) from customer c2
+                           where c2.c_acctbal > 0)
+          and not exists (select 1 from orders
+                          where o_custkey = c_custkey
+                            and o_orderpriority = '1-URGENT')
+        group by c_nationkey
     """,
 }

@@ -82,6 +82,36 @@ def test_q7_q10_q18_fact_broadcasts_are_dynamic_only(spark):
             assert plans.count_sortmerge_joins(df) >= n_facts, key
 
 
+def test_new_tpch_broadcast_discipline(spark):
+    """Round-2 TPC-H additions: hinted broadcasts == genuine dims (or
+    sublinear aggregates) only; every fact-fact join shuffles in the
+    static plan. (q4 semi / q12 inner / q13 left-outer / q22 anti all
+    join order-count-sized sides — no hint allowed.)"""
+    for key, n_hinted, n_smj in (
+        ("tpch_q4", 0, 1),   # semi-join on lineitem: shuffle only
+        ("tpch_q12", 0, 1),  # orders join: shuffle only
+        ("tpch_q13", 0, 1),  # left-outer on orders: shuffle only
+        # part-dim hint appears in BOTH branches (threshold side and
+        # probe side re-scan the hinted li⋈part lineage) ⇒ 2 BHJs, one dim
+        ("tpch_q17", 2, 1),
+        ("tpch_q19", 1, 0),  # part dim broadcast, no other join
+    ):
+        with _conf(spark, NO_AUTO_BHJ):
+            df = REGISTRY[key](spark, SF_SMOKE)
+            assert plans.count_broadcast_joins(df) == n_hinted, key
+            assert plans.count_sortmerge_joins(df) >= n_smj, key
+
+
+def test_q22_anti_join_shuffles_scalar_broadcasts(spark):
+    """q22: the orders anti-join must shuffle (fact-sized side); the
+    one-row balance threshold rides a broadcast nested-loop join."""
+    with _conf(spark, NO_AUTO_BHJ):
+        df = REGISTRY["tpch_q22"](spark, SF_SMOKE)
+        txt = plans.explain_str(df)
+        assert "BroadcastNestedLoopJoin" in txt  # 1-row scalar agg
+        assert plans.count_sortmerge_joins(df) >= 1  # the anti-join
+
+
 def test_q3_small_sf_still_broadcasts_dynamically(spark):
     """Dropping the hints costs nothing at driver SFs: size-based
     planning (or AQE at runtime) still picks broadcast when the
