@@ -219,6 +219,58 @@ def test_sql_surface_matches_dataframe(spark):
     }
 
 
+def test_bucketed_benchmark_tables_zero_exchange_q18_core(spark, tmp_path):
+    """SURVEY §7c.4: bucket the ACTUAL benchmark facts (orders +
+    lineitem, co-bucketed on orderkey) and run the q18 inner core —
+    per-order revenue join + grouped HAVING. Both the fact-fact join
+    AND the groupBy reuse the bucket partitioning: the whole query
+    plans with ZERO exchanges. This is the 'pay the shuffle once at
+    load, never per query' discipline for a 100 TB warehouse."""
+    from rstreams_spark.queries._util import t as load
+    from rstreams_spark.sinks.writers import write_bucketed
+
+    orders = load(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    write_bucketed(orders, "orders_bkt", str(tmp_path / "o"), ["o_orderkey"], 8)
+    write_bucketed(li, "lineitem_bkt", str(tmp_path / "l"), ["l_orderkey"], 8)
+    try:
+        o, l = spark.table("orders_bkt"), spark.table("lineitem_bkt")
+        core = (
+            l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(
+                F.sum("l_quantity").alias("total_qty"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                    "revenue"
+                ),
+            )
+            .where(F.col("total_qty") > 100)
+        )
+        # auto-broadcast off: at test sizes BHJ would win anyway;
+        # the 100 TB case is both sides too big to broadcast — that
+        # regime must plan a ZERO-exchange sort-merge join
+        with _conf(spark, NO_AUTO_BHJ):
+            assert plans.count_shuffles(core) == 0
+            assert plans.count_sortmerge_joins(core) == 1
+        got = core.count()
+        # parity vs the plain (shuffling) plan over the raw parquet
+        want = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("total_qty"))
+            .where(F.col("total_qty") > 100)
+            .count()
+        )
+        assert got == want and got > 0
+    finally:
+        spark.sql("drop table if exists orders_bkt")
+        spark.sql("drop table if exists lineitem_bkt")
+
+
 def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
     """Bucketing pre-distributes join keys at write time: a fact-fact
     equi-join between co-bucketed tables runs with ZERO exchanges —
