@@ -15,7 +15,11 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["stream_tumbling_window", "stream_hopping_window"]
+__all__ = [
+    "stream_tumbling_window",
+    "stream_hopping_window",
+    "stream_tumbling_window_gapfill",
+]
 
 
 def _stream_windowed(
@@ -57,3 +61,84 @@ def stream_hopping_window(
     *aggs: Column, watermark: str = "10 minutes",
 ) -> DataFrame:
     return _stream_windowed(df, key, ts, size, hop, watermark, *aggs)
+
+
+def stream_tumbling_window_gapfill(
+    df: DataFrame, key: str, ts: str, size_seconds: int, value_col: str
+) -> DataFrame:
+    """Live empty-window emission — the streaming counterpart of
+    ``operators.windows.tumbling_window(gap_fill=True)`` and the
+    faithful realization of the reference's gap behavior
+    (src/window.rs:71-84: crossing into a new window flushes the
+    buffer AND emits one empty record per silent window between).
+
+    Watermarked streaming aggregations can't emit windows no event
+    ever touched, so this is a custom stateful operator
+    (``applyInPandasWithState``): per-key state is the open window's
+    index + running (n, sum); when a row lands in a later window the
+    open window flushes, every skipped index emits ``(n=0,
+    sum_value=0.0)``, and the new window opens. Epoch-aligned
+    ``ts // size`` indices match both the batch operator's
+    ``F.window`` grid and the reference's integer-division indexing.
+    State is three scalars per key; rows later than an already-flushed
+    window are dropped (the watermarked-agg late-data contract). The
+    still-open final window stays buffered — same emit-on-next-event
+    semantics as the reference, so a bounded replay never emits each
+    key's last window (tests compare against batch minus final
+    window).
+    """
+    out_schema = (
+        f"{key} string, window_start timestamp, n long, sum_value double"
+    )
+    state_schema = "widx long, n long, s double"
+
+    def fn(group_key, pdfs, state):
+        import pandas as pd
+
+        widx, n, s = state.get if state.exists else (None, 0, 0.0)
+        starts: list[int] = []
+        ns: list[int] = []
+        sums: list[float] = []
+        # concat chunks before sorting (CLAUDE invariant #7)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        whole = (
+            pd.concat(chunks).sort_values(ts) if chunks else pd.DataFrame()
+        )
+        for row in whole.itertuples(index=False):
+            rowd = row._asdict()
+            w = int(rowd[ts].timestamp()) // size_seconds
+            if widx is None:
+                widx = w
+            elif w > widx:
+                starts.append(widx * size_seconds)
+                ns.append(n)
+                sums.append(s)
+                for g in range(widx + 1, w):  # silent windows
+                    starts.append(g * size_seconds)
+                    ns.append(0)
+                    sums.append(0.0)
+                widx, n, s = w, 0, 0.0
+            elif w < widx:
+                continue  # late beyond the open window: drop
+            n += 1
+            s += float(rowd[value_col])
+        if widx is not None:
+            state.update((widx, n, s))
+        yield pd.DataFrame(
+            {
+                key: [group_key[0]] * len(starts),
+                "window_start": pd.to_datetime(starts, unit="s"),
+                "n": ns,
+                "sum_value": sums,
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        df.select(F.col(key).cast("string").alias(key), ts, value_col)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

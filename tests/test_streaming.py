@@ -362,6 +362,88 @@ def test_checkpoint_restart_carries_state(spark, tmp_path):
     assert [tuple(r["values"]) for r in rows] == [(1.0, 2.0)]
 
 
+def test_stream_tumbling_gapfill_emits_empty_windows(spark, tmp_path):
+    """Reference src/window.rs:71-84 live: crossing into a later
+    window flushes the open one and emits n=0 rows for every silent
+    window between — across microbatch boundaries (state carries)."""
+    src = tmp_path / "gf_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        with open(src / name, "w") as f:
+            for k, s, v in rows:
+                ts = (EPOCH + dt.timedelta(seconds=s)).strftime(
+                    "%Y-%m-%dT%H:%M:%S"
+                )
+                f.write(json.dumps({"key": k, "ts": ts, "v": float(v)}) + "\n")
+
+    write_file("b0.json", [("a", 0, 1.0), ("a", 1, 2.0), ("a", 10, 3.0)])
+    stream = files.stream_files(spark, str(src), "json", SCHEMA)
+    out = swindows.stream_tumbling_window_gapfill(stream, "key", "ts", 3, "v")
+    q = writers.stream_to_memory(out, "gf_out", "append")
+    q.processAllAvailable()
+    # batch 2: next window over — flushes [9,12) with no gap rows
+    write_file("b1.json", [("a", 13, 4.0)])
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        int(r["window_start"].timestamp() - EPOCH.timestamp()):
+            (r["n"], r["sum_value"])
+        for r in spark.sql("select * from gf_out").collect()
+    }
+    # window [12,15) is still open → unemitted (reference emit-on-next)
+    assert got == {
+        0: (2, 3.0), 3: (0, 0.0), 6: (0, 0.0), 9: (1, 3.0),
+    }
+
+
+def test_stream_tumbling_gapfill_matches_batch(spark, tmp_path):
+    """Live gap-fill output == batch tumbling_window(gap_fill=True)
+    minus each key's final (still-open) window — the same transitive-
+    oracle convention the stocks_streaming parity test uses."""
+    from rstreams_spark.operators import windows as bwindows
+
+    rows = [
+        ("a", 0, 1.0), ("a", 2, 2.0), ("a", 11, 3.0), ("a", 19, 4.0),
+        ("b", 4, 5.0), ("b", 17, 6.0),
+        ("c", 1, 7.0),
+    ]
+    path = _write_batch(tmp_path, "gf_par", rows)
+    stream = files.stream_files(spark, path, "json", SCHEMA)
+    out = swindows.stream_tumbling_window_gapfill(stream, "key", "ts", 5, "v")
+    q = writers.stream_to_memory(out, "gf_par_out", "append")
+    _run(q)
+    live = {
+        (r["key"], int(r["window_start"].timestamp())): (r["n"], r["sum_value"])
+        for r in spark.sql("select * from gf_par_out").collect()
+    }
+
+    batch_df = spark.createDataFrame(
+        [
+            (k, EPOCH + dt.timedelta(seconds=s), float(v))
+            for k, s, v in rows
+        ],
+        "key string, ts timestamp, v double",
+    )
+    filled = bwindows.tumbling_window(
+        batch_df, "key", "ts", "5 seconds",
+        F.count("v").alias("n"), F.sum("v").alias("s"),
+        gap_fill=True,
+    )
+    # drop each key's final window (live keeps it open), NULL-agg → 0
+    from pyspark.sql import Window
+
+    last = Window.partitionBy("key")
+    batch = {
+        (r["key"], int(r["window_start"].timestamp())):
+            (r["n"] or 0, r["s"] or 0.0)
+        for r in filled.withColumn(
+            "__last", F.max("window_start").over(last)
+        ).where(F.col("window_start") < F.col("__last")).collect()
+    }
+    assert live == batch and len(live) >= 6
+
+
 def test_rocksdb_state_store_restart_carries_state(spark, tmp_path):
     """Same restart contract as above but on the RocksDB state store
     provider (the disk-backed store you'd run at 100 TB key
