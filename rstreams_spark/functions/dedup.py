@@ -26,7 +26,8 @@ from .text import hash64, tokens
 __all__ = [
     "shingles", "doc_shingles", "minhash_signature",
     "lsh_band_pairs", "simhash32", "P61", "perm_coeffs",
-    "connected_components", "incremental_dedup_exact",
+    "connected_components", "connected_components_star",
+    "incremental_dedup_exact",
 ]
 
 P61 = (1 << 61) - 1  # Mersenne prime modulus for minhash permutations
@@ -259,6 +260,133 @@ def connected_components(
             "longer chain than expected — raise max_iter"
         )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (the published MapReduce CC algorithm — Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14). Same
+    output contract as ``connected_components``: (node, cluster_id)
+    with cluster_id = min node id in the component.
+
+    Scale rationale (SURVEY §7c.3): min-label propagation moves
+    labels ONE hop per round, so a path-shaped component needs
+    diameter/2 rounds; the star operations rewire the edge set itself
+    toward component-min hubs and converge in O(log²) rounds on any
+    topology. Each half-round is one groupBy-min plus one shuffle
+    join, all hash-partitioned on node id — no collect_list of
+    neighborhoods, so hot hubs never materialize a giant array.
+    Every round is localCheckpoint-ed to cut lineage (use a real
+    checkpoint dir on a cluster). The converged labeling is verified
+    with one final propagation step — exactness is asserted, never
+    assumed.
+    """
+    ab = ("a", "b")
+
+    def canon(e: DataFrame) -> DataFrame:
+        # undirected edge set, canonical (large, small), no loops
+        return (
+            e.select(
+                F.greatest(*ab).alias("a"), F.least(*ab).alias("b")
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # for every center u: all LARGER neighbors point to
+        # m = min(Γ(u) ∪ {u})
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("__mn"))
+            .select("a", F.least("a", "__mn").alias("m"))
+        )
+        return (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # edges directed large→small; every center u re-points its
+        # smaller neighbors (and itself) at m = min neighbor
+        d = canon(e)
+        mins = d.groupBy("a").agg(F.min("b").alias("m"))
+        joined = d.join(mins, "a")
+        return (
+            joined.select(F.col("a"), F.col("m").alias("b"))
+            .union(
+                joined.where(F.col("b") != F.col("m")).select(
+                    F.col("b").alias("a"), F.col("m").alias("b")
+                )
+            )
+        )
+
+    cur = canon(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    ).localCheckpoint(eager=True)
+    prev_sig = None
+    converged = False
+    for _ in range(max_iter):
+        cur = canon(small_star(large_star(cur))).localCheckpoint(eager=True)
+        sig = cur.agg(
+            F.count("*").alias("n"),
+            # order-independent set checksum; XOR can't overflow
+            F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not stabilize within "
+            f"max_iter={max_iter} rounds"
+        )
+    # converged edges are (node, component-min) stars; nodes the
+    # canonicalization dropped (self-loop-only, singleton components)
+    # come back from the original node universe labeled as themselves
+    orig_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    labels = (
+        cur.groupBy(F.col("a").alias("node")).agg(F.min("b").alias("cluster_id"))
+        .union(cur.select(F.col("b").alias("node"), F.col("b").alias("cluster_id")))
+        .union(orig_nodes.select("node", F.col("node").alias("cluster_id")))
+        .groupBy("node")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    # exactness guard: one min-label propagation round over the
+    # ORIGINAL edges must be a fixpoint of this labeling
+    orig = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = orig.union(orig.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    nbr = (
+        sym.join(labels, sym["b"] == labels["node"])
+        .groupBy(F.col("a").alias("node2"))
+        .agg(F.min("cluster_id").alias("nbr_min"))
+    )
+    violations = (
+        labels.join(nbr, labels["node"] == nbr["node2"])
+        .where(F.col("nbr_min") < F.col("cluster_id"))
+        .count()
+    )
+    if violations:
+        raise RuntimeError(
+            f"connected_components_star: {violations} labels below "
+            "fixpoint after convergence — star rounds produced an "
+            "inconsistent labeling"
+        )
+    return labels
 
 
 def incremental_dedup_exact(

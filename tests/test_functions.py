@@ -191,6 +191,34 @@ def test_connected_components_labels_min_node(spark):
                    20: 20, 21: 20, 22: 20, 23: 20}
 
 
+def test_connected_components_star_deep_chain(spark):
+    """SURVEY §7c.3 rationale made concrete: a 300-node path (plus a
+    shuffled-id clique) converges in O(log²) star rounds — far below
+    the ~150 min-label rounds the same graph would need. Ids are
+    permuted so the chain isn't accidentally pre-sorted toward its
+    minimum."""
+    import random
+
+    from rstreams_spark.functions.dedup import connected_components_star
+
+    rng = random.Random(7)
+    ids = list(range(1000, 1300))
+    rng.shuffle(ids)
+    chain = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    clique = [(5, 6), (6, 7), (5, 7)]
+    edges = spark.createDataFrame(
+        [Row(id1=a, id2=b) for a, b in chain + clique]
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(edges, max_iter=12).collect()
+    }
+    lo = min(ids)
+    assert all(got[n] == lo for n in ids)
+    assert got[5] == got[6] == got[7] == 5
+    assert len(got) == 303
+
+
 def test_decode_image_gated_on_codec():
     """decode_image is a real PIL call when the codec exists, a clean
     NotImplementedError when it doesn't — same test green both ways."""

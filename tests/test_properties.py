@@ -135,6 +135,36 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == want
 
 
+@given(edges=edge_lists)
+@SLOW
+def test_connected_components_star_matches_union_find(spark, edges):
+    """Alternating large-star/small-star == union-find on the same
+    arbitrary graphs (self-loops, multi-edges, chains)."""
+    from rstreams_spark.functions.dedup import connected_components_star
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame([Row(id1=a, id2=b) for a, b in edges])
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(df).collect()
+    }
+    assert got == want
+
+
 vectors = st.lists(
     st.lists(
         st.floats(
