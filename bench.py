@@ -30,7 +30,8 @@ HEADLINERS = [
     "asof_enrich", "pattern_followed_by", "cohort_retention", "twap_daily",
     "tumbling_window_gapfill",
     "dedup_minhash", "dedup_simhash", "dedup_clusters", "minhash_lsh_topk",
-    "doc_chunks", "embedding_quantize",
+    "doc_chunks", "embedding_quantize", "decontaminate_ngrams",
+    "pack_sequences",
     "ann_topk", "ann_lsh_topk", "text_quality",
 ]
 

@@ -379,6 +379,42 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_meta(multimodal.with_binary_payload(docs))
 
 
+DECON_N = 3  # word n-gram order (3 gives real signal on this corpus)
+DECON_EVAL_SOURCE = "src0"  # the held-out shard standing in for an eval set
+
+
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination — the pretraining-pipeline step that
+    flags training documents sharing word n-grams with a held-out
+    eval/benchmark set (the standard n-gram-overlap contamination
+    check used for LLM training corpora).
+
+    Here the ``src0`` shard plays the eval set; every other source is
+    the training corpus. Output: contaminated training docs with
+    their distinct shared-3-gram count.
+
+    Scale shape: both sides explode to (doc, shingle) with fan-out
+    repartition only when under-parallel; the overlap is ONE hash
+    join on the shingle string (dictionary-encoded at shuffle) — the
+    eval side is distinct-reduced first, so the join's build side is
+    the eval vocabulary, typically ≪ train and AQE-broadcastable;
+    per-doc counting is a map-side-partial groupBy. Never an n² doc
+    comparison.
+    """
+    docs = t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("source") == DECON_EVAL_SOURCE)
+    tr = docs.where(F.col("source") != DECON_EVAL_SOURCE)
+    eval_grams = doc_shingles(ev, "text", DECON_N).select("shingle").distinct()
+    # doc_shingles is already distinct per doc (array_distinct) — no
+    # extra distinct shuffle needed on the train side
+    train_sh = doc_shingles(tr, "text", DECON_N)
+    return (
+        train_sh.join(eval_grams, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash": dedup_minhash,
@@ -391,6 +427,7 @@ QUERIES = {
     "ivf_topk": ivf_topk,
     "minhash_lsh_topk": minhash_lsh_topk,
     "multimodal_meta": multimodal_meta,
+    "decontaminate_ngrams": decontaminate_ngrams,
 }
 
 
@@ -613,5 +650,24 @@ SQL_ORACLES = {
         )
         select doc_id, neighbor_id, jac as jaccard, rank
         from ranked where rank <= {LSH_TOPK}
+    """,
+    "decontaminate_ngrams": f"""
+        with toks as (
+          select doc_id, source, {_TOKS} as toks from documents
+        ),
+        sh as (
+          select doc_id, source,
+                 unnest(list_distinct(
+                   [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    for i in range(1, len(toks) - 1)])) as shingle
+          from toks
+        ),
+        ev as (select distinct shingle from sh
+               where source = '{DECON_EVAL_SOURCE}'),
+        tr as (select doc_id, shingle from sh
+               where source <> '{DECON_EVAL_SOURCE}')
+        select doc_id, count(*) as n_shared
+        from tr join ev using (shingle)
+        group by doc_id
     """,
 }

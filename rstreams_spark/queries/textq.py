@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import (
     BPE_ISH_PATTERN, STOPWORDS, bpe_ish_tokens, md5_fingerprint, token_chunks,
@@ -178,6 +179,42 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign documents to fixed-token-budget
+    training bins the way pretraining pipelines concatenate-and-chunk
+    a shard: within each source shard, docs are laid end-to-end in
+    doc_id order and every ``PACK_BUDGET`` tokens starts a new bin.
+    Output per doc: its shard, token count, bin id and starting
+    offset inside the bin.
+
+    Scale shape: ONE window (cumulative sum) partitioned by the shard
+    column — packing is embarrassingly parallel across shards, which
+    is exactly how a 100 TB corpus is packed in practice (a global
+    total order would serialize the whole corpus through one
+    partition; a per-shard order shuffles once and scales with shard
+    count). No UDFs, no iteration.
+    """
+    docs = t(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")))
+    d = docs.select("doc_id", "source", ws.cast("long").alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(cum / PACK_BUDGET).cast("long").alias("bin_id"),
+        (cum % PACK_BUDGET).cast("long").alias("offset_in_bin"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "text_redact": text_redact,
@@ -186,6 +223,7 @@ QUERIES = {
     "text_quality": text_quality,
     "lang_id": lang_id,
     "doc_chunks": doc_chunks,
+    "pack_sequences": pack_sequences,
 }
 
 SQL_ORACLES = {
@@ -264,5 +302,25 @@ SQL_ORACLES = {
                  ' ') as chunk_text,
                least(len(toks) - chunk_idx * {_STRIDE}, {CHUNK_SIZE}) as n_tokens
         from ex
+    """,
+    "pack_sequences": f"""
+        with d as (
+          select doc_id, source,
+                 len(list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x != '')) as n_tokens
+          from documents
+        ),
+        c as (
+          select doc_id, source, n_tokens,
+                 coalesce(sum(n_tokens) over (
+                   partition by source order by doc_id
+                   rows between unbounded preceding and 1 preceding
+                 ), 0) as cum
+          from d
+        )
+        select doc_id, source, n_tokens,
+               cast(floor(cum / {PACK_BUDGET}) as bigint) as bin_id,
+               cast(cum % {PACK_BUDGET} as bigint) as offset_in_bin
+        from c
     """,
 }
