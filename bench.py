@@ -31,7 +31,7 @@ HEADLINERS = [
     "tumbling_window_gapfill",
     "dedup_minhash", "dedup_simhash", "dedup_clusters", "minhash_lsh_topk",
     "doc_chunks", "embedding_quantize", "decontaminate_ngrams",
-    "pack_sequences",
+    "pack_sequences", "top_terms", "orders_rollup",
     "ann_topk", "ann_lsh_topk", "text_quality",
 ]
 

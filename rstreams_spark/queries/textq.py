@@ -179,6 +179,56 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOPTERMS_K = 5
+
+
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k terms by tf-idf — the corpus-statistics
+    primitive behind keyword extraction / quality filters.
+
+    idf is the RATIONAL form (N+1)/(df+1) rather than its log: both
+    engines then compute the score as one integer-derived division +
+    multiply, which is bit-identical, where ln() implementations may
+    differ in the last ulp across libms and break hash parity
+    (CLAUDE.md invariant #2 — same op order, no per-row rounding).
+    Ranking is tie-broken by term, so top-k is deterministic.
+
+    Scale shape: explode → (doc, term) count groupBy (one shuffle on
+    doc+term) → df groupBy on term (second shuffle, |vocab|-sized) →
+    shuffle join back on term; corpus size N rides a one-row scalar
+    broadcast. Top-k per doc is a WindowGroupLimit rank, partial
+    below the exchange.
+    """
+    from ..functions.core import ensure_fanout_parallelism
+
+    docs = t(spark, sf_dir, "documents")
+    term = ensure_fanout_parallelism(docs).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = term.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs") + 1).cast("double")
+            / (F.col("df") + 1).cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPTERMS_K)
+        .select(
+            "doc_id", "term", "tf", "df", "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 PACK_BUDGET = 512  # tokens per packed training sequence
 
 
@@ -224,6 +274,7 @@ QUERIES = {
     "lang_id": lang_id,
     "doc_chunks": doc_chunks,
     "pack_sequences": pack_sequences,
+    "top_terms": top_terms,
 }
 
 SQL_ORACLES = {
@@ -322,5 +373,30 @@ SQL_ORACLES = {
                cast(floor(cum / {PACK_BUDGET}) as bigint) as bin_id,
                cast(cum % {PACK_BUDGET} as bigint) as offset_in_bin
         from c
+    """,
+    "top_terms": f"""
+        with term as (
+          select doc_id, unnest({_TOKS}) as term from documents
+        ),
+        tf as (
+          select doc_id, term, count(*) as tf
+          from term group by doc_id, term
+        ),
+        dft as (select term, count(*) as df from tf group by term),
+        n as (select count(*) as n_docs from documents),
+        scored as (
+          select doc_id, term, tf, df,
+                 cast(tf as double) * cast(n_docs + 1 as double)
+                   / cast(df + 1 as double) as score
+          from tf join dft using (term) cross join n
+        ),
+        ranked as (
+          select doc_id, term, tf, df, score,
+                 row_number() over (partition by doc_id
+                                    order by score desc, term) as rank
+          from scored
+        )
+        select doc_id, term, tf, df, score, rank
+        from ranked where rank <= {TOPTERMS_K}
     """,
 }

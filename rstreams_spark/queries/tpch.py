@@ -387,7 +387,29 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level totals in one pass: ROLLUP (status, priority) →
+    per-(status,priority), per-status and grand-total rows with a
+    grouping-id disambiguating the NULL levels. One shuffle computes
+    every level (Catalyst expands grouping sets before the hash agg —
+    no per-level rescan of the fact table).
+    """
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price"
+        )
+    )
+
+
 QUERIES = {
+    "orders_rollup": orders_rollup,
     "tpch_q1": tpch_q1, "tpch_q3": tpch_q3, "tpch_q4": tpch_q4, "tpch_q5": tpch_q5,
     "tpch_q6": tpch_q6, "tpch_q7": tpch_q7, "tpch_q10": tpch_q10,
     "tpch_q12": tpch_q12, "tpch_q13": tpch_q13, "tpch_q14": tpch_q14,
@@ -554,6 +576,14 @@ SQL_ORACLES = {
                and l_quantity between 10.0 and 60.0)
            or (p_brand = 'Brand#3' and p_size between 20 and 50
                and l_quantity between 20.0 and 80.0)
+    """,
+    "orders_rollup": """
+        select o_orderstatus, o_orderpriority,
+               cast(grouping(o_orderstatus, o_orderpriority) as bigint) as gid,
+               count(*) as n_orders,
+               round(sum(o_totalprice), 2) as total_price
+        from orders
+        group by rollup (o_orderstatus, o_orderpriority)
     """,
     "tpch_q22": """
         select cast(c_nationkey as bigint) as c_nationkey,
