@@ -6,6 +6,8 @@ any SF:
        → exact dedup (md5 fingerprint, keep min doc_id)
        → minhash-LSH candidate pairs → exact-jaccard verify (≥ 0.5)
        → connected components → keep one canonical doc per cluster
+       → decontaminate vs a held-out eval shard (3-gram overlap)
+       → pack survivors into fixed-token-budget bins per shard
        → chunk survivors into 64-token training windows
 
 The verify stage is the load-bearing one: raw LSH candidates chain
@@ -88,6 +90,42 @@ def run(spark, sf_dir: str) -> dict:
     survivors = exact.join(losers, "doc_id", "left_anti")
     n_near = survivors.count()
 
+    # decontaminate: drop survivors sharing any 3-gram with the
+    # held-out eval shard (src0 stands in for the benchmark set)
+    full = t(spark, sf_dir, "documents")
+    eval_grams = (
+        doc_shingles(full.where(F.col("source") == "src0"), "text", 3)
+        .select("shingle")
+        .distinct()
+    )
+    train = survivors.join(
+        full.select("doc_id", "source"), "doc_id"
+    ).where(F.col("source") != "src0")
+    contaminated = (
+        doc_shingles(train, "text", 3)
+        .join(eval_grams, "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    n_clean = clean.count()
+
+    # pack the clean docs into 512-token bins, per source shard
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    packed = clean.select(
+        "doc_id", "source", "n_tokens",
+        F.floor(cum / 512).cast("long").alias("bin_id"),
+    )
+    n_bins = packed.select("source", "bin_id").distinct().count()
+    survivors = clean
+
     # chunk survivors into training windows
     chunks = survivors.select(
         "doc_id",
@@ -99,7 +137,8 @@ def run(spark, sf_dir: str) -> dict:
 
     return {
         "raw": n_raw, "after_exact": n_exact,
-        "after_near_dup": n_near, "chunks": n_chunks,
+        "after_near_dup": n_near, "after_decontam": n_clean,
+        "bins": n_bins, "chunks": n_chunks,
     }
 
 
@@ -111,7 +150,8 @@ def main() -> None:
     print(
         f"docs: {c['raw']} raw -> {c['after_exact']} after exact dedup "
         f"-> {c['after_near_dup']} after near-dup clustering "
-        f"-> {c['chunks']} training chunks"
+        f"-> {c['after_decontam']} after decontamination "
+        f"-> {c['bins']} packed bins, {c['chunks']} training chunks"
     )
 
 

@@ -99,6 +99,11 @@ def test_llm_corpus_pipeline_monotone_funnel(spark):
     c = run(spark, SF_SMOKE)
     assert c["raw"] >= c["after_exact"] >= c["after_near_dup"] > 0
     assert c["after_near_dup"] < c["raw"]  # planted dups were caught
+    # decontamination can only narrow further (eval shard + 3-gram
+    # overlap with it are both excluded), and packing bins every
+    # surviving doc
+    assert c["after_near_dup"] >= c["after_decontam"] > 0
+    assert c["bins"] > 0
     assert c["chunks"] > 0
 
 
