@@ -19,6 +19,7 @@ __all__ = [
     "stream_tumbling_window",
     "stream_hopping_window",
     "stream_tumbling_window_gapfill",
+    "stream_hopping_window_gapfill",
 ]
 
 
@@ -124,6 +125,129 @@ def stream_tumbling_window_gapfill(
             s += float(rowd[value_col])
         if widx is not None:
             state.update((widx, n, s))
+        yield pd.DataFrame(
+            {
+                key: [group_key[0]] * len(starts),
+                "window_start": pd.to_datetime(starts, unit="s"),
+                "n": ns,
+                "sum_value": sums,
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        df.select(F.col(key).cast("string").alias(key), ts, value_col)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def stream_hopping_window_gapfill(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    size_seconds: int,
+    hop_seconds: int,
+    value_col: str,
+) -> DataFrame:
+    """Live empty-HOP emission — streaming counterpart of
+    ``operators.windows.hopping_window(gap_fill=True)`` and of the
+    reference's hopping gap behavior (src/window.rs:147-163: hops the
+    stream skipped entirely still yield a record).
+
+    ``size`` must be an integer multiple of ``hop`` (k = size/hop).
+    Per-key state is a ring of the last k elementary hop-sized bucket
+    accumulators (idx, n, sum) plus the last emitted window index —
+    bounded at k entries per key regardless of event rate, because a
+    bucket aggregate (not the events) is what's buffered. A hopping
+    window w covers buckets [w, w+k-1]; it emits as soon as an event
+    lands in bucket ≥ w+k (its content can no longer change — events
+    are processed in event-time order per key, the reference's
+    stream-order assumption). Windows whose buckets are all absent
+    emit (n=0, sum_value=0.0). Trailing windows that are still open
+    when a bounded replay ends stay unemitted — the same
+    emit-on-progress contract as the tumbling variant (tests compare
+    against batch minus each key's incomplete tail).
+    """
+    if size_seconds % hop_seconds:
+        raise ValueError(
+            f"size ({size_seconds}s) must be an integer multiple of "
+            f"hop ({hop_seconds}s) for bucketed streaming gap-fill"
+        )
+    k = size_seconds // hop_seconds
+    out_schema = (
+        f"{key} string, window_start timestamp, n long, sum_value double"
+    )
+    state_schema = (
+        "last_emitted long, bidx array<long>, bn array<long>, bs array<double>"
+    )
+
+    def fn(group_key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            le_raw, bidx, bn, bs = state.get
+            last_emitted = None if le_raw is None else int(le_raw)
+            buckets = {
+                int(i): [int(n), float(s)]
+                for i, n, s in zip(bidx, bn, bs)
+            }
+        else:
+            last_emitted, buckets = None, {}
+        starts: list[int] = []
+        ns: list[int] = []
+        sums: list[float] = []
+
+        def emit_through(w_hi: int) -> None:
+            # emit every window w in (last_emitted, w_hi], in order
+            nonlocal last_emitted
+            for w in range(last_emitted + 1, w_hi + 1):
+                n = sum(buckets[b][0] for b in range(w, w + k) if b in buckets)
+                s = sum(buckets[b][1] for b in range(w, w + k) if b in buckets)
+                starts.append(w * hop_seconds)
+                ns.append(int(n))
+                sums.append(float(s))
+                last_emitted = w
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        whole = (
+            pd.concat(chunks).sort_values(ts) if chunks else pd.DataFrame()
+        )
+        for row in whole.itertuples(index=False):
+            rowd = row._asdict()
+            b = int(rowd[ts].timestamp()) // hop_seconds
+            if last_emitted is not None and b <= last_emitted:
+                # every window this event belongs to already emitted —
+                # drop (the watermarked-agg late-data contract)
+                continue
+            complete_hi = b - k  # windows ≤ this can no longer change
+            if buckets:
+                if last_emitted is None:
+                    # the grid starts at the earliest window containing
+                    # a seen bucket (matches the batch gap_fill grid)
+                    first_w = min(buckets) - k + 1
+                    if complete_hi >= first_w:
+                        last_emitted = first_w - 1
+                        emit_through(complete_hi)
+                elif complete_hi > last_emitted:
+                    emit_through(complete_hi)
+            cell = buckets.setdefault(b, [0, 0.0])
+            cell[0] += 1
+            cell[1] += float(rowd[value_col])
+            # prune buckets no unemitted window can reference
+            if last_emitted is not None:
+                for old in [x for x in buckets if x <= last_emitted]:
+                    del buckets[old]
+        items = sorted(buckets.items())
+        state.update((
+            last_emitted,
+            [i for i, _ in items],
+            [v[0] for _, v in items],
+            [v[1] for _, v in items],
+        ))
         yield pd.DataFrame(
             {
                 key: [group_key[0]] * len(starts),

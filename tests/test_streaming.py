@@ -444,6 +444,86 @@ def test_stream_tumbling_gapfill_matches_batch(spark, tmp_path):
     assert live == batch and len(live) >= 6
 
 
+def test_stream_hopping_gapfill_emits_empty_hops(spark, tmp_path):
+    """Reference src/window.rs:147-163 live: hops the stream skipped
+    emit n=0 rows; a window emits once a bucket ≥ w+k opens (its
+    content is then frozen). size=4s hop=2s (k=2)."""
+    src = tmp_path / "hgf_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        with open(src / name, "w") as f:
+            for kk, s, v in rows:
+                tss = (EPOCH + dt.timedelta(seconds=s)).strftime(
+                    "%Y-%m-%dT%H:%M:%S"
+                )
+                f.write(json.dumps({"key": kk, "ts": tss, "v": float(v)}) + "\n")
+
+    # buckets (2s): 0→b0, 1→b0, 5→b2, 13→b6
+    write_file("b0.json", [("a", 0, 1.0), ("a", 1, 2.0), ("a", 5, 4.0)])
+    stream = files.stream_files(spark, str(src), "json", SCHEMA)
+    out = swindows.stream_hopping_window_gapfill(stream, "key", "ts", 4, 2, "v")
+    q = writers.stream_to_memory(out, "hgf_out", "append")
+    q.processAllAvailable()
+    write_file("b1.json", [("a", 13, 8.0)])
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        int(r["window_start"].timestamp() - EPOCH.timestamp()):
+            (r["n"], r["sum_value"])
+        for r in spark.sql("select * from hgf_out").collect()
+    }
+    # grid starts at window index -1 (earliest window containing
+    # bucket 0); windows through index 4 freeze once bucket 6 opens
+    assert got[-2] == (2, 3.0)  # [-2,2): events at 0,1
+    assert got[0] == (2, 3.0)   # [0,4): events at 0,1
+    assert got[2] == (1, 4.0)   # [2,6): event at 5
+    assert got[4] == (1, 4.0)   # [4,8): event at 5
+    assert got[6] == (0, 0.0)   # [6,10): silent hop
+    assert got[8] == (0, 0.0)   # [8,12): silent hop
+    assert set(got) == {-2, 0, 2, 4, 6, 8}  # 10,12 still open
+
+
+def test_stream_hopping_gapfill_matches_batch(spark, tmp_path):
+    """Live hopping gap-fill == batch hopping_window(gap_fill=True)
+    restricted to each key's frozen windows (w ≤ max_bucket − k)."""
+    from rstreams_spark.operators import windows as bwindows
+
+    rows = [
+        ("a", 0, 1.0), ("a", 3, 2.0), ("a", 17, 3.0), ("a", 25, 4.0),
+        ("b", 2, 5.0), ("b", 21, 6.0),
+    ]
+    path = _write_batch(tmp_path, "hgf_par", rows)
+    stream = files.stream_files(spark, path, "json", SCHEMA)
+    out = swindows.stream_hopping_window_gapfill(stream, "key", "ts", 6, 3, "v")
+    q = writers.stream_to_memory(out, "hgf_par_out", "append")
+    _run(q)
+    live = {
+        (r["key"], int(r["window_start"].timestamp())): (r["n"], r["sum_value"])
+        for r in spark.sql("select * from hgf_par_out").collect()
+    }
+
+    batch_df = spark.createDataFrame(
+        [(kk, EPOCH + dt.timedelta(seconds=s), float(v)) for kk, s, v in rows],
+        "key string, ts timestamp, v double",
+    )
+    filled = bwindows.hopping_window(
+        batch_df, "key", "ts", "6 seconds", "3 seconds",
+        F.count("v").alias("n"), F.sum("v").alias("s"),
+        gap_fill=True,
+    )
+    max_bucket = {"a": 25 // 3, "b": 21 // 3}
+    k = 2
+    batch = {}
+    for r in filled.collect():
+        w_idx = int(r["window_start"].timestamp() - EPOCH.timestamp()) // 3
+        if w_idx <= max_bucket[r["key"]] - k:
+            batch[(r["key"], int(r["window_start"].timestamp()))] = (
+                r["n"] or 0, r["s"] or 0.0
+            )
+    assert live == batch and len(live) >= 10
+
+
 def test_rocksdb_state_store_restart_carries_state(spark, tmp_path):
     """Same restart contract as above but on the RocksDB state store
     provider (the disk-backed store you'd run at 100 TB key
