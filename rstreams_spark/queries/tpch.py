@@ -387,6 +387,82 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q8_TYPE = "LARGE"
+Q8_NATION = "NATION_1"
+Q8_REGION = "ASIA"
+
+
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (q8 shape): NATION_1's slice of LARGE-part
+    revenue sold into ASIA, by order year. The widest join in the
+    catalog — lineitem ⋈ part ⋈ orders ⋈ customer ⋈ nation ⋈ region
+    (customer side) ⋈ supplier ⋈ nation (supplier side) — with only
+    the genuine dims hinted; orders/customer shuffle. The share is a
+    ratio of two conditional sums in ONE aggregation pass, rounded
+    only at the aggregate (invariant #2).
+    """
+    part = t(spark, sf_dir, "part").where(F.col("p_type") == Q8_TYPE).select("p_partkey")
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == Q8_REGION)
+    nation_c = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rk")
+    )
+    nation_s = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    supplier = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    customer = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("supp_nation") == Q8_NATION, volume).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(F.sum(nation_vol) / F.sum(volume), 6).alias("mkt_share"),
+            F.round(F.sum(volume), 2).alias("total_volume"),
+        )
+    )
+
+
+Q15_START, Q15_END = "1997-01-01", "1997-04-01"
+
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (q15 shape): suppliers whose quarterly revenue
+    equals the maximum quarterly revenue — the correlated scalar-max
+    subquery done as a one-row aggregate broadcast back over the
+    per-supplier revenue frame (itself one shuffle of partial sums).
+    Equality on an UNROUNDED double is safe here because both sides
+    come from the same Spark aggregation — the max IS one of the
+    values; only the reported revenue is rounded.
+    """
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
+    )
+    supplier = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy(F.col("l_suppkey").alias("r_suppkey")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supplier), F.col("r_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("total_rev"), 2).alias("total_rev"),
+        )
+    )
+
+
 def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level totals in one pass: ROLLUP (status, priority) →
     per-(status,priority), per-status and grand-total rows with a
@@ -411,10 +487,10 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "orders_rollup": orders_rollup,
     "tpch_q1": tpch_q1, "tpch_q3": tpch_q3, "tpch_q4": tpch_q4, "tpch_q5": tpch_q5,
-    "tpch_q6": tpch_q6, "tpch_q7": tpch_q7, "tpch_q10": tpch_q10,
-    "tpch_q12": tpch_q12, "tpch_q13": tpch_q13, "tpch_q14": tpch_q14,
-    "tpch_q17": tpch_q17, "tpch_q18": tpch_q18, "tpch_q19": tpch_q19,
-    "tpch_q22": tpch_q22,
+    "tpch_q6": tpch_q6, "tpch_q7": tpch_q7, "tpch_q8": tpch_q8,
+    "tpch_q10": tpch_q10, "tpch_q12": tpch_q12, "tpch_q13": tpch_q13,
+    "tpch_q14": tpch_q14, "tpch_q15": tpch_q15, "tpch_q17": tpch_q17,
+    "tpch_q18": tpch_q18, "tpch_q19": tpch_q19, "tpch_q22": tpch_q22,
 }
 
 SQL_ORACLES = {
@@ -576,6 +652,37 @@ SQL_ORACLES = {
                and l_quantity between 10.0 and 60.0)
            or (p_brand = 'Brand#3' and p_size between 20 and 50
                and l_quantity between 20.0 and 80.0)
+    """,
+    "tpch_q8": f"""
+        select cast(year(o_orderdate) as bigint) as o_year,
+               round(sum(case when n2.n_name = '{Q8_NATION}'
+                         then l_extendedprice * (1 - l_discount)
+                         else 0.0 end)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) as mkt_share,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as total_volume
+        from lineitem
+        join part on l_partkey = p_partkey
+        join orders on l_orderkey = o_orderkey
+        join customer on o_custkey = c_custkey
+        join nation n1 on c_nationkey = n1.n_nationkey
+        join region on n1.n_regionkey = r_regionkey
+        join supplier on l_suppkey = s_suppkey
+        join nation n2 on s_nationkey = n2.n_nationkey
+        where p_type = '{Q8_TYPE}' and r_name = '{Q8_REGION}'
+        group by year(o_orderdate)
+    """,
+    "tpch_q15": f"""
+        with rev as (
+          select l_suppkey,
+                 sum(l_extendedprice * (1 - l_discount)) as total_rev
+          from lineitem
+          where l_shipdate >= timestamp '{Q15_START}'
+            and l_shipdate < timestamp '{Q15_END}'
+          group by l_suppkey
+        )
+        select s_suppkey, s_name, round(total_rev, 2) as total_rev
+        from rev join supplier on l_suppkey = s_suppkey
+        where total_rev = (select max(total_rev) from rev)
     """,
     "orders_rollup": """
         select o_orderstatus, o_orderpriority,

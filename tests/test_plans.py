@@ -102,6 +102,27 @@ def test_new_tpch_broadcast_discipline(spark):
             assert plans.count_sortmerge_joins(df) >= n_smj, key
 
 
+def test_q8_widest_join_discipline(spark):
+    """q8 (8-way join): exactly the 5 dim hints broadcast (part,
+    customer-nation, region, supplier, supplier-nation); the
+    orders/customer fact joins shuffle in the static plan."""
+    with _conf(spark, NO_AUTO_BHJ):
+        df = REGISTRY["tpch_q8"](spark, SF_SMOKE)
+        assert plans.count_broadcast_joins(df) == 5
+        assert plans.count_sortmerge_joins(df) >= 2
+
+
+def test_q15_scalar_max_broadcast(spark):
+    """q15: the one-row max broadcast + supplier dim hint are the
+    only joins — Catalyst rewrites the cross-join + equality filter
+    into a broadcast HASH join on total_rev (better than nested
+    loop); the revenue aggregation is the only wide stage."""
+    with _conf(spark, NO_AUTO_BHJ):
+        df = REGISTRY["tpch_q15"](spark, SF_SMOKE)
+        assert plans.count_broadcast_joins(df) == 2
+        assert plans.count_sortmerge_joins(df) == 0
+
+
 def test_q22_anti_join_shuffles_scalar_broadcasts(spark):
     """q22: the orders anti-join must shuffle (fact-sized side); the
     one-row balance threshold rides a broadcast nested-loop join."""
