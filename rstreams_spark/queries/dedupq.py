@@ -379,6 +379,32 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_meta(multimodal.with_binary_payload(docs))
 
 
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label per-dimension embedding statistics — the centroid /
+    distribution-profiling primitive behind IVF seeding, drift
+    monitoring and normalization checks.
+
+    One narrow posexplode (pipelines with the scan) then ONE groupBy
+    shuffle on (label, dim) whose cardinality is labels × dims —
+    tiny and fixed regardless of corpus size, with map-side partial
+    aggregation doing almost all the work. Sums/means are rounded at
+    the aggregate only (invariant #2); min/max are exact.
+    """
+    vecs = t(spark, sf_dir, "embeddings")
+    ex = vecs.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select("label", F.col("dim").cast("long").alias("dim"),
+             F.col("val").cast("double").alias("val"))
+    return ex.groupBy("label", "dim").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("val"), 4).alias("sum_val"),
+        F.round(F.avg("val"), 6).alias("mean_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
 DECON_N = 3  # word n-gram order (3 gives real signal on this corpus)
 DECON_EVAL_SOURCE = "src0"  # the held-out shard standing in for an eval set
 
@@ -428,6 +454,7 @@ QUERIES = {
     "minhash_lsh_topk": minhash_lsh_topk,
     "multimodal_meta": multimodal_meta,
     "decontaminate_ngrams": decontaminate_ngrams,
+    "embedding_dim_stats": embedding_dim_stats,
 }
 
 
@@ -669,5 +696,26 @@ SQL_ORACLES = {
         select doc_id, count(*) as n_shared
         from tr join ev using (shingle)
         group by doc_id
+    """,
+    "embedding_dim_stats": """
+        with ex0 as (
+          select label, embedding,
+                 unnest(range(1, len(embedding) + 1)) as i
+          from embeddings
+        ),
+        ex as (
+          select cast(label as bigint) as label,
+                 cast(i - 1 as bigint) as dim,
+                 embedding[i]::double as val
+          from ex0
+        )
+        select label, dim,
+               count(*) as n,
+               round(sum(val), 4) as sum_val,
+               round(avg(val), 6) as mean_val,
+               min(val) as min_val,
+               max(val) as max_val
+        from ex
+        group by label, dim
     """,
 }

@@ -219,6 +219,32 @@ def test_connected_components_star_deep_chain(spark):
     assert len(got) == 303
 
 
+def test_star_cc_equals_min_label_on_real_dup_graph(spark):
+    """Both CC algorithms produce the identical labeling on the
+    actual minhash-LSH dup graph (the graph dedup_clusters runs on) —
+    algorithm interchangeability proven on real candidate pairs, not
+    just synthetic edges."""
+    from conftest import SF_SMOKE
+
+    from rstreams_spark.functions.dedup import (
+        connected_components, connected_components_star, doc_shingles,
+        lsh_band_pairs, minhash_signature,
+    )
+    from rstreams_spark.queries._util import t as load
+    from rstreams_spark.queries.dedupq import BANDS, NUM_PERM
+
+    docs = load(spark, SF_SMOKE, "documents")
+    pairs = lsh_band_pairs(
+        minhash_signature(doc_shingles(docs, "text", 2), NUM_PERM),
+        NUM_PERM, BANDS,
+    ).localCheckpoint(eager=True)
+    a = {(r["node"], r["cluster_id"])
+         for r in connected_components(pairs).collect()}
+    b = {(r["node"], r["cluster_id"])
+         for r in connected_components_star(pairs).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_decode_image_gated_on_codec():
     """decode_image is a real PIL call when the codec exists, a clean
     NotImplementedError when it doesn't — same test green both ways."""
