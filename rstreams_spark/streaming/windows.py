@@ -20,6 +20,7 @@ __all__ = [
     "stream_hopping_window",
     "stream_tumbling_window_gapfill",
     "stream_hopping_window_gapfill",
+    "stream_session_window",
 ]
 
 
@@ -62,6 +63,30 @@ def stream_hopping_window(
     *aggs: Column, watermark: str = "10 minutes",
 ) -> DataFrame:
     return _stream_windowed(df, key, ts, size, hop, watermark, *aggs)
+
+
+def stream_session_window(
+    df: DataFrame, key: str | Sequence[str], ts: str, gap: str,
+    *aggs: Column, watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based session windows on a live stream — the streaming twin
+    of the batch ``session_window`` catalog entry. A session closes
+    (and, in append mode, emits) once the watermark passes its end +
+    gap; state per open session is one window struct + partial
+    aggregates, merged by the engine when late rows bridge sessions.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    out = (
+        df.withWatermark(ts, watermark)
+        .groupBy(*keys, F.session_window(F.col(ts), gap).alias("window"))
+        .agg(*aggs)
+    )
+    return out.select(
+        *keys,
+        F.col("window.start").alias("session_start"),
+        F.col("window.end").alias("session_end"),
+        *[c for c in out.columns if c not in (*keys, "window")],
+    )
 
 
 def stream_tumbling_window_gapfill(

@@ -524,6 +524,54 @@ def test_stream_hopping_gapfill_matches_batch(spark, tmp_path):
     assert live == batch and len(live) >= 10
 
 
+def test_stream_session_window_matches_batch(spark, tmp_path):
+    """Live session windows == the batch session_window operator on
+    the same replay, minus each key's final (still-open) session —
+    append mode emits a session once the watermark passes its end."""
+    from rstreams_spark.operators.windows import session_window
+
+    rows = [
+        ("a", 0, 1.0), ("a", 2, 2.0), ("a", 3, 3.0),   # session [0, 8)
+        ("a", 20, 4.0), ("a", 21, 5.0),                # session [20, 26)
+        ("b", 1, 6.0),                                 # session [1, 6)
+        ("a", 100, 9.0), ("b", 100, 9.0),              # open tails
+    ]
+    path = _write_batch(tmp_path, "sess", rows)
+    stream = files.stream_files(spark, path, "json", SCHEMA)
+    out = swindows.stream_session_window(
+        stream, "key", "ts", "5 seconds",
+        F.count("v").alias("n"), F.sum("v").alias("s"),
+        watermark="0 seconds",
+    )
+    q = writers.stream_to_memory(out, "sess_out", "append")
+    _run(q)
+    live = {
+        (r["key"], int(r["session_start"].timestamp()),
+         int(r["session_end"].timestamp())): (r["n"], r["s"])
+        for r in spark.sql("select * from sess_out").collect()
+    }
+
+    batch_df = spark.createDataFrame(
+        [(kk, EPOCH + dt.timedelta(seconds=s), float(v)) for kk, s, v in rows],
+        "key string, ts timestamp, v double",
+    )
+    bat = session_window(
+        batch_df, "key", "ts", "5 seconds",
+        F.count("v").alias("n"), F.sum("v").alias("s"),
+    )
+    from pyspark.sql import Window as W
+
+    last = W.partitionBy("key")
+    batch = {
+        (r["key"], int(r["session_start"].timestamp()),
+         int(r["session_end"].timestamp())): (r["n"], r["s"])
+        for r in bat.withColumn(
+            "__last", F.max("session_start").over(last)
+        ).where(F.col("session_start") < F.col("__last")).collect()
+    }
+    assert live == batch and len(live) == 3
+
+
 def test_rocksdb_state_store_restart_carries_state(spark, tmp_path):
     """Same restart contract as above but on the RocksDB state store
     provider (the disk-backed store you'd run at 100 TB key
