@@ -624,6 +624,62 @@ def test_rocksdb_state_store_restart_carries_state(spark, tmp_path):
     )
 
 
+def test_tws_lag_window_matches_applyinpandas(spark, tmp_path):
+    """transformWithStateInPandas lag buffer (Spark 4.x state API,
+    RocksDB-required) produces the SAME rows as the
+    applyInPandasWithState implementation on the same replay —
+    the forward path proven equivalent to the portable floor.
+    Skips when protobuf (the state-server protocol dependency) is
+    absent; the construction-time guard is still asserted."""
+    import pytest as _pytest
+
+    from rstreams_spark.streaming.state import rocksdb_state
+    from rstreams_spark.streaming.tws import (
+        HAS_TWS_RUNTIME, stream_lag_window_tws,
+    )
+
+    if not HAS_TWS_RUNTIME:
+        stream = files.stream_files(
+            spark, _write_batch(tmp_path, "twsg", [("a", 1, 1.0)]),
+            "json", SCHEMA,
+        )
+        with _pytest.raises(ImportError, match="protobuf"):
+            stream_lag_window_tws(stream, "key", "ts", 2, "v")
+        _pytest.skip("protobuf not installed — tws runtime unavailable")
+
+    rows = [
+        ("a", 0, 1.0), ("a", 1, 2.0), ("a", 2, 3.0), ("a", 5, 4.0),
+        ("b", 1, 7.0), ("b", 4, 8.0),
+    ]
+    path = _write_batch(tmp_path, "tws", rows)
+
+    def collect(factory, name):
+        stream = files.stream_files(spark, path, "json", SCHEMA)
+        out = factory(stream)
+        q = writers.stream_to_memory(out, name, "append")
+        _run(q)
+        return sorted(
+            (r["key"], int(r["ts"].timestamp() - EPOCH.timestamp()),
+             tuple(r["values"]))
+            for r in spark.sql(f"select * from {name}").collect()
+        )
+
+    with rocksdb_state(spark):
+        new = collect(
+            lambda s: stream_lag_window_tws(s, "key", "ts", 2, "v"),
+            "tws_out",
+        )
+    old = collect(
+        lambda s: stateful.stream_lag_window(s, "key", "ts", 2, "v"),
+        "aip_out",
+    )
+    assert new == old
+    assert new == [
+        ("a", 1, (1.0, 2.0)), ("a", 2, (2.0, 3.0)), ("a", 5, (3.0, 4.0)),
+        ("b", 4, (7.0, 8.0)),
+    ]
+
+
 def test_stream_hopping_window(spark, tmp_path):
     path = _write_batch(tmp_path, "hop", [("a", 0, 1), ("a", 1, 2), ("a", 5, 4)])
     stream = files.stream_files(spark, path, "json", SCHEMA)
