@@ -28,7 +28,8 @@ HEADLINERS = [
     "wordcount", "hopping_window", "session_window", "candles",
     "candles_rollup", "range_band_count",
     "interval_join", "latest_per_key", "value_percentiles",
-    "asof_enrich", "pattern_followed_by", "cohort_retention", "twap_daily",
+    "asof_enrich", "pattern_followed_by", "funnel_3step",
+    "cohort_retention", "twap_daily",
     "tumbling_window_gapfill",
     "dedup_minhash", "dedup_simhash", "dedup_clusters", "minhash_lsh_topk",
     "doc_chunks", "embedding_quantize", "decontaminate_ngrams",

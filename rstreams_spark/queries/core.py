@@ -542,6 +542,60 @@ def pattern_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEP_WINDOW = "7 days"
+
+
+def funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step conversion funnel (view → click → purchase), each
+    step strictly after the previous and within FUNNEL_STEP_WINDOW —
+    the n-step generalization of pattern_followed_by. Greedy-earliest
+    semantics: the user's FIRST view anchors the funnel, then the
+    first qualifying click, then the first qualifying purchase.
+
+    Scale shape: three per-user aggregations, all shuffled on the
+    same user_id key (the exchanges reuse the partitioning; no
+    re-keying), each joined back by user — never an event-level
+    multi-way join. Timestamps only, so cross-engine parity is
+    exact (no FP)."""
+    ev = t(spark, sf_dir, "events")
+    band = F.expr(f"INTERVAL {FUNNEL_STEP_WINDOW}")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .join(
+            views,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") > F.col("t_view"))
+            & (F.col("c_ts") <= F.col("t_view") + band),
+        )
+        .groupBy("user_id", "t_view")
+        .agg(F.min("c_ts").alias("t_click"))
+    )
+    funnels = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .join(
+            clicks,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("t_click"))
+            & (F.col("p_ts") <= F.col("t_click") + band),
+        )
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min("p_ts").alias("t_purchase"))
+    )
+    return funnels.select(
+        "user_id",
+        epoch(F.col("t_view")).alias("t_view_epoch"),
+        epoch(F.col("t_click")).alias("t_click_epoch"),
+        epoch(F.col("t_purchase")).alias("t_purchase_epoch"),
+    )
+
+
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-seen day;
     for each (cohort_day, day_offset) the distinct users active
@@ -663,6 +717,7 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "salted_sum": salted_sum,
     "pattern_followed_by": pattern_followed_by,
+    "funnel_3step": funnel_3step,
     "cohort_retention": cohort_retention,
     "twap_daily": twap_daily,
     "value_histogram": value_histogram,
@@ -998,6 +1053,33 @@ SQL_ORACLES = {
                buy_id,
                {SQL_EPOCH.format(c='buy_ts')} as buy_ts_epoch
         from ranked where rn = 1
+    """,
+    "funnel_3step": f"""
+        with v as (
+          select user_id, min(ts) as t_view
+          from events where event_type = 'view' group by user_id
+        ),
+        c as (
+          select e.user_id, v.t_view, min(e.ts) as t_click
+          from events e join v on e.user_id = v.user_id
+          where e.event_type = 'click'
+            and e.ts > v.t_view
+            and e.ts <= v.t_view + interval 7 days
+          group by e.user_id, v.t_view
+        ),
+        p as (
+          select e.user_id, c.t_view, c.t_click, min(e.ts) as t_purchase
+          from events e join c on e.user_id = c.user_id
+          where e.event_type = 'purchase'
+            and e.ts > c.t_click
+            and e.ts <= c.t_click + interval 7 days
+          group by e.user_id, c.t_view, c.t_click
+        )
+        select user_id,
+               {SQL_EPOCH.format(c='t_view')} as t_view_epoch,
+               {SQL_EPOCH.format(c='t_click')} as t_click_epoch,
+               {SQL_EPOCH.format(c='t_purchase')} as t_purchase_epoch
+        from p
     """,
     "cohort_retention": f"""
         with seen as (
