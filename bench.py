@@ -82,6 +82,7 @@ def main() -> None:
 
     import bench_streaming
     streaming = bench_streaming.measure(spark)
+    streaming.update(bench_streaming.measure_stateful(spark))
     print(f"# streaming: {streaming}", file=sys.stderr)
 
     print(json.dumps({

@@ -82,12 +82,71 @@ def measure(spark, offered: int = OFFERED_ROWS_PER_SEC,
     }
 
 
+STATEFUL_OFFERED = 2_000_000  # Python/Arrow path; capacity ≪ JVM agg
+
+
+def measure_stateful(spark, offered: int = STATEFUL_OFFERED,
+                     min_batches: int = MIN_BATCHES,
+                     max_wait: float = MAX_WAIT_SECONDS) -> dict:
+    """Throughput of the Arrow-stateful path (applyInPandasWithState
+    lag buffer over 100 keys) — the honest Python-side number to set
+    against the JVM windowed-agg rate. The gap (~5-10×) is the price
+    of per-row Python state logic even Arrow-batched; operators that
+    CAN be JVM aggregations should be (and in this engine are)."""
+    from pyspark.sql import functions as F
+
+    from rstreams_spark.sources.files import stream_rate
+    from rstreams_spark.streaming.stateful import stream_lag_window
+
+    src = (
+        stream_rate(spark, offered)
+        .withColumn("key", (F.col("value") % 100).cast("string"))
+        .withColumn("v", F.col("value").cast("double"))
+    )
+    out = stream_lag_window(
+        src.select("key", F.col("timestamp").alias("ts"), "v"),
+        "key", "ts", 2, "v",
+    )
+    import shutil
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="bench_stream_state_ckpt_")
+    q = (
+        out.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.perf_counter() + max_wait
+        while (
+            len([p for p in q.recentProgress if p is not None]) < min_batches
+            and time.perf_counter() < deadline
+        ):
+            time.sleep(0.25)
+        progresses = [p for p in q.recentProgress if p is not None]
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    busy_ms = sum(
+        p["durationMs"]["triggerExecution"] for p in progresses[1:]
+    )
+    warm_rows = sum(p["numInputRows"] for p in progresses[1:])
+    rate = (warm_rows / (busy_ms / 1000.0)) if busy_ms else 0.0
+    return {
+        "stateful_offered_rows_per_sec": offered,
+        "stateful_processed_rows_per_sec": round(rate),
+        "stateful_batches": len(progresses),
+    }
+
+
 def main() -> None:
     from rstreams_spark.session import get_spark
 
     spark = get_spark("bench-streaming")
     spark.sparkContext.setLogLevel("ERROR")
     out = measure(spark)
+    out.update(measure_stateful(spark))
     print(json.dumps({
         "metric": "streaming_processed_rows_per_sec",
         "value": out["processed_rows_per_sec"],
