@@ -70,29 +70,57 @@ def main() -> None:
             run(REGISTRY[name](spark, warm_dir))
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINERS:
-        n = REGISTRY[name](spark, sf_dir).count()  # untimed: row sanity
-        best = float("inf")
-        for _ in range(2):  # min-of-2: absorb scheduler/GC jitter
-            start = time.perf_counter()
-            run(REGISTRY[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - start)
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        try:
+            n = REGISTRY[name](spark, sf_dir).count()  # untimed: row sanity
+            best = float("inf")
+            for _ in range(2):  # min-of-2: absorb scheduler/GC jitter
+                start = time.perf_counter()
+                run(REGISTRY[name](spark, sf_dir))
+                best = min(best, time.perf_counter() - start)
+            times[name] = round(best, 3)
+            print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:  # one broken query must not kill the artifact
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
 
-    import bench_streaming
-    streaming = bench_streaming.measure(spark)
-    streaming.update(bench_streaming.measure_stateful(spark))
+    # streaming rides along but must never sink the artifact: r02's
+    # BENCH JSON was unparseable because a state-store teardown stack
+    # drowned the (single) output line — measure defensively and emit
+    # the JSON unconditionally afterwards
+    streaming: dict = {}
+    try:
+        import bench_streaming
+        streaming = bench_streaming.measure(spark)
+    except Exception as exc:
+        streaming["err"] = f"{type(exc).__name__}: {exc}"[:300]
+    try:
+        import bench_streaming
+        streaming.update(bench_streaming.measure_stateful(spark))
+    except Exception as exc:
+        streaming["stateful_err"] = f"{type(exc).__name__}: {exc}"[:300]
     print(f"# streaming: {streaming}", file=sys.stderr)
 
-    print(json.dumps({
+    payload = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "streaming": streaming,
-    }))
+    }
+    if errors:
+        payload["errors"] = errors
+    sys.stderr.flush()
+    time.sleep(0.5)  # let straggling JVM log lines land before the JSON
+    # leading newline: if an interleaved JVM log line left an unterminated
+    # stdout fragment, the JSON still starts at column 0 of its own line
+    sys.stdout.write("\n" + json.dumps(payload) + "\n")
+    sys.stdout.flush()
+    # skip Python/JVM teardown entirely: shutdown-hook stacks (state
+    # store abort noise) must not interleave after the JSON line
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -66,6 +66,10 @@ def measure(spark, offered: int = OFFERED_ROWS_PER_SEC,
         progresses = [p for p in q.recentProgress if p is not None]
     finally:
         q.stop()
+        try:  # drain before deleting state dir (see measure_stateful)
+            q.awaitTermination(30)
+        except Exception:
+            pass
         shutil.rmtree(ckpt, ignore_errors=True)
     rows = sum(p["numInputRows"] for p in progresses)
     # skip the cold first batch: it pays codegen + state-store init
@@ -82,24 +86,33 @@ def measure(spark, offered: int = OFFERED_ROWS_PER_SEC,
     }
 
 
-STATEFUL_OFFERED = 2_000_000  # Python/Arrow path; capacity ≪ JVM agg
+# Python/Arrow path; capacity ≪ JVM agg. 2M/batch amortizes per-trigger
+# overhead (400k/batch reads 220k rows/s, 2M/batch the true ~700k) and
+# still completes 4 batches in ~12 s — far inside MAX_WAIT_SECONDS.
+STATEFUL_ROWS_PER_BATCH = 2_000_000
 
 
-def measure_stateful(spark, offered: int = STATEFUL_OFFERED,
+def measure_stateful(spark, rows_per_batch: int = STATEFUL_ROWS_PER_BATCH,
                      min_batches: int = MIN_BATCHES,
                      max_wait: float = MAX_WAIT_SECONDS) -> dict:
     """Throughput of the Arrow-stateful path (applyInPandasWithState
     lag buffer over 100 keys) — the honest Python-side number to set
     against the JVM windowed-agg rate. The gap (~5-10×) is the price
     of per-row Python state logic even Arrow-batched; operators that
-    CAN be JVM aggregations should be (and in this engine are)."""
+    CAN be JVM aggregations should be (and in this engine are).
+
+    Uses ``rate-micro-batch`` (fixed rows/batch), not ``rate``: with
+    an offered rate above capacity the plain rate source's backlog
+    balloons every batch (each trigger swallows the accumulated lag),
+    so N batches never complete inside the wait window — which is
+    exactly how r02's artifact lost its stateful number."""
     from pyspark.sql import functions as F
 
-    from rstreams_spark.sources.files import stream_rate
+    from rstreams_spark.sources.files import stream_rate_micro_batch
     from rstreams_spark.streaming.stateful import stream_lag_window
 
     src = (
-        stream_rate(spark, offered)
+        stream_rate_micro_batch(spark, rows_per_batch, num_partitions=8)
         .withColumn("key", (F.col("value") % 100).cast("string"))
         .withColumn("v", F.col("value").cast("double"))
     )
@@ -127,6 +140,12 @@ def measure_stateful(spark, offered: int = STATEFUL_OFFERED,
         progresses = [p for p in q.recentProgress if p is not None]
     finally:
         q.stop()
+        try:  # drain the stream thread before deleting its state dir —
+            # rmtree under a live HDFSBackedStateStore is the abort-stack
+            # noise that drowned r02's bench JSON
+            q.awaitTermination(30)
+        except Exception:
+            pass
         shutil.rmtree(ckpt, ignore_errors=True)
     busy_ms = sum(
         p["durationMs"]["triggerExecution"] for p in progresses[1:]
@@ -134,7 +153,7 @@ def measure_stateful(spark, offered: int = STATEFUL_OFFERED,
     warm_rows = sum(p["numInputRows"] for p in progresses[1:])
     rate = (warm_rows / (busy_ms / 1000.0)) if busy_ms else 0.0
     return {
-        "stateful_offered_rows_per_sec": offered,
+        "stateful_rows_per_batch": rows_per_batch,
         "stateful_processed_rows_per_sec": round(rate),
         "stateful_batches": len(progresses),
     }

@@ -3,12 +3,14 @@
 Images/audio/video ride as opaque ``binary`` columns with typed
 metadata. The Spark-side shape is real and tested — schema, Arrow
 batch flow through ``mapInPandas``, partition-preserving transforms.
-The codec step is OPTIONAL: when PIL is importable (``HAS_PIL``),
-``decode_image``/``resize_images`` run the real codec per payload and
-fall back per-row to the deterministic byte-derived stub for
-undecodable payloads; without PIL everything uses the stub, so the
-same tests pass in both environments and the synthetic (text-bytes)
-corpus always takes the deterministic path.
+
+Metadata extraction is REAL for PNG/JPEG/GIF/BMP payloads via the
+pure-Python container-header probe (``imagehdr.probe_image``, no
+codec library needed). Full pixel decode remains codec-gated: when
+PIL is importable (``HAS_PIL``), ``decode_image``/``resize_images``
+run the real codec per payload; otherwise (and for undecodable
+payloads) the deterministic byte-derived stub keeps the pipeline
+shape testable — same tests green in both environments.
 """
 
 from __future__ import annotations
@@ -20,6 +22,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .imagehdr import probe_image
 
 try:  # optional codec: absent in this container, real on full images
     from PIL import Image as _PILImage
@@ -35,8 +39,8 @@ __all__ = [
 ]
 
 META_SCHEMA = (
-    "doc_id bigint, n_bytes int, magic string, "
-    "fake_width int, fake_height int, content_sha1 string"
+    "doc_id bigint, n_bytes int, magic string, format string, "
+    "width int, height int, content_sha1 string"
 )
 
 
@@ -66,17 +70,25 @@ def _fake_decode_meta(payload: bytes) -> tuple[int, int]:
     return 16 + digest[0] % 64, 16 + digest[1] % 64
 
 
-def _decode_dims(payload: bytes) -> tuple[int, int]:
-    """Real dims when a codec exists AND the payload decodes; the
-    deterministic stub otherwise (so synthetic text-bytes corpora
-    behave identically with or without PIL installed)."""
+def _decode_dims(payload: bytes) -> tuple[str | None, int, int]:
+    """``(format, width, height)``. Order of authority: the
+    pure-Python container-header probe (always available, covers
+    PNG/JPEG/GIF/BMP), then PIL when importable (other formats),
+    then the deterministic byte-derived stub (format=None) — so
+    synthetic text-bytes corpora behave identically with or without
+    PIL installed, and real image payloads get REAL metadata even in
+    codec-less containers."""
+    probed = probe_image(payload)
+    if probed is not None:
+        return probed
     if HAS_PIL:
         try:
             w, h, _ = decode_image(payload)
-            return w, h
+            return "pil", w, h
         except Exception:
             pass
-    return _fake_decode_meta(payload)
+    w, h = _fake_decode_meta(payload)
+    return None, w, h
 
 
 RESIZE_SCHEMA = "doc_id bigint, width int, height int, thumb binary, thumb_sha1 string"
@@ -174,8 +186,9 @@ def extract_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "doc_id": pdf[id_col],
                     "n_bytes": [len(p) for p in payloads],
                     "magic": [bytes(p[:4]).hex() for p in payloads],
-                    "fake_width": [d[0] for d in dims],
-                    "fake_height": [d[1] for d in dims],
+                    "format": [d[0] for d in dims],
+                    "width": [d[1] for d in dims],
+                    "height": [d[2] for d in dims],
                     "content_sha1": [hashlib.sha1(p).hexdigest() for p in payloads],
                 }
             )

@@ -375,6 +375,13 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata pass: pure-Python container-header
+    probe (real format/width/height for PNG/JPEG/GIF/BMP payloads),
+    deterministic stub for non-image bytes — the synthetic corpus is
+    text-bytes, so this sf run exercises the stub path end-to-end
+    while tests/test_functions.py asserts byte-exact real metadata on
+    crafted image fixtures. Rows-only check by design (mapInPandas
+    metadata pass has no SQL twin)."""
     docs = t(spark, sf_dir, "documents")
     return multimodal.extract_meta(multimodal.with_binary_payload(docs))
 

@@ -265,8 +265,37 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time exact dedup (SURVEY §2 #33): treat 3/4 of the
+    corpus (doc_id % 4 != 0) as the already-ingested seen-fingerprint
+    table and the remaining 1/4 as today's batch; keep batch docs
+    whose content fingerprint is new both to the corpus and within
+    the batch (min doc_id wins). Day-2 shape of ``dedup_exact``:
+    |batch| scan + one fp-keyed anti-join instead of a corpus rescan.
+
+    Reference parity: same seen-table semantics as rerunning the
+    reference's exact-dedup over corpus+batch and diffing, without
+    the rescan (CallistoLabsNYC/rstreams has no incremental variant;
+    this is the scale-mandated extension).
+    """
+    from ..functions.dedup import incremental_dedup_exact as _inc
+
+    docs = t(spark, sf_dir, "documents")
+    seen_fps = (
+        docs.filter(F.col("doc_id") % 4 != 0)
+        .select(md5_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    fresh, _fresh_fps = _inc(batch, seen_fps)
+    return fresh.select(
+        "doc_id", md5_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "incremental_dedup_exact": incremental_dedup_exact,
     "text_redact": text_redact,
     "doc_fingerprint": doc_fingerprint,
     "token_count": token_count,
@@ -291,6 +320,19 @@ SQL_ORACLES = {
         select doc_id, clean_text,
                cast(length(text) - length(clean_text) as bigint) as bytes_removed
         from r
+    """,
+    "incremental_dedup_exact": f"""
+        with fp as (select doc_id, md5({_NORM}) as fingerprint from documents),
+        seen as (select distinct fingerprint from fp where doc_id % 4 != 0),
+        batch as (select * from fp where doc_id % 4 = 0),
+        first as (
+          select fingerprint, min(doc_id) as doc_id
+          from batch group by fingerprint
+        )
+        select doc_id, fingerprint from first f
+        where not exists (
+          select 1 from seen s where s.fingerprint = f.fingerprint
+        )
     """,
     "dedup_exact": f"""
         with fp as (select doc_id, md5({_NORM}) as fingerprint from documents),

@@ -75,6 +75,28 @@ def stream_rate(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     )
 
 
+def stream_rate_micro_batch(
+    spark: SparkSession, rows_per_batch: int, num_partitions: int | None = None,
+) -> DataFrame:
+    """Synthetic stream with a FIXED batch size (timestamp, value).
+
+    Unlike ``rate``, whose backlog balloons batch sizes when the
+    offered rate exceeds engine capacity (each trigger swallows the
+    accumulated lag, so slow pipelines see ever-growing batches and
+    never finish N batches in bounded time), ``rate-micro-batch``
+    emits exactly ``rows_per_batch`` rows per trigger — the right
+    source for measuring per-row capacity of a slow (Python-state)
+    path.
+    """
+    r = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+    )
+    if num_partitions is not None:
+        r = r.option("numPartitions", num_partitions)
+    return r.load()
+
+
 TABLES = (
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

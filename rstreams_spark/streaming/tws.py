@@ -17,8 +17,10 @@ time instead of a crashed driver worker mid-query;
 ``HAS_TWS_RUNTIME`` is the probe (same optional-dependency gating
 pattern as the PIL codec in functions/multimodal.py).
 
-Reference parity target: lag_window (src/window.rs:9-40), same
-contract as ``stateful.stream_lag_window``.
+Reference parity targets: lag_window (src/window.rs:9-40),
+strat_classify (example/stocks.rs classify_candle_strat), Table
+changelog (src/table.rs:15-44), StreamExt::timeout silence detection
+— each the same contract as its ``stateful.py`` twin.
 """
 
 from __future__ import annotations
@@ -41,7 +43,11 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["stream_lag_window_tws", "HAS_TWS_RUNTIME"]
+__all__ = [
+    "stream_lag_window_tws", "stream_strat_classify_tws",
+    "stream_latest_per_key_tws", "stream_gap_detect_tws",
+    "HAS_TWS_RUNTIME",
+]
 
 try:  # the JVM↔Python state protocol needs protobuf at runtime
     from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
@@ -49,6 +55,16 @@ try:  # the JVM↔Python state protocol needs protobuf at runtime
     HAS_TWS_RUNTIME = True
 except ImportError:
     HAS_TWS_RUNTIME = False
+
+
+def _require_tws() -> None:
+    if not HAS_TWS_RUNTIME:
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(Spark's Python state-server protocol); it is not "
+            "installed — use the streaming.stateful "
+            "applyInPandasWithState equivalent"
+        )
 
 
 class _LagProcessor(StatefulProcessor):

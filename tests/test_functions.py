@@ -267,8 +267,104 @@ def test_multimodal_meta_deterministic(spark):
     assert got["n_bytes"] == 5
     assert got["content_sha1"] == hashlib.sha1(b"hello").hexdigest()
     digest = hashlib.sha1(b"hello").digest()
-    assert got["fake_width"] == 16 + digest[0] % 64
+    assert got["format"] is None  # text payload: stub path
+    assert got["width"] == 16 + digest[0] % 64
     assert got["magic"] == b"hell".hex()
+
+
+def _png_bytes(width: int, height: int) -> bytes:
+    """A complete, spec-valid grayscale PNG built with stdlib only
+    (signature + IHDR + IDAT of zlib'd scanlines + IEND, real CRCs)."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _gif_bytes(width: int, height: int) -> bytes:
+    import struct
+
+    return (
+        b"GIF89a" + struct.pack("<HH", width, height)
+        + b"\x00\x00\x00" + b"\x3b"  # no GCT, trailer
+    )
+
+
+def _bmp_bytes(width: int, height: int) -> bytes:
+    import struct
+
+    row = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+    pixels = bytes(row * height)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                    len(pixels), 2835, 2835, 0, 0)
+    return header + pixels
+
+
+def _jpeg_header_bytes(width: int, height: int) -> bytes:
+    """SOI + APP0/JFIF + SOF0 frame header (enough of ITU-T T.81 for
+    dimension probing; not a full decodable scan)."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof0)) + sof0
+    )
+
+
+def test_probe_image_formats():
+    from rstreams_spark.functions.imagehdr import probe_image
+
+    assert probe_image(_png_bytes(640, 480)) == ("png", 640, 480)
+    assert probe_image(_gif_bytes(32, 17)) == ("gif", 32, 17)
+    assert probe_image(_bmp_bytes(11, 7)) == ("bmp", 11, 7)
+    assert probe_image(_jpeg_header_bytes(1920, 1080)) == ("jpeg", 1920, 1080)
+    assert probe_image(b"plain text payload") is None
+    assert probe_image(b"\x89PNG\r\n\x1a\n") is None  # truncated
+    assert probe_image(b"") is None
+
+
+def test_extract_meta_real_image_payloads(spark):
+    """Real (non-stub) metadata lands through the full Spark path for
+    actual image containers, byte-exact, while non-image payloads in
+    the same frame keep the deterministic stub — the honest mixed
+    corpus case."""
+    rows = [
+        Row(doc_id=1, payload=bytearray(_png_bytes(640, 480))),
+        Row(doc_id=2, payload=bytearray(_gif_bytes(32, 17))),
+        Row(doc_id=3, payload=bytearray(_jpeg_header_bytes(1920, 1080))),
+        Row(doc_id=4, payload=bytearray(_bmp_bytes(11, 7))),
+        Row(doc_id=5, payload=bytearray(b"not an image")),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.extract_meta(spark.createDataFrame(rows)).collect()
+    }
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("png", 640, 480)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("gif", 32, 17)
+    assert (got[3]["format"], got[3]["width"], got[3]["height"]) == ("jpeg", 1920, 1080)
+    assert (got[4]["format"], got[4]["width"], got[4]["height"]) == ("bmp", 11, 7)
+    assert got[5]["format"] is None
+    digest = hashlib.sha1(b"not an image").digest()
+    assert got[5]["width"] == 16 + digest[0] % 64
+    assert got[1]["content_sha1"] == hashlib.sha1(_png_bytes(640, 480)).hexdigest()
 
 
 def test_decode_image_is_stubbed():
