@@ -280,10 +280,16 @@ def minhash_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     sh = doc_shingles(docs, "text", 2)
     # signature AND hash set from ONE groupBy over ONE shingle
-    # explode (with_hash_set) — the shared exchange below the agg is
-    # reused across the candidate and verify branches instead of
-    # shingling the corpus twice
-    sig = minhash_signature(sh, NUM_PERM, with_hash_set=True)
+    # explode (with_hash_set), then persist(): the frame feeds THREE
+    # consumers (band pairs + both verify sides) whose pruned
+    # aggregates don't canonicalize equal, so without materialization
+    # Catalyst re-scans and re-shingles the corpus three times
+    # (measured: 3 FileScans, 0 ReusedExchange). One cached
+    # computation serves all branches — the single-node analog of
+    # materializing the signature table, which is exactly what a
+    # petabyte minhash pipeline does between its shingle and verify
+    # stages.
+    sig = minhash_signature(sh, NUM_PERM, with_hash_set=True).persist()
     cands = lsh_band_pairs(sig, NUM_PERM, BANDS)
     # exact-verify ONLY candidate pairs — that is the point of LSH.
     # Per-doc shingle sets ride as arrays of 60-bit HASHES (8-byte

@@ -310,3 +310,14 @@ def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("drop table if exists ev_bkt_a")
         spark.sql("drop table if exists ev_bkt_b")
+
+
+def test_minhash_lsh_topk_signature_reused(spark):
+    """The signature frame feeds three consumers (band pairs + both
+    verify sides); it must be served from ONE materialized
+    computation — without persist() Catalyst's per-branch pruning
+    de-canonicalizes the agg and the corpus is scanned+shingled
+    three times."""
+    df = REGISTRY["minhash_lsh_topk"](spark, SF_SMOKE)
+    txt = plans.explain_str(df)
+    assert txt.count("InMemoryTableScan") >= 3
