@@ -484,8 +484,115 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q9_PART = "widget"
+Q16_SIZES = [1, 3, 9, 14, 19, 23, 36, 45]
+
+
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit rollup (q9 shape, adapted: no partsupp in
+    the driver schema, so supply cost is a retail-price fraction).
+    The widest join in the set — two fact tables (lineitem, orders)
+    plus three broadcast dims — grouped by nation × order-year.
+    Fact sides stay shuffle-joined (linear in SF); part/supplier/
+    nation ride broadcasts.
+    """
+    part = t(spark, sf_dir, "part").where(
+        F.col("p_name").contains(Q9_PART)
+    ).select("p_partkey", "p_retailprice")
+    supplier = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.5
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    # signed terms cancel, so the double sum's accumulation-order
+    # error (~1e-4 here) dwarfs the 2dp rounding window and the
+    # engines WILL disagree at boundaries. The base columns are 1-2dp
+    # → per-row profit is exact at ≤4dp → casting the (bit-identical)
+    # double to decimal(38,6) recovers the exact value in both
+    # engines, and decimal sums are order-independent. All-positive
+    # sums (q1 etc.) don't need this: their relative error ~1e-12
+    # never reaches the boundary.
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(profit.cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock value (q11 shape, adapted: lineitem volume
+    stands in for partsupp stock; the cut is 2× the average per-part
+    value, which keeps selectivity SF-independent — TPC-H's
+    fraction/SF scaling, restated). The threshold is a 1-row scalar
+    aggregate broadcast across the per-part frame
+    (BroadcastNestedLoopJoin — same pattern as q22's scalar avg), so
+    the fact table is scanned and aggregated exactly once per side;
+    no driver-side collect.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    # exact decimal sums (2dp per-row products) so the threshold
+    # comparison below is bit-identical across engines; the cut
+    # itself is multiplication-only (2·v·n > 3·total ⟺ v > 1.5·avg)
+    # to keep even the threshold free of division rounding
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+                "decimal(38,6)"
+            )
+        ).alias("__value")
+    )
+    total = pv.agg(
+        F.sum("__value").alias("__total"), F.count("*").alias("__cnt")
+    )
+    return (
+        pv.join(F.broadcast(total))
+        .where(
+            F.col("__value") * F.lit(2) * F.col("__cnt")
+            > F.col("__total") * F.lit(3)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("__value"), 2).cast("double").alias("value"),
+        )
+    )
+
+
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-count by part attribute (q16 shape, adapted:
+    lineitem is the part↔supplier link instead of partsupp). The
+    distinct-aggregate shuffles once on the group key after the
+    broadcast part join; count(distinct) expands internally to a
+    two-phase exact aggregation — no approx sketch, same result as
+    the oracle's count(distinct).
+    """
+    part = t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").startswith("SMALL"))
+        & (F.col("p_size").isin(Q16_SIZES))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 QUERIES = {
     "orders_rollup": orders_rollup,
+    "tpch_q9": tpch_q9, "tpch_q11": tpch_q11, "tpch_q16": tpch_q16,
     "tpch_q1": tpch_q1, "tpch_q3": tpch_q3, "tpch_q4": tpch_q4, "tpch_q5": tpch_q5,
     "tpch_q6": tpch_q6, "tpch_q7": tpch_q7, "tpch_q8": tpch_q8,
     "tpch_q10": tpch_q10, "tpch_q12": tpch_q12, "tpch_q13": tpch_q13,
@@ -494,6 +601,42 @@ QUERIES = {
 }
 
 SQL_ORACLES = {
+    "tpch_q9": f"""
+        select n_name as nation,
+               cast(year(o_orderdate) as bigint) as o_year,
+               cast(round(sum(cast(
+                 l_extendedprice * (1 - l_discount)
+                 - 0.5 * p_retailprice * l_quantity as decimal(38,6))), 2)
+                 as double) as sum_profit
+        from lineitem
+        join part on l_partkey = p_partkey
+        join supplier on l_suppkey = s_suppkey
+        join nation on s_nationkey = n_nationkey
+        join orders on l_orderkey = o_orderkey
+        where contains(p_name, '{Q9_PART}')
+        group by n_name, year(o_orderdate)
+    """,
+    "tpch_q11": """
+        with pv as (
+          select l_partkey,
+                 sum(cast(l_extendedprice * l_quantity as decimal(38,6))) as v
+          from lineitem group by l_partkey
+        ),
+        tot as (select sum(v) as total, count(*) as cnt from pv)
+        select l_partkey as p_partkey,
+               cast(round(v, 2) as double) as value
+        from pv, tot
+        where v * 2 * cnt > total * 3
+    """,
+    "tpch_q16": f"""
+        select p_brand, p_type, cast(p_size as bigint) as p_size,
+               count(distinct l_suppkey) as supplier_cnt
+        from lineitem join part on l_partkey = p_partkey
+        where p_brand != 'Brand#5'
+          and p_type not like 'SMALL%'
+          and p_size in ({", ".join(str(s) for s in Q16_SIZES)})
+        group by p_brand, p_type, p_size
+    """,
     "tpch_q1": f"""
         select l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) as sum_qty,

@@ -37,7 +37,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: ONE JVM hosts the driver AND all executor
+        # threads — 8g starved 32 concurrent tasks plus broadcast
+        # builds at sf1 (notEnoughMemoryToBuildAndBroadcastTable).
+        # Xmx is a cap, not an upfront allocation; boxes with less
+        # RAM can override via SPARK_GRAFT_DRIVER_MEM.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
