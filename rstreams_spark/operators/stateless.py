@@ -47,6 +47,53 @@ def chunk(
     )
 
 
+def chunk_timeout(
+    df: DataFrame,
+    size: int,
+    gap_seconds: int,
+    ts_col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """``StreamExt::chunks_timeout`` analog (reference src/lib.rs
+    count-OR-time batching): a chunk closes after ``size`` rows OR
+    when the stream goes silent for more than ``gap_seconds``.
+
+    On an event-time log, "time" must mean EVENT time to be
+    deterministic — wall-clock elapsed-since-first-buffered depends
+    on the processing schedule and is not replayable, while a silence
+    gap is a property of the data. (The live path gets wall-time
+    batching from the micro-batch trigger + ``streaming.throttle``
+    caps — count-or-time at trigger granularity.)
+
+    Two single-pass windows, no recursion: the gap indicator's
+    running sum splits silence-separated groups (``__session``), a
+    row_number within each splits by count (``__chunk``). With
+    ``partition_by`` both windows shard by key; without it the total
+    order matches the reference's single-stream semantics (same
+    discipline as ``chunk``).
+    """
+    keys = [F.col(c) for c in partition_by]
+    order = [F.col(c) for c in order_by]
+    w = Window.partitionBy(*keys).orderBy(*order) if keys else (
+        Window.partitionBy().orderBy(*order)
+    )
+    e = F.unix_timestamp(F.col(ts_col))
+    brk = (
+        F.when(e - F.lag(e).over(w) > gap_seconds, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    out = df.withColumn(
+        "__session",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w2 = Window.partitionBy(*keys, F.col("__session")).orderBy(*order)
+    return out.withColumn(
+        "__chunk",
+        F.floor((F.row_number().over(w2) - 1) / size).cast("bigint"),
+    )
+
+
 def merge(*dfs: DataFrame) -> DataFrame:
     """``StreamExt::merge``: interleaving = order-free union."""
     out = dfs[0]

@@ -79,6 +79,31 @@ def chunk_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TIMEOUT_SIZE = 200
+CHUNK_TIMEOUT_GAP = 1800  # 30 min of event-time silence closes a chunk
+
+
+def chunk_fold_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-OR-time batching (reference StreamExt::chunks_timeout):
+    chunks close at 200 rows or a 30-minute silence gap, folded like
+    ``chunk_fold``. See ``operators.stateless.chunk_timeout`` for the
+    event-time determinism argument."""
+    ev = t(spark, sf_dir, "events")
+    chunked = stateless.chunk_timeout(
+        ev, CHUNK_TIMEOUT_SIZE, CHUNK_TIMEOUT_GAP, "ts",
+        order_by=["ts", "event_id"],
+    )
+    return chunked.groupBy(
+        F.col("__session").alias("session"),
+        F.col("__chunk").alias("chunk"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min(epoch(F.col("ts"))).alias("min_ts_epoch"),
+        F.max(epoch(F.col("ts"))).alias("max_ts_epoch"),
+    )
+
+
 def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     latest = table.latest_per_key(
@@ -694,6 +719,7 @@ QUERIES = {
     "wordcount": wordcount,
     "merge_take": merge_take,
     "chunk_fold": chunk_fold,
+    "chunk_fold_timeout": chunk_fold_timeout,
     "latest_per_key": latest_per_key,
     "tumbling_window": tumbling_window,
     "tumbling_window_gapfill": tumbling_window_gapfill,
@@ -781,6 +807,32 @@ SQL_ORACLES = {
                count(*) as n, round(sum(value), 2) as sum_value,
                min({_E}) as min_ts_epoch, max({_E}) as max_ts_epoch
         from o group by 1
+    """,
+    "chunk_fold_timeout": f"""
+        with o as (
+          select *, {_E} as e from events
+        ),
+        b as (
+          select *, case when e - lag(e) over (order by ts, event_id)
+                              > {CHUNK_TIMEOUT_GAP} then 1 else 0 end as brk
+          from o
+        ),
+        s as (
+          select *, cast(sum(brk) over (
+            order by ts, event_id rows unbounded preceding) as bigint)
+            as session
+          from b
+        ),
+        c as (
+          select *, row_number() over (
+            partition by session order by ts, event_id) - 1 as ord
+          from s
+        )
+        select session,
+               cast(floor(ord / {CHUNK_TIMEOUT_SIZE}.0) as bigint) as chunk,
+               count(*) as n, round(sum(value), 2) as sum_value,
+               min(e) as min_ts_epoch, max(e) as max_ts_epoch
+        from c group by 1, 2
     """,
     "latest_per_key": f"""
         select user_id, {_E} as ts_epoch, event_id, event_type, value

@@ -47,6 +47,53 @@ def test_chunk(spark):
     }
 
 
+def test_chunk_timeout_count_and_gap_splits(spark):
+    """chunks_timeout parity: a chunk closes at `size` rows OR a
+    silence gap — both causes in one vector. Events at t=0..4 (5
+    rows, size 3 → count split after 3), then silence to t=100
+    (gap split), then 2 more."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    secs = [0, 1, 2, 3, 4, 100, 101]
+    df = spark.createDataFrame(
+        [Row(ts=base + dt.timedelta(seconds=s), n=i)
+         for i, s in enumerate(secs)]
+    )
+    got = stateless.chunk_timeout(
+        df, 3, 10, "ts", order_by=["ts", "n"]
+    )
+    groups = {}
+    for r in got.collect():
+        groups.setdefault((r["__session"], r["__chunk"]), []).append(r["n"])
+    assert {k: sorted(v) for k, v in groups.items()} == {
+        (0, 0): [0, 1, 2],   # count split
+        (0, 1): [3, 4],
+        (1, 0): [5, 6],      # gap split opens a new session
+    }
+
+
+def test_chunk_timeout_partitioned(spark):
+    """Per-key sharding: sessions/chunks are computed independently
+    per key (the 100 TB shape — no global order)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("a", 0, 0), ("a", 1, 1), ("b", 0, 2), ("b", 50, 3)]
+    df = spark.createDataFrame(
+        [Row(key=k, ts=base + dt.timedelta(seconds=s), n=i)
+         for k, s, i in rows]
+    )
+    got = stateless.chunk_timeout(
+        df, 10, 10, "ts", order_by=["ts", "n"], partition_by=["key"]
+    )
+    out = {(r["key"], r["__session"], r["__chunk"], r["n"])
+           for r in got.collect()}
+    assert out == {
+        ("a", 0, 0, 0), ("a", 0, 0, 1), ("b", 0, 0, 2), ("b", 1, 0, 3),
+    }
+
+
 def test_throttle_sample_deterministic(spark):
     df = spark.range(1000).withColumnRenamed("id", "k")
     a = sorted(r["k"] for r in stateless.throttle_sample(df, 10, "k").collect())
