@@ -119,7 +119,11 @@ def minhash_signature(
 
 
 def lsh_band_pairs(
-    sig: DataFrame, num_perm: int, bands: int, id_col: str = "doc_id"
+    sig: DataFrame,
+    num_perm: int,
+    bands: int,
+    id_col: str = "doc_id",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 LSH band (distinct id1<id2 pairs).
 
@@ -130,6 +134,11 @@ def lsh_band_pairs(
     hash shuffle, where a self-join would evaluate the whole upstream
     twice (Spark reuses exchanges only for identical subplans, which
     join aliasing defeats) and shuffle both sides.
+
+    ``bucket_cap`` drops buckets with more than that many members —
+    a bucket of m docs emits m²/2 pairs, and at corpus scale the only
+    buckets that grow that large are boilerplate/templated content
+    (the same defense as the n-gram DF cap). None = uncapped.
     """
     r = num_perm // bands
     band_rows = sig.select(
@@ -151,6 +160,8 @@ def lsh_band_pairs(
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    if bucket_cap is not None:
+        buckets = buckets.where(F.size("ids") <= bucket_cap)
     # all ordered pairs within the bucket: ids is sorted, so pairing
     # each element with its suffix gives id1 < id2
     pairs = F.flatten(

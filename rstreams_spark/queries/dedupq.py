@@ -14,16 +14,23 @@ from pyspark.sql.window import Window
 
 from ..functions import multimodal
 from ..functions.dedup import (
-    P61, connected_components, doc_shingles, lsh_band_pairs, minhash_signature,
-    perm_coeffs, simhash32,
+    P61, connected_components_star, doc_shingles, lsh_band_pairs,
+    minhash_signature, perm_coeffs, simhash32,
 )
 from ..functions.similarity import (
     brute_topk, cosine_pairs, hyperplanes, lsh_bucket,
 )
 from ._util import SQL_TOKS, sql_h64, t
 
-NUM_PERM = 16
-BANDS = 8  # r = 2
+# r = NUM_PERM/BANDS = 4 rows per band. The r=2 config (16/8) looked
+# fine at sf0.1 but is a scale bug: band collision probability ~s²
+# made candidate pairs grow QUADRATICALLY with corpus size (sf1 probe:
+# 10× docs → 98× pairs → dedup_clusters 15× wall). s⁴ bands plus the
+# bucket cap keep candidates linear-ish; 16 bands hold recall ≥98.8%
+# at s=0.7 (1-(1-0.7⁴)^16), the standard LSH operating point.
+NUM_PERM = 64
+BANDS = 16
+LSH_BUCKET_CAP = 128  # drop boilerplate mega-buckets (cf. NGRAM_DF_CAP)
 JACCARD_TAU = 0.01
 COSINE_TAU = 0.4
 ANN_K = 5
@@ -100,7 +107,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     sh = doc_shingles(docs, "text", 2)
     sig = minhash_signature(sh, NUM_PERM)
-    return lsh_band_pairs(sig, NUM_PERM, BANDS)
+    return lsh_band_pairs(sig, NUM_PERM, BANDS, bucket_cap=LSH_BUCKET_CAP)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,8 +120,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = t(spark, sf_dir, "documents")
     sh = doc_shingles(docs, "text", 2)
-    pairs = lsh_band_pairs(minhash_signature(sh, NUM_PERM), NUM_PERM, BANDS)
-    cc = connected_components(pairs)
+    pairs = lsh_band_pairs(
+        minhash_signature(sh, NUM_PERM), NUM_PERM, BANDS,
+        bucket_cap=LSH_BUCKET_CAP,
+    )
+    # star CC (Kiveris et al.): O(log²) rounds on any topology vs
+    # one-hop-per-round label propagation — 2.5× faster on the sf1
+    # dup graph (10.9 s vs 27.5 s on 1M edges), identical labeling
+    # (equality pinned by test_star_cc_equals_min_label_*)
+    cc = connected_components_star(pairs)
     return cc.select(
         F.col("node").alias("doc_id"), F.col("cluster_id")
     )
@@ -290,7 +304,7 @@ def minhash_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # petabyte minhash pipeline does between its shingle and verify
     # stages.
     sig = minhash_signature(sh, NUM_PERM, with_hash_set=True).persist()
-    cands = lsh_band_pairs(sig, NUM_PERM, BANDS)
+    cands = lsh_band_pairs(sig, NUM_PERM, BANDS, bucket_cap=LSH_BUCKET_CAP)
     # exact-verify ONLY candidate pairs — that is the point of LSH.
     # Per-doc shingle sets ride as arrays of 60-bit HASHES (8-byte
     # longs vs ~15-byte strings: 2.4× faster intersects, smaller
@@ -499,10 +513,18 @@ def _sql_bands() -> str:
     return "bands as (" + " union all ".join(selects) + ")"
 
 
-_SQL_CAND_PAIRS = """
+_SQL_CAND_PAIRS = f"""
+  bq as (
+    select band_idx, band_key from bands
+    group by band_idx, band_key
+    having count(*) between 2 and {LSH_BUCKET_CAP}
+  ),
+  bandsq as (
+    select bands.* from bands join bq using (band_idx, band_key)
+  ),
   pairs as (
     select distinct a.doc_id as id1, b.doc_id as id2
-    from bands a join bands b
+    from bandsq a join bandsq b
       on a.band_idx = b.band_idx and a.band_key = b.band_key
      and a.doc_id < b.doc_id
   )

@@ -105,13 +105,25 @@ def main() -> None:
                 if shifted is not None:
                     sel.append(f"{c} + {i * strides[shifted]} as {c}")
                 elif tbl == "documents" and c == "text" and i > 0:
-                    # per-copy token keeps the corpus dup RATE at the
-                    # sf0.1 level (no 10× exact-twin explosion)
-                    sel.append(f"text || ' zqcopy{i}' as text")
+                    # per-copy character substitution rewrites most
+                    # words, so cross-copy shingle overlap collapses
+                    # (a mere suffix token left copies at jaccard
+                    # ≈0.98 — every doc became a near-dup of its 9
+                    # twins and the dedup workload stopped resembling
+                    # the driver's organic ~0.1% dup rate). Identical
+                    # source texts map to identical outputs, so the
+                    # WITHIN-copy duplicate structure is preserved.
+                    sel.append(f"replace(text, 'e', 'q{i}') as text")
                 elif tbl == "embeddings" and c == "embedding" and i > 0:
+                    # circular rotation: orthogonal, so intra-copy
+                    # geometry (norms, pairwise cosines) is exactly
+                    # preserved while cross-copy cosines decorrelate
+                    # (a tiny first-element nudge kept copies at
+                    # cosine ≈0.999996 — quadratic cross-copy dup
+                    # pairs the real corpus wouldn't have)
+                    k = 16 * i
                     sel.append(
-                        "list_prepend(embedding[1] + "
-                        f"{i}*0.001, embedding[2:]) as embedding"
+                        f"embedding[{k + 1}:] || embedding[1:{k}] as embedding"
                     )
                 else:
                     sel.append(c)
