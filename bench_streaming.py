@@ -97,9 +97,11 @@ def measure_stateful(spark, rows_per_batch: int = STATEFUL_ROWS_PER_BATCH,
                      max_wait: float = MAX_WAIT_SECONDS) -> dict:
     """Throughput of the Arrow-stateful path (applyInPandasWithState
     lag buffer over 100 keys) — the honest Python-side number to set
-    against the JVM windowed-agg rate. The gap (~5-10×) is the price
-    of per-row Python state logic even Arrow-batched; operators that
-    CAN be JVM aggregations should be (and in this engine are).
+    against the JVM windowed-agg rate. The remaining ~6× gap is
+    Arrow transfer + state round-trips (the per-row Python loop that
+    used to cap this at ~0.8 M rows/s is gone — buffers are numpy
+    sliding-window views now); operators that CAN be JVM
+    aggregations should be (and in this engine are).
 
     Uses ``rate-micro-batch`` (fixed rows/batch), not ``rate``: with
     an offered rate above capacity the plain rate source's backlog

@@ -54,13 +54,13 @@ def stream_lag_window(
     def fn(
         group_key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         bufs = (
             [list(b) for b in state.get]
             if state.exists
             else [[] for _ in cols]
         )
-        out_ts = []
-        out_vals: list[list[list[float]]] = [[] for _ in cols]
         # a group's microbatch may span multiple Arrow chunks —
         # concatenate BEFORE sorting, or later chunks with earlier
         # timestamps would be buffered out of order
@@ -68,25 +68,33 @@ def stream_lag_window(
         whole = (
             pd.concat(chunks).sort_values(ts) if chunks else pd.DataFrame()
         )
+        out: dict = {}
         if len(whole):
-            for row in whole.itertuples(index=False):
-                rowd = row._asdict()
-                for i, c in enumerate(cols):
-                    bufs[i].append(float(rowd[c]))
-                    if len(bufs[i]) > lag:
-                        bufs[i].pop(0)
-                if len(bufs[0]) == lag:
-                    out_ts.append(rowd[ts])
-                    for i in range(len(cols)):
-                        out_vals[i].append(list(bufs[i]))
+            b = len(bufs[0])
+            n = len(whole)
+            # vectorized sliding buffer: no per-row Python loop (the
+            # row-at-a-time version capped the whole Arrow-stateful
+            # path at ~0.8 M rows/s; windows are just strided views)
+            start = max(lag - 1 - b, 0)  # first batch row with a full buffer
+            out[key] = np.repeat(group_key[0], max(n - start, 0))
+            out[ts] = whole[ts].iloc[start:].to_numpy()
+            for i, c in enumerate(cols):
+                allv = np.concatenate(
+                    [np.asarray(bufs[i], dtype=float),
+                     whole[c].to_numpy(dtype=float)]
+                )
+                if len(allv) >= lag:
+                    win = np.lib.stride_tricks.sliding_window_view(allv, lag)
+                    # row p's buffer is the window ENDING at global
+                    # index b+p, i.e. win[b+p-lag+1]
+                    out[names[i]] = list(win[start + b - lag + 1 :])
+                else:
+                    out[names[i]] = []
+                bufs[i] = allv[-lag:].tolist()
+        else:
+            out = {key: [], ts: [], **{nm: [] for nm in names}}
         state.update(tuple(bufs))
-        yield pd.DataFrame(
-            {
-                key: [group_key[0]] * len(out_ts),
-                ts: out_ts,
-                **{n: out_vals[i] for i, n in enumerate(names)},
-            }
-        )
+        yield pd.DataFrame(out)
 
     return (
         df.select(F.col(key).cast("string").alias(key), ts, *cols)
