@@ -130,24 +130,35 @@ def stream_tumbling_window_gapfill(
         whole = (
             pd.concat(chunks).sort_values(ts) if chunks else pd.DataFrame()
         )
-        for row in whole.itertuples(index=False):
-            rowd = row._asdict()
-            w = int(rowd[ts].timestamp()) // size_seconds
-            if widx is None:
-                widx = w
-            elif w > widx:
-                starts.append(widx * size_seconds)
-                ns.append(n)
-                sums.append(s)
-                for g in range(widx + 1, w):  # silent windows
-                    starts.append(g * size_seconds)
-                    ns.append(0)
-                    sums.append(0.0)
-                widx, n, s = w, 0, 0.0
-            elif w < widx:
-                continue  # late beyond the open window: drop
-            n += 1
-            s += float(rowd[value_col])
+        if len(whole):
+            # vectorized: per-row work is one groupby over the window
+            # index; the flush/gap-fill walk below runs over DISTINCT
+            # windows (≪ rows), not raw events
+            w_arr = whole[ts].astype("int64") // 1_000_000_000 // size_seconds
+            if widx is not None:
+                late = w_arr < widx  # beyond the open window: drop
+                if late.any():
+                    w_arr, whole = w_arr[~late], whole[~late]
+            per_w = (
+                whole[value_col].astype(float).groupby(w_arr.to_numpy())
+                .agg(["count", "sum"])
+                .sort_index()
+            )
+            for w, (cnt, sm) in per_w.iterrows():
+                w = int(w)
+                if widx is None:
+                    widx = w
+                elif w > widx:
+                    starts.append(widx * size_seconds)
+                    ns.append(n)
+                    sums.append(s)
+                    for g in range(widx + 1, w):  # silent windows
+                        starts.append(g * size_seconds)
+                        ns.append(0)
+                        sums.append(0.0)
+                    widx, n, s = w, 0, 0.0
+                n += int(cnt)
+                s += float(sm)
         if widx is not None:
             state.update((widx, n, s))
         yield pd.DataFrame(
@@ -241,31 +252,42 @@ def stream_hopping_window_gapfill(
         whole = (
             pd.concat(chunks).sort_values(ts) if chunks else pd.DataFrame()
         )
-        for row in whole.itertuples(index=False):
-            rowd = row._asdict()
-            b = int(rowd[ts].timestamp()) // hop_seconds
-            if last_emitted is not None and b <= last_emitted:
-                # every window this event belongs to already emitted —
-                # drop (the watermarked-agg late-data contract)
-                continue
-            complete_hi = b - k  # windows ≤ this can no longer change
-            if buckets:
-                if last_emitted is None:
-                    # the grid starts at the earliest window containing
-                    # a seen bucket (matches the batch gap_fill grid)
-                    first_w = min(buckets) - k + 1
-                    if complete_hi >= first_w:
-                        last_emitted = first_w - 1
+        if len(whole):
+            # vectorized: rows collapse to per-bucket aggregates via
+            # one groupby; the emission walk below visits DISTINCT
+            # hop buckets (≪ rows). Equivalent to the row walk
+            # because emission state only advances on bucket
+            # transitions and buckets are visited in ascending order.
+            b_arr = whole[ts].astype("int64") // 1_000_000_000 // hop_seconds
+            per_b = (
+                whole[value_col].astype(float).groupby(b_arr.to_numpy())
+                .agg(["count", "sum"])
+                .sort_index()
+            )
+            for b, (cnt, sm) in per_b.iterrows():
+                b = int(b)
+                if last_emitted is not None and b <= last_emitted:
+                    # every window this bucket belongs to already
+                    # emitted — drop (watermarked-agg late contract)
+                    continue
+                complete_hi = b - k  # windows ≤ this can't change
+                if buckets:
+                    if last_emitted is None:
+                        # the grid starts at the earliest window
+                        # containing a seen bucket (batch gap_fill grid)
+                        first_w = min(buckets) - k + 1
+                        if complete_hi >= first_w:
+                            last_emitted = first_w - 1
+                            emit_through(complete_hi)
+                    elif complete_hi > last_emitted:
                         emit_through(complete_hi)
-                elif complete_hi > last_emitted:
-                    emit_through(complete_hi)
-            cell = buckets.setdefault(b, [0, 0.0])
-            cell[0] += 1
-            cell[1] += float(rowd[value_col])
-            # prune buckets no unemitted window can reference
-            if last_emitted is not None:
-                for old in [x for x in buckets if x <= last_emitted]:
-                    del buckets[old]
+                cell = buckets.setdefault(b, [0, 0.0])
+                cell[0] += int(cnt)
+                cell[1] += float(sm)
+                # prune buckets no unemitted window can reference
+                if last_emitted is not None:
+                    for old in [x for x in buckets if x <= last_emitted]:
+                        del buckets[old]
         items = sorted(buckets.items())
         state.update((
             last_emitted,
