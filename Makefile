@@ -3,10 +3,13 @@
 
 SF ?= /root/testdata/sf0.01
 
-.PHONY: test oracle bench smoke examples plans scaling
+.PHONY: test oracle bench smoke examples plans scaling sf1
 
 plans:
 	python tools/plan_audit.py
+
+sf1:
+	python tools/gen_sf1.py
 
 scaling:
 	python tools/scale_probe.py
