@@ -143,40 +143,44 @@ def stream_strat_classify(
     def fn(
         group_key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         prev = state.get if state.exists else None
-        out_ts, out_cls, out_color = [], [], []
         # concatenate chunks before sorting (a group spanning Arrow
         # chunk boundaries must still classify in global ts order)
         chunks = [pdf for pdf in pdfs if len(pdf)]
         whole = (
             pd.concat(chunks).sort_values(ts) if chunks else pd.DataFrame()
         )
+        out = {key: [], ts: [], "strat_class": [], "color": []}
         if len(whole):
-            for t_val, o, c in zip(whole[ts], whole["open"], whole["close"]):
-                top, bottom = max(o, c), min(o, c)
-                if prev is not None:
-                    p_top, p_bottom = prev
-                    above, below = top > p_top, bottom < p_bottom
-                    cls = (
-                        "outside" if above and below
-                        else "up" if above
-                        else "down" if below
-                        else "inside"
-                    )
-                    out_ts.append(t_val)
-                    out_cls.append(cls)
-                    out_color.append("green" if o < c else "red")
-                prev = (float(top), float(bottom))
+            # vectorized shift-compare: each candle classifies against
+            # its predecessor (carried state supplies candle -1)
+            o = whole["open"].to_numpy(dtype=float)
+            c = whole["close"].to_numpy(dtype=float)
+            top, bottom = np.maximum(o, c), np.minimum(o, c)
+            p_top = np.roll(top, 1)
+            p_bottom = np.roll(bottom, 1)
+            have_prev = np.ones(len(whole), dtype=bool)
+            if prev is not None:
+                p_top[0], p_bottom[0] = prev
+            else:
+                have_prev[0] = False
+            above, below = top > p_top, bottom < p_bottom
+            cls = np.where(
+                above & below, "outside",
+                np.where(above, "up", np.where(below, "down", "inside")),
+            )
+            out = {
+                key: np.repeat(group_key[0], int(have_prev.sum())),
+                ts: whole[ts].to_numpy()[have_prev],
+                "strat_class": cls[have_prev],
+                "color": np.where(o < c, "green", "red")[have_prev],
+            }
+            prev = (float(top[-1]), float(bottom[-1]))
         if prev is not None:
             state.update(prev)
-        yield pd.DataFrame(
-            {
-                key: [group_key[0]] * len(out_ts),
-                ts: out_ts,
-                "strat_class": out_cls,
-                "color": out_color,
-            }
-        )
+        yield pd.DataFrame(out)
 
     return (
         candles.select(
