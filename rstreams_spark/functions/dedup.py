@@ -27,7 +27,7 @@ __all__ = [
     "shingles", "doc_shingles", "minhash_signature",
     "lsh_band_pairs", "simhash32", "P61", "perm_coeffs",
     "connected_components", "connected_components_star",
-    "incremental_dedup_exact",
+    "connected_components_hybrid", "incremental_dedup_exact",
 ]
 
 P61 = (1 << 61) - 1  # Mersenne prime modulus for minhash permutations
@@ -202,39 +202,45 @@ def simhash32(exploded: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return voted.select(F.col(id_col), value.alias("simhash"))
 
 
-def connected_components(
-    edges: DataFrame,
-    src: str = "id1",
-    dst: str = "id2",
-    max_iter: int = 20,
-) -> DataFrame:
-    """Connected components over an undirected edge list: the cluster
-    step of a dedup pipeline (dup PAIRS → dup GROUPS, from which one
-    canonical doc per group survives).
+def _min_label_rounds(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> tuple[DataFrame, int]:
+    """Min-label propagation with pointer jumping; returns
+    ``(labels, changed)`` where ``labels`` is (node, cluster_id) and
+    ``changed`` is the label-change count of the LAST round — 0 means
+    the labeling is a fixpoint and therefore the exact component-min
+    labeling; nonzero means ``labels`` is a partial labeling (still
+    component-pure: every label is a node of the same component,
+    ≤ the node it labels — the contraction invariant hybrid CC needs).
 
-    Returns (node, cluster_id) with ``cluster_id`` = the minimum node
-    id in the component — a canonical, engine-independent labeling.
+    Each round every node takes ``min(own label, neighbor labels)``;
+    a round is one shuffle-join edges⨝labels plus one groupBy — both
+    hash-partitioned on node id. Labels only DECREASE (mins with
+    same-component node ids), so ``changed == 0`` means the labeling
+    is constant along every edge — exact.
 
-    Algorithm: iterative min-label propagation. Each round every node
-    takes ``min(own label, neighbor labels)``; a round is one
-    shuffle-join edges⨝labels plus one groupBy — both hash-partitioned
-    on node id. Converges in ≤ diameter rounds (dup clusters are
-    near-cliques, so 2-3 in practice); iteration stops early the
-    first round nothing changes. Each round is ``localCheckpoint``-ed
-    to cut lineage — on a real cluster use a checkpoint dir so state
-    survives executor loss. Driver-side loop control (a per-round
-    count) is metadata, not data: no row set ever reaches the driver.
+    Each round is ONE job: the round's frames are LAZY
+    ``localCheckpoint``s whose materialization rides the convergence
+    count — an eager checkpoint plus a separate count would scan the
+    round's output twice. The input edge frame is materialized once
+    up front: it feeds both union branches of the symmetrized view
+    (and callers pass arbitrarily expensive upstreams, e.g. the whole
+    minhash pipeline — without the checkpoint each branch re-runs
+    it). Driver-side loop control (the per-round count) is metadata,
+    not data: no row set ever reaches the driver. On a real cluster
+    use a checkpoint dir so state survives executor loss.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.localCheckpoint(eager=False)
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=False)
     # seed with min(self, direct neighbors) — one groupBy that IS the
     # first propagation round, so the loop starts a hop ahead
     labels = (
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.min("b").alias("__mn"))
         .select("node", F.least(F.col("node"), F.col("__mn")).alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     changed = -1
     for _ in range(max_iter):
@@ -255,12 +261,37 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = stepped.where(F.col("label") != F.col("__old")).count()
         labels = stepped.drop("__old")
         if changed == 0:
             break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id")), changed
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list: the cluster
+    step of a dedup pipeline (dup PAIRS → dup GROUPS, from which one
+    canonical doc per group survives).
+
+    Returns (node, cluster_id) with ``cluster_id`` = the minimum node
+    id in the component — a canonical, engine-independent labeling.
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes ``min(own label, neighbor labels)``; a round is one
+    shuffle-join edges⨝labels plus one groupBy — both hash-partitioned
+    on node id — materialized as one job (see ``_min_label_rounds``).
+    Converges in ≤ diameter rounds (dup clusters are near-cliques, so
+    2-3 in practice); iteration stops early the first round nothing
+    changes.
+    """
+    labels, changed = _min_label_rounds(edges, src, dst, max_iter)
     if changed != 0:
         # returning intermediate labels would be silently WRONG (and
         # would fail the oracle's exact transitive closure) — make
@@ -268,9 +299,10 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
             f"rounds ({changed} labels still changing); the graph has a "
-            "longer chain than expected — raise max_iter"
+            "longer chain than expected — raise max_iter, or use "
+            "connected_components_hybrid/_star for deep topologies"
         )
-    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+    return labels
 
 
 def connected_components_star(
@@ -339,13 +371,21 @@ def connected_components_star(
             )
         )
 
-    cur = canon(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    ).localCheckpoint(eager=True)
+    # LAZY checkpoints throughout: each round's signature aggregate is
+    # the action that materializes that round's edge set — one job per
+    # round, where an eager checkpoint plus a separate signature
+    # collect scanned every round's output twice. The input frame is
+    # materialized ONCE up front: the node-universe union and the
+    # final fixpoint guard below reference it three more times, and
+    # callers pass arbitrarily expensive upstreams.
+    e0 = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=False)
+    cur = canon(e0).localCheckpoint(eager=False)
     prev_sig = None
     converged = False
     for _ in range(max_iter):
-        cur = canon(small_star(large_star(cur))).localCheckpoint(eager=True)
+        cur = canon(small_star(large_star(cur))).localCheckpoint(eager=False)
         sig = cur.agg(
             F.count("*").alias("n"),
             # order-independent set checksum; XOR can't overflow
@@ -365,8 +405,8 @@ def connected_components_star(
     # canonicalization dropped (self-loop-only, singleton components)
     # come back from the original node universe labeled as themselves
     orig_nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        e0.select(F.col("a").alias("node"))
+        .union(e0.select(F.col("b").alias("node")))
         .distinct()
     )
     labels = (
@@ -375,12 +415,11 @@ def connected_components_star(
         .union(orig_nodes.select("node", F.col("node").alias("cluster_id")))
         .groupBy("node")
         .agg(F.min("cluster_id").alias("cluster_id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by the guard count below
     )
     # exactness guard: one min-label propagation round over the
     # ORIGINAL edges must be a fixpoint of this labeling
-    orig = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = orig.union(orig.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
     nbr = (
         sym.join(labels, sym["b"] == labels["node"])
         .groupBy(F.col("a").alias("node2"))
@@ -398,6 +437,110 @@ def connected_components_star(
             "inconsistent labeling"
         )
     return labels
+
+
+EDGES_PER_UF_TASK = 5_000_000  # ~dozens of MB of int64 pairs per task
+
+
+def _local_union_find(batches):
+    """mapInPandas kernel: streaming union-find over this partition's
+    (a, b) edge batches. Union always attaches the LARGER root under
+    the smaller, so every root is its set's minimum by construction;
+    find() path-compresses. Emits the full (node, lmin) mapping for
+    every node seen — including root self-rows, so the contracted
+    pair graph keeps the whole node universe."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for pdf in batches:
+        for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+            parent.setdefault(a, find(a))
+            parent.setdefault(b, find(b))
+    nodes = list(parent)
+    out = pd.DataFrame(
+        {"node": nodes, "lmin": [find(n) for n in nodes]}
+    ).astype("int64")
+    for i in range(0, len(out), 1 << 20):
+        yield out.iloc[i:i + (1 << 20)]
+
+
+def connected_components_hybrid(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    label_rounds: int = 8,
+    max_iter: int = 25,
+    edges_per_task: int = EDGES_PER_UF_TASK,
+) -> DataFrame:
+    """Two-phase connected components tuned for dedup graphs. Same
+    output contract as the other CC variants: (node, cluster_id),
+    cluster_id = component-min node id.
+
+    Phase A — partition-local contraction: hash-partition the edge
+    list on the source node into ``ceil(E / edges_per_task)`` tasks
+    (E is a one-row metadata count over the already-materialized edge
+    frame) and run an in-memory union-find per partition (Arrow
+    ``mapInPandas``; union-by-min keeps every root the set minimum).
+    Each task emits its spanning-forest mapping (node, lmin) — a
+    connectivity-EXACT contraction of its edge subset. This is the
+    local-contraction optimization of the MapReduce CC literature
+    (Kiveris et al., SoCC'14 §optimizations): the clique-like mass of
+    an LSH dup graph — the bulk of E — collapses inside single tasks
+    with zero shuffle rounds, leaving a pair graph of ≤V edges.
+
+    Phase B — min-label propagation over the contracted pair graph
+    (one one-job shuffle round per remaining hop, early exit on the
+    fixpoint). Dup graphs come out of phase A with tiny effective
+    diameter, so this converges in a few rounds; a graph that still
+    stalls (organic diameter ≫ label_rounds chains) falls back to
+    star CC, which is O(log²) rounds on any topology and carries its
+    own fixpoint guard.
+
+    Exactness: phase A preserves connectivity exactly (spanning
+    forests), union-by-min keeps labels component-pure; phase B's
+    ``changed == 0`` IS the fixpoint proof over the contracted graph,
+    and the star fallback asserts its own guard — no path returns an
+    unverified labeling.
+
+    At driver SFs the whole graph fits one correctly-sized task, so
+    phase A is a single job and phase B converges immediately; at
+    100 TB the same sizing yields thousands of parallel contraction
+    tasks and the iterative rounds only ever see the forest skeleton.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col(src) != F.col(dst))
+        .localCheckpoint(eager=False)
+    )
+    n_edges = e.count()  # materializes e; metadata, not data
+    if n_edges == 0:
+        return e.select(
+            F.col("a").alias("node"), F.col("b").alias("cluster_id")
+        )
+    n_tasks = max(1, -(-n_edges // edges_per_task))
+    contracted = (
+        e.repartition(n_tasks, "a")
+        .mapInPandas(_local_union_find, schema="node bigint, lmin bigint")
+    )
+    labels, changed = _min_label_rounds(contracted, "node", "lmin", label_rounds)
+    if changed == 0:
+        return labels
+    return connected_components_star(contracted, "node", "lmin", max_iter=max_iter)
 
 
 def incremental_dedup_exact(

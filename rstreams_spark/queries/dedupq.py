@@ -14,7 +14,7 @@ from pyspark.sql.window import Window
 
 from ..functions import multimodal
 from ..functions.dedup import (
-    P61, connected_components_star, doc_shingles, lsh_band_pairs,
+    P61, connected_components_hybrid, doc_shingles, lsh_band_pairs,
     minhash_signature, perm_coeffs, simhash32,
 )
 from ..functions.similarity import (
@@ -133,11 +133,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signature(sh, NUM_PERM), NUM_PERM, BANDS,
         bucket_cap=LSH_BUCKET_CAP,
     )
-    # star CC (Kiveris et al.): O(log²) rounds on any topology vs
-    # one-hop-per-round label propagation — 2.5× faster on the sf1
-    # dup graph (10.9 s vs 27.5 s on 1M edges), identical labeling
-    # (equality pinned by test_star_cc_equals_min_label_*)
-    cc = connected_components_star(pairs)
+    # hybrid CC: min-label rounds first (near-clique dup graphs
+    # converge in 2-4 one-shuffle rounds — star CC's half-round +
+    # distinct machinery is pure fixed overhead there), star CC on
+    # the label-contracted quotient only when min-label stalls
+    # (organic diameter>20 graphs, where star is O(log²) rounds).
+    # Equality of all three variants pinned by
+    # test_star_cc_equals_min_label_* / test_hybrid_cc_*.
+    cc = connected_components_hybrid(pairs)
     return cc.select(
         F.col("node").alias("doc_id"), F.col("cluster_id")
     )

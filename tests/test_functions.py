@@ -244,6 +244,58 @@ def test_star_cc_equals_min_label_on_real_dup_graph(spark):
          for r in connected_components_star(pairs).collect()}
     assert a == b and len(a) > 0
 
+    from rstreams_spark.functions.dedup import connected_components_hybrid
+
+    c = {(r["node"], r["cluster_id"])
+         for r in connected_components_hybrid(pairs).collect()}
+    assert a == c
+
+
+def test_hybrid_cc_deep_chain_forces_contraction(spark):
+    """With label_rounds far below the chain diameter, hybrid CC must
+    take the contraction path: partial min-label labels collapse the
+    graph, star CC finishes on the quotient, and the composed
+    labeling is the exact component min (the internal fixpoint guard
+    re-verifies against the original edges)."""
+    import random
+
+    from rstreams_spark.functions.dedup import connected_components_hybrid
+
+    rng = random.Random(13)
+    ids = list(range(2000, 2200))
+    rng.shuffle(ids)
+    chain = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    clique = [(5, 6), (6, 7), (5, 7)]
+    edges = spark.createDataFrame(
+        [Row(id1=a, id2=b) for a, b in chain + clique]
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_hybrid(
+            edges, label_rounds=2, max_iter=12
+        ).collect()
+    }
+    lo = min(ids)
+    assert all(got[n] == lo for n in ids)
+    assert got[5] == got[6] == got[7] == 5
+    assert len(got) == 203
+
+
+def test_hybrid_cc_empty_and_converged_paths(spark):
+    """Empty edges degrade to empty output; a graph that converges
+    within label_rounds returns the min-label result directly."""
+    from rstreams_spark.functions.dedup import connected_components_hybrid
+
+    empty_edges = spark.createDataFrame([], "id1 bigint, id2 bigint")
+    assert connected_components_hybrid(empty_edges).count() == 0
+
+    edges = spark.createDataFrame(
+        [Row(id1=a, id2=b) for a, b in [(2, 1), (2, 3), (10, 11)]]
+    )
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components_hybrid(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
 
 def test_decode_image_gated_on_codec():
     """decode_image is a real PIL call when the codec exists, a clean
