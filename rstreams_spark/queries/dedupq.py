@@ -220,60 +220,148 @@ IVF_CELLS = 16
 IVF_NPROBE = 2
 
 
+def _l2sq(vec: Column, cent: Column) -> Column:
+    """Squared L2 distance as a sequential fold — identical op order
+    to the DuckDB twin (list_reduce over (x-y)*(x-y) terms; the 0.0
+    init is exact because squares are non-negative)."""
+    return F.aggregate(
+        F.zip_with(
+            vec, cent,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+IVF_LLOYD = 2       # deterministic sampled-Lloyd refinement rounds
+IVF_MEAN_CAP = 512  # per-cell member sample for the mean (sorted by id)
+
+
+def _argmin_cell(vec_col: Column) -> Column:
+    """In-plan argmin over the broadcast ``__cents`` struct array:
+    strict < keeps the earliest (= smallest cell id, the array is
+    cell-sorted) on distance ties — same tie-break as the oracle's
+    row_number ORDER BY d2, cell."""
+    return F.aggregate(
+        F.col("__cents"),
+        F.struct(F.lit(float("inf")).alias("d2"), F.lit(-1).alias("cell")),
+        lambda acc, c: F.when(
+            _l2sq(vec_col, c["centroid"]) < acc["d2"],
+            F.struct(
+                _l2sq(vec_col, c["centroid"]).alias("d2"),
+                c["cell"].alias("cell"),
+            ),
+        ).otherwise(acc),
+    )["cell"]
+
+
 def ivf_topk(
     spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
 ) -> DataFrame:
-    """IVF-style ANN: KMeans cells as the inverted index; each probe
-    searches its ``nprobe`` nearest cells (by centroid L2 distance,
-    the same metric KMeans assigns with). The centroid table is tiny
-    (IVF_CELLS rows) and rides a broadcast; the corpus is scanned
-    once to assign cells and the (probe, cell) fan-out joins the big
-    side on cell — shuffle-free w.r.t. the corpus. Rows-only
-    correctness check (KMeans is not expressible in the SQL oracle);
-    recall vs the exact ann_topk ground truth is asserted in pytest
-    (tests/test_skew_similarity.py).
+    """IVF-style ANN: an inverted index of IVF_CELLS Voronoi cells.
+    Centroids are a fully deterministic, oracle-reproducible KMeans:
+    seeds = the IVF_CELLS corpus vectors with the smallest portable
+    hash of their id (md5-derived), refined by IVF_LLOYD sampled
+    Lloyd rounds — each round reassigns cells and recomputes every
+    centroid as the mean of its first IVF_MEAN_CAP members sorted by
+    vec_id. (Replaces the r3 MLlib KMeans whose trained centroids
+    were oracle-opaque; recall at nprobe=2-3 is within a few points
+    of the trained model — see the calibrated floors in
+    tests/test_skew_similarity.py.)
+
+    Scale shape: every centroid table is 16 rows, TakeOrdered or
+    grouped from one corpus pass and localCheckpoint-ed (each feeds
+    the next Lloyd round and, at the end, both the assignment array
+    and the probe ranking — without the barrier each consumer would
+    re-run the upstream pass); assignment is a single-row broadcast
+    of the centroid array + an in-plan argmin fold per vector — the
+    corpus is never shuffled on and never collected; the Lloyd mean
+    is bounded by IVF_MEAN_CAP so no cell ever materializes an
+    unbounded member array. FP parity (CLAUDE.md invariant #2):
+    distances, cosines and means are sequential JVM folds in member
+    order sorted by vec_id, bit-identical to the oracle's
+    list_reduce; means divide the fold by the member count (exact
+    same operands both engines); argmin ties break toward the
+    smaller cell id in both engines.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from ..functions.similarity import dot, l2_norm
+    from ..functions.text import hash64
 
     vecs = t(spark, sf_dir, "embeddings").withColumn(
-        "__vec", array_to_vector(F.col("embedding").cast("array<double>"))
+        "v_norm", l2_norm(F.col("embedding"))
     )
-    from ..functions.similarity import dot, l2_norm
-
-    model = KMeans(
-        k=IVF_CELLS, seed=42, featuresCol="__vec", predictionCol="cell"
-    ).fit(vecs)
-    assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
-    assigned = assigned.withColumn("v_norm", l2_norm(F.col("embedding")))
-
-    # centroids are model state (k × dims floats) — a legitimate tiny
-    # driver-side table, broadcast to rank cells per probe
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, centroid array<double>",
+    meds = (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "embedding",
+            hash64(F.col("vec_id").cast("string")).alias("__h"),
+        )
+        .orderBy("__h", "vec_id")
+        .limit(IVF_CELLS)
+        .localCheckpoint(eager=True)  # 16 rows; one TakeOrdered scan
     )
-    probes = assigned.where(F.col("vec_id") % 50 == 0).select(
+    wm = Window.orderBy("__h", "vec_id")
+    cents = meds.select(
+        (F.row_number().over(wm) - 1).alias("cell"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+
+    def one_row(c: DataFrame) -> DataFrame:
+        # the whole index as ONE broadcast row: per-vector assignment
+        # becomes an argmin fold over the 16-struct array — no corpus
+        # shuffle, no collect
+        return c.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cell"), F.col("centroid")))
+            ).alias("__cents")
+        )
+
+    for _ in range(IVF_LLOYD):
+        members = (
+            vecs.crossJoin(F.broadcast(one_row(cents)))
+            .select("vec_id", "embedding", _argmin_cell(F.col("embedding")).alias("cell"))
+            .groupBy("cell")
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("vec_id"), F.col("embedding")))
+                    ),
+                    1, IVF_MEAN_CAP,
+                ).alias("__sl")
+            )
+        )
+        cents = members.select(
+            "cell",
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("__sl")[0]["embedding"])),
+                lambda d: F.aggregate(
+                    F.col("__sl"),
+                    F.lit(0.0),
+                    lambda acc, m: acc + F.element_at(m["embedding"], d).cast("double"),
+                )
+                / F.size(F.col("__sl")),
+            ).alias("centroid"),
+        ).localCheckpoint(eager=True)  # 16 rows; one corpus pass
+    assigned = (
+        vecs.crossJoin(F.broadcast(one_row(cents)))
+        .select(
+            "vec_id", "embedding", "v_norm",
+            _argmin_cell(F.col("embedding")).alias("cell"),
+        )
+    )
+    probes = vecs.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("p_emb"),
         F.col("v_norm").alias("p_norm"),
     )
-    d2 = dot(
-        F.zip_with(
-            F.col("p_emb"),
-            F.col("centroid"),
-            lambda x, y: x.cast("double") - y,
-        ),
-        F.zip_with(
-            F.col("p_emb"),
-            F.col("centroid"),
-            lambda x, y: x.cast("double") - y,
-        ),
+    wc = Window.partitionBy("probe_id").orderBy(
+        F.col("__d2").asc(), F.col("cell").asc()
     )
-    wc = Window.partitionBy("probe_id").orderBy(F.col("__d2").asc(), F.col("cell").asc())
     probe_cells = (
         probes.crossJoin(F.broadcast(cents))
-        .withColumn("__d2", d2)
+        .withColumn("__d2", _l2sq(F.col("p_emb"), F.col("centroid")))
         .withColumn("__cr", F.row_number().over(wc))
         .where(F.col("__cr") <= nprobe)
         .select("probe_id", "p_emb", "p_norm", F.col("cell").alias("p_cell"))
@@ -579,7 +667,114 @@ def _sql_bucket() -> str:
     return " + ".join(bits)
 
 
+def _sql_d2(v: str, c: str) -> str:
+    """DuckDB squared-L2 twin of ``_l2sq`` — same sequential fold,
+    same (x-y)*(x-y) term shape."""
+    return (
+        f"list_reduce(list_transform(range(1, len({v}) + 1), "
+        f"i -> ({v}[i]::double - {c}[i]::double) * "
+        f"({v}[i]::double - {c}[i]::double)), (x, y) -> x + y)"
+    )
+
+
+_SQL_IVF_NORM = (
+    "sqrt(list_reduce(list_transform(range(1, len(embedding) + 1), "
+    "i -> embedding[i]::double * embedding[i]::double), (x, y) -> x + y))"
+)
+_SQL_IVF_DOT = (
+    "list_reduce(list_transform(range(1, len(a.embedding) + 1), "
+    "i -> a.embedding[i]::double * p.p_emb[i]::double), (x, y) -> x + y)"
+)
+
+def _sql_ivf_lloyd() -> tuple[str, str]:
+    """CTE chain for the deterministic Lloyd rounds — the DuckDB twin
+    of the Spark loop in ``ivf_topk`` (assign to nearest cell, then
+    centroid = sequential-fold mean of the first IVF_MEAN_CAP members
+    sorted by vec_id)."""
+    parts = []
+    prev = "cents0"
+    for i in range(IVF_LLOYD):
+        nxt = f"cents{i + 1}"
+        parts.append(f"""
+        asg{i} as (
+          select vec_id, embedding, cell from (
+            select n.vec_id, n.embedding, m.cell,
+                   row_number() over (
+                     partition by n.vec_id
+                     order by {_sql_d2("n.embedding", "m.centroid")} asc,
+                              m.cell asc) as rn
+            from norms n cross join {prev} m
+          ) where rn = 1
+        ),
+        {nxt} as (
+          select cell,
+                 list_transform(range(1, len(sl[1]) + 1),
+                   d -> list_reduce(list_transform(sl, e -> e[d]::double),
+                                    (x, y) -> x + y) / len(sl)) as centroid
+          from (
+            select cell,
+                   (list(embedding order by vec_id))[1:{IVF_MEAN_CAP}] as sl
+            from asg{i} group by cell
+          )
+        )""")
+        prev = nxt
+    return ",".join(parts), prev
+
+
+_SQL_IVF_ROUNDS, _SQL_IVF_FINAL = _sql_ivf_lloyd()
+
 SQL_ORACLES = {
+    "ivf_topk": f"""
+        with hashed as (
+          select vec_id, embedding, {sql_h64("vec_id::varchar")} as h
+          from embeddings
+        ),
+        cents0 as (
+          select row_number() over (order by h, vec_id) - 1 as cell,
+                 list_transform(embedding, x -> x::double) as centroid
+          from (select * from hashed order by h, vec_id limit {IVF_CELLS})
+        ),
+        norms as (
+          select vec_id, embedding, {_SQL_IVF_NORM} as v_norm from embeddings
+        ),
+        {_SQL_IVF_ROUNDS},
+        assigned as (
+          select vec_id, embedding, v_norm, cell from (
+            select n.vec_id, n.embedding, n.v_norm, m.cell,
+                   row_number() over (
+                     partition by n.vec_id
+                     order by {_sql_d2("n.embedding", "m.centroid")} asc,
+                              m.cell asc) as rn
+            from norms n cross join {_SQL_IVF_FINAL} m
+          ) where rn = 1
+        ),
+        probe_cells as (
+          select probe_id, p_emb, p_norm, cell as p_cell from (
+            select n.vec_id as probe_id, n.embedding as p_emb,
+                   n.v_norm as p_norm, m.cell,
+                   row_number() over (
+                     partition by n.vec_id
+                     order by {_sql_d2("n.embedding", "m.centroid")} asc,
+                              m.cell asc) as rn
+            from norms n cross join {_SQL_IVF_FINAL} m
+            where n.vec_id % 50 = 0
+          ) where rn <= {IVF_NPROBE}
+        ),
+        scored as (
+          select p.probe_id, a.vec_id,
+                 {_SQL_IVF_DOT} / (a.v_norm * p.p_norm) as cos
+          from assigned a join probe_cells p on a.cell = p.p_cell
+          where a.vec_id != p.probe_id
+        ),
+        ranked as (
+          select probe_id, vec_id, cos,
+                 row_number() over (partition by probe_id
+                                    order by cos desc, vec_id) as rank
+          from scored
+        )
+        select probe_id, vec_id, cos as cosine, rank
+        from ranked where rank <= {ANN_K}
+    """,
     "ann_lsh_topk": f"""
         with bk as (
           select vec_id, embedding, {_sql_bucket()} as bucket from embeddings

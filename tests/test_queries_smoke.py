@@ -8,7 +8,7 @@ from rstreams_spark.queries import ORACLES, REGISTRY
 
 from conftest import SF_SMOKE
 
-ROWS_ONLY = {"multimodal_meta", "ivf_topk"}  # by design (see SURVEY §2)
+ROWS_ONLY = {"multimodal_meta"}  # by design (see SURVEY §2)
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))

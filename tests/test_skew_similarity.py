@@ -142,8 +142,10 @@ def test_quantized_ann_recall(spark):
 def test_ivf_recall_vs_exact_and_nprobe_monotone(spark):
     """Quality gate for the IVF index: recall@k against the exact
     brute-force ground truth at sf0.01, and more probed cells must
-    not lose recall. Floors calibrated on the fixed KMeans seed
-    (measured: 0.34 / 0.48 / 0.72 for nprobe 1/2/3)."""
+    not lose recall. Floors calibrated on the deterministic
+    md5-medoid + 2-round sampled-Lloyd centroids (measured:
+    0.30 / 0.44 / 0.62 for nprobe 1/2/3; the r3 trained KMeans
+    measured 0.34 / 0.48 / 0.72 but was oracle-opaque)."""
     from rstreams_spark.queries import REGISTRY
     from rstreams_spark.queries.dedupq import ivf_topk
 
