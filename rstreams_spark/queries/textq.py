@@ -194,10 +194,14 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking is tie-broken by term, so top-k is deterministic.
 
     Scale shape: explode → (doc, term) count groupBy (one shuffle on
-    doc+term) → df groupBy on term (second shuffle, |vocab|-sized) →
-    shuffle join back on term; corpus size N rides a one-row scalar
-    broadcast. Top-k per doc is a WindowGroupLimit rank, partial
-    below the exchange.
+    doc+term), materialized ONCE via lazy localCheckpoint — the tf
+    frame feeds both the df aggregate and the scored join, and
+    without the barrier Catalyst re-scans + re-explodes the corpus
+    per consumer (CLAUDE.md invariant 9; this was the r3 plan's 7th
+    exchange pair) → df groupBy on term (|vocab|-sized, rides a
+    broadcast back onto tf — no tf re-shuffle); corpus size N rides a
+    one-row scalar broadcast. Top-k per doc is a WindowGroupLimit
+    rank, partial below the exchange.
     """
     from ..functions.core import ensure_fanout_parallelism
 
@@ -205,7 +209,11 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = ensure_fanout_parallelism(docs).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    tf = term.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = (
+        term.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
