@@ -111,7 +111,10 @@ def main() -> None:
         "streaming": streaming,
     }
     if errors:
+        # a partial sum must never read as a speedup: flag the
+        # headline value invalid whenever any query errored
         payload["errors"] = errors
+        payload["valid"] = False
     sys.stderr.flush()
     time.sleep(0.5)  # let straggling JVM log lines land before the JSON
     # leading newline: if an interleaved JVM log line left an unterminated

@@ -13,6 +13,21 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
 
+def _default_driver_mem() -> str:
+    """Driver heap default: 48g (sf1 broadcasts OOM at 8g) clamped to
+    ~80% of physical RAM so hosts smaller than the dev box don't get
+    OOM-killed by a lazily-committed Xmx they can't back. The
+    SPARK_GRAFT_DRIVER_MEM env var always wins."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        phys = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    except (ValueError, OSError, AttributeError):
+        return "48g"
+    return f"{max(2, min(48, int(phys * 0.8 / (1 << 30))))}g"
+
+
 def get_spark(
     app_name: str = "rstreams_spark",
     master: str | None = None,
@@ -40,9 +55,11 @@ def get_spark(
         # local mode: ONE JVM hosts the driver AND all executor
         # threads — 8g starved 32 concurrent tasks plus broadcast
         # builds at sf1 (notEnoughMemoryToBuildAndBroadcastTable).
-        # Xmx is a cap, not an upfront allocation; boxes with less
-        # RAM can override via SPARK_GRAFT_DRIVER_MEM.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Xmx is a cap, not an upfront allocation, but it is clamped
+        # to ~80% of detected physical RAM so a smaller box fails
+        # with a clear broadcast OOM instead of an OOM-kill; override
+        # via SPARK_GRAFT_DRIVER_MEM.
+        .config("spark.driver.memory", _default_driver_mem())
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )

@@ -235,7 +235,7 @@ class _LatestProcessor(StatefulProcessor):
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._latest = handle.getValueState(
-            "latest", "ts_ms long, v double"
+            "latest", "ts_us long, v double"
         )
 
     def handleInputRows(
@@ -248,10 +248,13 @@ class _LatestProcessor(StatefulProcessor):
                 continue
             got_input = True
             # batch-local argmax on (ts, value) — same tie-break as
-            # the JVM agg max(struct(ts, value)) in stateful.py
-            ms = (pdf[self._ts].astype("int64") // 1_000_000).to_numpy()
+            # the JVM agg max(struct(ts, value)) in stateful.py.
+            # MICROsecond resolution (the timestamp's full precision):
+            # ms truncation would tie-break same-millisecond events
+            # on value where the JVM struct-max compares sub-ms ts
+            us = (pdf[self._ts].astype("int64") // 1_000).to_numpy()
             vs = pdf[self._vc].astype(float).to_numpy()
-            for m, v in zip(ms, vs):
+            for m, v in zip(us, vs):
                 cand = (int(m), float(v))
                 if cur is None or cand > cur:
                     cur = cand
@@ -260,7 +263,7 @@ class _LatestProcessor(StatefulProcessor):
             yield pd.DataFrame(
                 {
                     self._key: [key[0]],
-                    self._ts: [pd.Timestamp(cur[0], unit="ms")],
+                    self._ts: [pd.Timestamp(cur[0], unit="us")],
                     self._vc: [cur[1]],
                 }
             )

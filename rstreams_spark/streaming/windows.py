@@ -139,9 +139,17 @@ def stream_tumbling_window_gapfill(
                 late = w_arr < widx  # beyond the open window: drop
                 if late.any():
                     w_arr, whole = w_arr[~late], whole[~late]
+            # count='size' counts every row (NaN included) to match
+            # the batch twin's F.count("*"); 'sum' skips NaN like
+            # F.sum. Caveat (documented, not enforced): pandas sum
+            # may accumulate pairwise rather than in row order —
+            # last-bit parity with the batch fold on huge per-window
+            # groups is not guaranteed (CLAUDE invariant #2 applies
+            # to oracle-gated batch paths; streaming parity tests
+            # compare exact values only at test-sized groups).
             per_w = (
                 whole[value_col].astype(float).groupby(w_arr.to_numpy())
-                .agg(["count", "sum"])
+                .agg(count="size", sum="sum")
                 .sort_index()
             )
             for w, (cnt, sm) in per_w.iterrows():
@@ -259,9 +267,10 @@ def stream_hopping_window_gapfill(
             # because emission state only advances on bucket
             # transitions and buckets are visited in ascending order.
             b_arr = whole[ts].astype("int64") // 1_000_000_000 // hop_seconds
+            # count='size' / NaN semantics: see the tumbling twin above
             per_b = (
                 whole[value_col].astype(float).groupby(b_arr.to_numpy())
-                .agg(["count", "sum"])
+                .agg(count="size", sum="sum")
                 .sort_index()
             )
             for b, (cnt, sm) in per_b.iterrows():
