@@ -115,6 +115,27 @@ def main() -> None:
         # headline value invalid whenever any query errored
         payload["errors"] = errors
         payload["valid"] = False
+    # append-only per-run history so regressions surface as numbers
+    # (r02→r03 archaeology was only possible via PERF.md prose);
+    # tools/bench_diff.py prints the per-query delta of the last two
+    try:
+        import subprocess
+        rev = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        rev = None
+    try:
+        hist = dict(payload, ts=int(time.time()), commit=rev)
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_history.jsonl"), "a"
+        ) as fh:
+            fh.write(json.dumps(hist) + "\n")
+    except Exception:
+        pass  # history must never sink the artifact
     sys.stderr.flush()
     time.sleep(0.5)  # let straggling JVM log lines land before the JSON
     # leading newline: if an interleaved JVM log line left an unterminated

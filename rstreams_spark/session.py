@@ -51,6 +51,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batches for mapInPandas/applyInPandasWithState: the
+        # 10k default fragments a 2M-row trigger into 200 transfer
+        # round-trips per partition; 100k measured ~1.4× on the
+        # stateful streaming path with bounded per-batch memory
+        # (rows × row-width per worker)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.sql.session.timeZone", "UTC")
         # local mode: ONE JVM hosts the driver AND all executor
         # threads — 8g starved 32 concurrent tasks plus broadcast
