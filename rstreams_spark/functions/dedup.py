@@ -522,25 +522,32 @@ def connected_components_hybrid(
     100 TB the same sizing yields thousands of parallel contraction
     tasks and the iterative rounds only ever see the forest skeleton.
     """
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col(src) != F.col(dst))
-        .localCheckpoint(eager=False)
-    )
-    n_edges = e.count()  # materializes e; metadata, not data
-    if n_edges == 0:
-        return e.select(
-            F.col("a").alias("node"), F.col("b").alias("cluster_id")
-        )
+    e_all = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=False)
+    e = e_all.where(F.col("a") != F.col("b"))
+    n_edges = e.count()  # materializes e_all; metadata, not data
     n_tasks = max(1, -(-n_edges // edges_per_task))
     contracted = (
         e.repartition(n_tasks, "a")
         .mapInPandas(_local_union_find, schema="node bigint, lmin bigint")
     )
-    labels, changed = _min_label_rounds(contracted, "node", "lmin", label_rounds)
+    # the full node universe rides along as self-rows: self-loop-only
+    # nodes never reach the union-find (their edges are filtered) but
+    # must come out labeled by themselves — same contract as the
+    # other CC variants; for everything else the self-row is absorbed
+    # by the min-label seed
+    universe = (
+        e_all.select(F.col("a").alias("node"))
+        .union(e_all.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("lmin"))
+    )
+    pairs = contracted.unionByName(universe)
+    labels, changed = _min_label_rounds(pairs, "node", "lmin", label_rounds)
     if changed == 0:
         return labels
-    return connected_components_star(contracted, "node", "lmin", max_iter=max_iter)
+    return connected_components_star(pairs, "node", "lmin", max_iter=max_iter)
 
 
 def incremental_dedup_exact(

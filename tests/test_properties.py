@@ -165,6 +165,38 @@ def test_connected_components_star_matches_union_find(spark, edges):
     assert got == want
 
 
+@given(edges=edge_lists)
+@SLOW
+def test_connected_components_hybrid_matches_union_find(spark, edges):
+    """Two-phase hybrid (local union-find contraction + min-label
+    skeleton) == union-find on the same arbitrary graphs; tiny
+    label_rounds forces the contraction path to exercise both
+    phases."""
+    from rstreams_spark.functions.dedup import connected_components_hybrid
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame([Row(id1=a, id2=b) for a, b in edges])
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_hybrid(df, label_rounds=1).collect()
+    }
+    assert got == want
+
+
 vectors = st.lists(
     st.lists(
         st.floats(
