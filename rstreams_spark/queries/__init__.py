@@ -27,17 +27,20 @@ for mod in (core, tpch, textq, dedupq):
     _SQL.update(mod.SQL_ORACLES)
 
 _FRONT = [
-    # — NEVER driver-verified (r3 newcomers that landed past the window) —
-    "tpch_q11", "tpch_q16",
+    # — NEVER driver-verified (r3 newcomers that landed past the
+    #   window; skip_take/cycle_take new in r4) —
+    "tpch_q11", "tpch_q16", "skip_take", "cycle_take",
     # — stalest green history (last driver-verified r01/r02) —
     "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q18",
     "candles_rollup", "distinct_count", "split_routes", "stream_table_join",
     "throttle_sample",
-    # — core rstreams surface (one per family; r03-green near-dups rotated out) —
-    "wordcount", "latest_per_key", "tumbling_window", "hopping_window",
+    # — core rstreams surface (one per family; r03-green near-dups
+    #   rotated out — wordcount/funnel_3step displaced by the two r4
+    #   newcomers above) —
+    "latest_per_key", "tumbling_window", "hopping_window",
     "session_window", "interval_join", "asof_enrich", "strat_classify",
     "range_band_count", "value_percentiles", "gap_detect", "salted_sum",
-    "pattern_followed_by", "funnel_3step", "cohort_retention",
+    "pattern_followed_by", "cohort_retention",
     "chunk_fold_timeout",
     # — TPC-H representatives (agg / join+topk / wide profit rollup) —
     "tpch_q1", "tpch_q3", "tpch_q9",

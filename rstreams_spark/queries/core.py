@@ -55,6 +55,41 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skip_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``StreamExt::skip`` (reference README stateless list): drop the
+    first 1000 events in stream order, keep the next 100. Batch
+    reading: a stable ordinal filter — the unpartitioned window is
+    the documented sample-scale trade in ``operators.stateless``
+    (pass partition_by at scale)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        stateless.ordinal(ev, ["ts", "event_id"])
+        .where(F.col("__ord").between(1000, 1099))
+        .select(
+            "event_id", "user_id", epoch(F.col("ts")).alias("ts_epoch"), "value"
+        )
+    )
+
+
+def cycle_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``StreamExt::cycle`` analog for bounded data
+    (``operators.stateless.cycle_index``): round-robin slot
+    assignment over the ordered stream, aggregated per slot — the
+    deterministic batch reading of an infinite repeat."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        stateless.cycle_index(ev, 7, ["ts", "event_id"])
+        .groupBy(F.col("__cycle").cast("long").alias("slot"))
+        .agg(
+            F.count("*").alias("n"),
+            # integer aggregates only: a ~n/7-term double sum crosses
+            # 2dp rounding boundaries between engines (invariant #2)
+            F.min(epoch(F.col("ts"))).alias("min_ts_epoch"),
+            F.max(epoch(F.col("ts"))).alias("max_ts_epoch"),
+        )
+    )
+
+
 def merge_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     cols = ["event_id", "user_id", "ts", "value"]
@@ -719,6 +754,8 @@ QUERIES = {
     "wordcount": wordcount,
     "merge_take": merge_take,
     "chunk_fold": chunk_fold,
+    "skip_take": skip_take,
+    "cycle_take": cycle_take,
     "chunk_fold_timeout": chunk_fold_timeout,
     "latest_per_key": latest_per_key,
     "tumbling_window": tumbling_window,
@@ -788,6 +825,22 @@ SQL_ORACLES = {
         select token, count(*) as n
         from (select unnest({SQL_TOKS.format(c='text')}) as token from documents)
         group by token
+    """,
+    "skip_take": f"""
+        select event_id, user_id, {_E} as ts_epoch, value
+        from (
+          select *, row_number() over (order by ts, event_id) - 1 as ord
+          from events
+        ) where ord between 1000 and 1099
+    """,
+    "cycle_take": f"""
+        select cast(ord % 7 as bigint) as slot,
+               count(*) as n,
+               min({_E}) as min_ts_epoch, max({_E}) as max_ts_epoch
+        from (
+          select *, row_number() over (order by ts, event_id) - 1 as ord
+          from events
+        ) group by 1
     """,
     "merge_take": f"""
         select event_id, user_id, {_E} as ts_epoch, value
