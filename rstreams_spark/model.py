@@ -81,6 +81,21 @@ class RStream:
         )
         return self._with(df)
 
+    def chunk(self, size: int, order_by: Sequence[str]) -> "RStream":
+        """``StreamExt::chunks``: tag each row with a ``__chunk`` id of
+        ``size`` consecutive rows in ``order_by`` order; ``fold`` by
+        ``__chunk`` downstream."""
+        from .operators import stateless
+
+        return self._with(stateless.chunk(self.df, size, order_by))
+
+    def cycle(self, n: int, order_by: Sequence[str]) -> "RStream":
+        """``StreamExt::cycle`` (bounded reading): tag each row with
+        its round-robin slot ``__cycle`` = position mod ``n``."""
+        from .operators import stateless
+
+        return self._with(stateless.cycle_index(self.df, n, order_by))
+
     def throttle_sample(self, one_in: int, on: str | None = None) -> "RStream":
         """Deterministic 1-in-N down-sampling (batch analog of
         ``StreamExt::throttle`` back-pressure: bound the record rate).

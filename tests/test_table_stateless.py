@@ -156,6 +156,11 @@ def test_rstream_take_skip_filter_map(spark):
     fm = s.filter_map(F.col("v") >= 8, "key", (F.col("v") * 2).alias("w"))
     assert sorted(r["w"] for r in fm.df.collect()) == [16.0, 18.0]
 
+    chunks = {r["__chunk"] for r in s.chunk(4, order_by=["ts"]).df.collect()}
+    assert chunks == {0, 1, 2}
+    slots = {r["v"]: r["__cycle"] for r in s.cycle(3, order_by=["ts"]).df.collect()}
+    assert slots == {float(i): i % 3 for i in range(10)}
+
 
 def test_rstream_windows_and_table(spark):
     import datetime as dt
