@@ -127,7 +127,14 @@ def lsh_band_pairs(
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 LSH band (distinct id1<id2 pairs).
 
-    Band key = md5 of the band's r=num_perm/bands signature slots.
+    Band key = xxhash64 of the band's r=num_perm/bands signature
+    slots — native JVM hash, 8-byte shuffle keys (the r3 md5-of-
+    concat-string keys cost 16 string builds + md5 per doc and 32-
+    char shuffle keys). Band keys carry EQUALITY semantics only, so
+    the DuckDB oracle's md5 keys bucket identically: the output
+    pairs can differ only through a 64-bit collision between
+    different slot tuples in one engine (~bands²/2^65 ≈ 1e-10 at
+    bench scale).
     Shape: groupBy (band_idx, band_key) collecting the (small, by the
     LSH property) member list per bucket, then expand pairs inside
     the bucket array — ONE pass over the signature pipeline and one
@@ -147,9 +154,9 @@ def lsh_band_pairs(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band_idx"),
-                    F.md5(F.concat_ws("-", *[
-                        F.col(f"h{b * r + k}").cast("string") for k in range(r)
-                    ])).alias("band_key"),
+                    F.xxhash64(
+                        *[F.col(f"h{b * r + k}") for k in range(r)]
+                    ).alias("band_key"),
                 )
                 for b in range(bands)
             ])
