@@ -44,8 +44,9 @@ _FRONT = [
     "chunk_fold_timeout",
     # — TPC-H representatives (agg / join+topk / wide profit rollup) —
     "tpch_q1", "tpch_q3", "tpch_q9",
-    # — LLM-data-pipeline block —
-    "dedup_exact", "incremental_dedup_exact", "text_quality", "lang_id",
+    # — LLM-data-pipeline block (text_quality rotated out for r4
+    #   newcomer dedup_keep_best, whose oracle embeds its formula) —
+    "dedup_exact", "incremental_dedup_exact", "dedup_keep_best", "lang_id",
     "doc_chunks", "pack_sequences", "top_terms", "dedup_ngram_jaccard",
     "dedup_minhash", "dedup_clusters", "dedup_simhash",
     "embedding_cosine_dup", "ann_topk", "ann_lsh_topk", "ivf_topk",

@@ -146,6 +146,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keep-one: for every dup cluster (minhash-LSH
+    pairs → hybrid CC) keep the member with the highest
+    ``text_quality`` score (ties → smallest doc_id) — the realistic
+    curation composite, where plain ``dedup_clusters`` keep-one keeps
+    the min id. quality_score is a per-row double with identical op
+    order in both engines (already hash-verified standalone as
+    text_quality), so the argmax is engine-identical. One extra
+    shuffle on cluster_id over the cluster table (≪ corpus)."""
+    from .textq import text_quality
+
+    clusters = dedup_clusters(spark, sf_dir)
+    q = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    j = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id")
+    wr = w.orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+    return (
+        j.withColumn("__rn", F.row_number().over(wr))
+        .withColumn("n_members", F.count("*").over(w))
+        .where(F.col("__rn") == 1)
+        .select("cluster_id", "doc_id", "quality_score", "n_members")
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return simhash32(doc_shingles(docs, "text", 2))
@@ -572,6 +596,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash": dedup_minhash,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep_best": dedup_keep_best,
     "dedup_simhash": dedup_simhash,
     "embedding_cosine_dup": embedding_cosine_dup,
     "ann_topk": ann_topk,
@@ -961,3 +986,61 @@ SQL_ORACLES = {
         group by label, dim
     """,
 }
+
+
+def _sql_keep_best() -> str:
+    """Oracle for ``dedup_keep_best``: the dedup_clusters recursive
+    closure composed with textq's quality formula (same fragments as
+    the standalone text_quality oracle, so the score doubles are
+    bit-identical), argmax per cluster via row_number."""
+    from .textq import _SQL_STOP_EN, _TOKS
+
+    return f"""
+        with recursive {_sql_shingles(2)},
+        {_sql_sig()},
+        {_sql_bands()},
+        {_SQL_CAND_PAIRS},
+        nodes as (
+          select id1 as n from pairs union select id2 from pairs
+        ),
+        e as (
+          select id1 as a, id2 as b from pairs
+          union select id2, id1 from pairs
+        ),
+        reach(a, b) as (
+          select n, n from nodes
+          union
+          select r.a, e.b from reach r join e on r.b = e.a
+        ),
+        clusters as (
+          select a as doc_id, min(b) as cluster_id
+          from reach group by a
+        ),
+        m as (
+          select doc_id,
+                 length(text) as n_chars,
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::double as alpha,
+                 len({_TOKS})::double as n_toks,
+                 len(list_filter({_TOKS}, x -> list_contains({_SQL_STOP_EN}, x)))::double as n_stop
+          from documents
+        ),
+        q as (
+          select doc_id,
+                 0.5 * alpha / nullif(n_chars, 0)
+                   + 0.3 * n_stop / nullif(n_toks, 0)
+                   + 0.2 * least(n_toks / 100.0, 1.0) as quality_score
+          from m
+        ),
+        ranked as (
+          select c.cluster_id, c.doc_id, q.quality_score,
+                 row_number() over (partition by c.cluster_id
+                                    order by q.quality_score desc, c.doc_id) as rn,
+                 count(*) over (partition by c.cluster_id) as n_members
+          from clusters c join q using (doc_id)
+        )
+        select cluster_id, doc_id, quality_score, n_members
+        from ranked where rn = 1
+    """
+
+
+SQL_ORACLES["dedup_keep_best"] = _sql_keep_best()
