@@ -22,9 +22,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINERS = [
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
-    "tpch_q8", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q22",
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q10", "tpch_q8", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     "wordcount", "hopping_window", "session_window", "candles",
     "candles_rollup", "range_band_count",
     "interval_join", "latest_per_key", "value_percentiles",

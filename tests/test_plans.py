@@ -102,6 +102,28 @@ def test_new_tpch_broadcast_discipline(spark):
             assert plans.count_sortmerge_joins(df) >= n_smj, key
 
 
+def test_r4_tpch_broadcast_discipline(spark):
+    """Round-4 completions (q2/q20/q21): dim hints only — part and
+    the supplier⋈nation(⋈region) chain broadcast; q21's
+    lineitem⋈orders fact join shuffles; q2's correlated min is a
+    window over the part key (no self-join back onto the agg)."""
+    for key, n_hinted, n_smj in (
+        ("tpch_q2", 4, 0),   # part + supp/nation/region hints; min is a window
+        ("tpch_q20", 3, 0),  # part + supp/nation hints; agg shuffles only
+        ("tpch_q21", 1, 1),  # supplier hint; li⋈orders shuffles
+    ):
+        with _conf(spark, NO_AUTO_BHJ):
+            df = REGISTRY[key](spark, SF_SMOKE)
+            assert plans.count_broadcast_joins(df) == n_hinted, key
+            assert plans.count_sortmerge_joins(df) >= n_smj, key
+    # q2's min-per-part must NOT rescan the cost aggregate: exactly
+    # one Window node, zero joins beyond the two dim hints
+    with _conf(spark, NO_AUTO_BHJ):
+        txt = plans.explain_str(REGISTRY["tpch_q2"](spark, SF_SMOKE))
+        assert txt.count("Window") >= 1
+        assert plans.count_sortmerge_joins(REGISTRY["tpch_q2"](spark, SF_SMOKE)) == 0
+
+
 def test_q8_widest_join_discipline(spark):
     """q8 (8-way join): exactly the 5 dim hints broadcast (part,
     customer-nation, region, supplier, supplier-nation); the
