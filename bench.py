@@ -34,7 +34,7 @@ HEADLINERS = [
     "dedup_minhash", "dedup_simhash", "dedup_clusters", "minhash_lsh_topk",
     "doc_chunks", "embedding_quantize", "decontaminate_ngrams",
     "pack_sequences", "top_terms", "orders_rollup", "embedding_dim_stats",
-    "ann_topk", "ann_lsh_topk", "text_quality",
+    "ann_topk", "ann_lsh_topk", "text_quality", "quality_repetition",
 ]
 
 

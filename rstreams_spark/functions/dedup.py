@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from .text import hash64, tokens
 
 __all__ = [
-    "shingles", "doc_shingles", "minhash_signature",
+    "grams", "shingles", "doc_shingles", "minhash_signature",
     "lsh_band_pairs", "simhash32", "P61", "perm_coeffs",
     "connected_components", "connected_components_star",
     "connected_components_hybrid", "incremental_dedup_exact",
@@ -49,8 +49,9 @@ def perm_coeffs(num_perm: int) -> list[tuple[int, int, int]]:
     ]
 
 
-def shingles(tok_col: Column, n: int) -> Column:
-    """Distinct word n-grams (space-joined) from a token array.
+def grams(tok_col: Column, n: int) -> Column:
+    """All overlapping word n-grams (space-joined, WITH multiplicity,
+    in document order) from a token array.
 
     Built from ``slice`` + ``zip_with`` chains: the token expression
     is evaluated O(n) times per ROW. (A ``transform`` over an index
@@ -59,16 +60,21 @@ def shingles(tok_col: Column, n: int) -> Column:
     elimination — which is quadratic in document length.)
     """
     if n == 1:
-        return F.array_distinct(tok_col)
+        return tok_col
     cnt = F.size(tok_col) - (n - 1)
-    grams = F.slice(tok_col, 1, cnt)
+    out = F.slice(tok_col, 1, cnt)
     for k in range(1, n):
-        grams = F.zip_with(
-            grams, F.slice(tok_col, k + 1, cnt), lambda g, t: F.concat(g, F.lit(" "), t)
+        out = F.zip_with(
+            out, F.slice(tok_col, k + 1, cnt), lambda g, t: F.concat(g, F.lit(" "), t)
         )
-    return F.array_distinct(
-        F.when(F.size(tok_col) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return F.when(F.size(tok_col) >= n, out).otherwise(
+        F.array().cast("array<string>")
     )
+
+
+def shingles(tok_col: Column, n: int) -> Column:
+    """Distinct word n-grams (space-joined) from a token array."""
+    return F.array_distinct(grams(tok_col, n))
 
 
 def doc_shingles(docs: DataFrame, text_col: str, n: int, id_col: str = "doc_id") -> DataFrame:

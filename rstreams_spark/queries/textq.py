@@ -11,8 +11,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import (
-    BPE_ISH_PATTERN, STOPWORDS, bpe_ish_tokens, md5_fingerprint, token_chunks,
-    tokens,
+    BPE_ISH_PATTERN, STOPWORDS, bpe_ish_tokens, md5_fingerprint, norm_text,
+    token_chunks, tokens,
 )
 from ._util import SQL_NORM, SQL_TOKS, t
 
@@ -86,6 +86,84 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         space_ratio.alias("space_ratio"),
         stop_ratio.alias("stopword_ratio"),
         quality.alias("quality_score"),
+    )
+
+
+# Gopher-style repetition cuts (Rae et al. 2021, "Scaling Language
+# Models", Table A1), adapted to a line-less corpus: the signals are
+# word-level — top 2-gram char fraction ≤ 1/5, duplicate 3-gram char
+# fraction ≤ 9/50. Thresholds are integer-algebra rationals so the
+# keep flag never touches FP division (invariant #2).
+REP_TOP2_NUM, REP_TOP2_DEN = 1, 5
+REP_DUP3_NUM, REP_DUP3_DEN = 9, 50
+
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (Gopher Table-A1 shape):
+    per-document duplicate-word fraction, the char share of the
+    single biggest 2-gram (count × gram length, the "most repeated
+    phrase" signal), and the char share of all duplicated 3-grams.
+
+    Plan: ONE explode emits (doc, n, gram) rows for n ∈ {1,2,3}
+    (~3× token count — narrow, pipelines with the scan), then two
+    hash aggregations: per-(doc, n, gram) counts, per-doc stats.
+    The normalized char length rides the groupBy keys (constant per
+    doc) so no join back onto documents is needed. All numerators/
+    denominators are exact integers; each output fraction is ONE
+    double division of identical integers on both engines, and the
+    keep flag is multiplication-only integer algebra — no FP
+    threshold anywhere. At 100 TB: two shuffles, both on keys that
+    grow with the corpus (never a driver collect); hot grams are
+    per-document so no skew beyond document length itself.
+    """
+    from ..functions.dedup import grams
+
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    nc = F.greatest(F.length(norm_text(F.col("text"))), F.lit(1)).cast("long")
+    def _tag(n: int):
+        # one-arg lambda on purpose: a two-arg callable would make
+        # F.transform bind the second parameter to the ELEMENT INDEX
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    gram_rows = docs.select(
+        "doc_id",
+        nc.alias("__nc"),
+        F.explode(
+            F.flatten(
+                F.array(*[F.transform(grams(toks, n), _tag(n)) for n in (1, 2, 3)])
+            )
+        ).alias("g"),
+    ).select("doc_id", "__nc", "g.n", "g.gram")
+    counted = gram_rows.groupBy("doc_id", "__nc", "n", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    chars = F.col("cnt") * F.length("gram")
+    stats = counted.groupBy("doc_id", "__nc").agg(
+        F.sum(F.when(F.col("n") == 1, F.col("cnt"))).alias("__w_total"),
+        F.count(F.when(F.col("n") == 1, True)).alias("__w_distinct"),
+        F.coalesce(
+            F.max(F.when(F.col("n") == 2, chars)), F.lit(0)
+        ).alias("__top2_chars"),
+        F.coalesce(
+            F.sum(F.when((F.col("n") == 3) & (F.col("cnt") > 1), chars)),
+            F.lit(0),
+        ).alias("__dup3_chars"),
+    )
+    w_total = F.greatest(F.col("__w_total"), F.lit(1))
+    keep = (
+        (F.col("__top2_chars") * REP_TOP2_DEN <= F.col("__nc") * REP_TOP2_NUM)
+        & (F.col("__dup3_chars") * REP_DUP3_DEN <= F.col("__nc") * REP_DUP3_NUM)
+    )
+    return stats.select(
+        "doc_id",
+        F.col("__w_total").cast("long").alias("n_words"),
+        ((F.col("__w_total") - F.col("__w_distinct")) / w_total).alias(
+            "dup_word_frac"
+        ),
+        (F.col("__top2_chars") / F.col("__nc")).alias("top2gram_char_frac"),
+        (F.col("__dup3_chars") / F.col("__nc")).alias("dup3gram_char_frac"),
+        keep.alias("keep"),
     )
 
 
@@ -308,6 +386,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "token_count": token_count,
     "text_quality": text_quality,
+    "quality_repetition": quality_repetition,
     "lang_id": lang_id,
     "doc_chunks": doc_chunks,
     "pack_sequences": pack_sequences,
@@ -315,6 +394,49 @@ QUERIES = {
 }
 
 SQL_ORACLES = {
+    "quality_repetition": f"""
+        with toks as (
+          select doc_id,
+                 greatest(length({_NORM}), 1) as nc,
+                 {_TOKS} as tk
+          from documents
+        ),
+        gr as (
+          select doc_id, nc, 1 as n, unnest(tk) as gram from toks
+          union all
+          select doc_id, nc, 2 as n,
+                 unnest([tk[i] || ' ' || tk[i+1]
+                         for i in range(1, len(tk))]) as gram
+          from toks
+          union all
+          select doc_id, nc, 3 as n,
+                 unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                         for i in range(1, len(tk) - 1)]) as gram
+          from toks
+        ),
+        cnts as (
+          select doc_id, nc, n, gram, count(*) as cnt
+          from gr group by doc_id, nc, n, gram
+        ),
+        stats as (
+          select doc_id, nc,
+                 sum(case when n = 1 then cnt end) as w_total,
+                 count(case when n = 1 then 1 end) as w_distinct,
+                 coalesce(max(case when n = 2
+                              then cnt * length(gram) end), 0) as top2,
+                 coalesce(sum(case when n = 3 and cnt > 1
+                              then cnt * length(gram) end), 0) as dup3
+          from cnts group by doc_id, nc
+        )
+        select doc_id,
+               cast(w_total as bigint) as n_words,
+               (w_total - w_distinct) / greatest(w_total, 1) as dup_word_frac,
+               top2 / nc as top2gram_char_frac,
+               dup3 / nc as dup3gram_char_frac,
+               (top2 * {REP_TOP2_DEN} <= nc * {REP_TOP2_NUM}
+                and dup3 * {REP_DUP3_DEN} <= nc * {REP_DUP3_NUM}) as keep
+        from stats
+    """,
     "text_redact": f"""
         with r as (
           select doc_id, text,

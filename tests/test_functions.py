@@ -49,6 +49,41 @@ def test_shingles_distinct(spark):
     assert got == ["a a"]
 
 
+def test_grams_keep_multiplicity_and_order(spark):
+    df = spark.createDataFrame([Row(t=["a", "b", "a", "b"]), Row(t=["x"]), Row(t=[])])
+    got = [r["g"] for r in df.select(dedup.grams(F.col("t"), 2).alias("g")).collect()]
+    assert got == [["a b", "b a", "a b"], [], []]
+    got1 = [r["g"] for r in df.select(dedup.grams(F.col("t"), 1).alias("g")).collect()]
+    assert got1 == [["a", "b", "a", "b"], ["x"], []]
+
+
+def test_quality_repetition_flags_repetitive_doc(spark, tmp_path):
+    """A doc that is one phrase repeated must trip both Gopher cuts;
+    a diverse doc must keep=True with zero dup fractions."""
+    import pandas as pd
+
+    sf = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "spam ham " * 30,  # top-2gram covers ~everything
+                " ".join(f"w{i}" for i in range(60)),  # all distinct
+            ],
+            "lang": ["en", "en"],
+            "source": ["t", "t"],
+            "n_chars": [240, 240],
+        }
+    ).to_parquet(f"{sf}/documents.parquet")
+    from rstreams_spark.queries.textq import quality_repetition
+
+    rows = {r["doc_id"]: r for r in quality_repetition(spark, sf).collect()}
+    assert not rows[1]["keep"] and rows[1]["top2gram_char_frac"] > 0.5
+    assert rows[1]["dup3gram_char_frac"] > 0.5 and rows[1]["dup_word_frac"] > 0.9
+    assert rows[2]["keep"] and rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["dup3gram_char_frac"] == 0.0
+
+
 def test_minhash_identical_docs_same_signature(spark):
     docs = spark.createDataFrame(
         [Row(doc_id=1, text="the quick brown fox jumps"),
