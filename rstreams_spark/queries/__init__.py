@@ -33,7 +33,7 @@ _FRONT = [
     # — NEVER driver-verified (r3 newcomers that landed past the
     #   window; skip_take/cycle_take and tpch_q2/q20/q21 new in r4) —
     "tpch_q11", "tpch_q16", "skip_take", "cycle_take",
-    "tpch_q2", "tpch_q20", "tpch_q21", "quality_repetition",
+    "tpch_q2", "tpch_q20", "tpch_q21", "quality_repetition", "source_mix",
     # — stalest green history (last driver-verified r01/r02) —
     "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q18",
     "candles_rollup", "distinct_count", "split_routes", "stream_table_join",
@@ -43,7 +43,7 @@ _FRONT = [
     #   newcomers above) —
     "latest_per_key", "tumbling_window",
     "session_window", "interval_join", "asof_enrich", "strat_classify",
-    "value_percentiles", "gap_detect", "salted_sum",
+    "value_percentiles", "salted_sum",
     "pattern_followed_by",
     "chunk_fold_timeout",
     # — TPC-H representatives (agg / join+topk / wide profit rollup) —

@@ -121,20 +121,29 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     nc = F.greatest(F.length(norm_text(F.col("text"))), F.lit(1)).cast("long")
-    def _tag(n: int):
-        # one-arg lambda on purpose: a two-arg callable would make
-        # F.transform bind the second parameter to the ELEMENT INDEX
-        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+    from ..functions.core import ensure_fanout_parallelism
 
-    gram_rows = docs.select(
+    # one concatenated explode for all three gram sizes; n is
+    # recovered from the gram itself (tokens never contain spaces,
+    # so n = space count + 1) — no per-element struct tagging, and
+    # the explode fans each doc ~3×|tokens| so the scan is
+    # redistributed first when it arrives under-parallel
+    gram_rows = ensure_fanout_parallelism(docs, by="doc_id").select(
         "doc_id",
         nc.alias("__nc"),
         F.explode(
-            F.flatten(
-                F.array(*[F.transform(grams(toks, n), _tag(n)) for n in (1, 2, 3)])
-            )
-        ).alias("g"),
-    ).select("doc_id", "__nc", "g.n", "g.gram")
+            F.concat(*[grams(toks, n) for n in (1, 2, 3)])
+        ).alias("gram"),
+    ).select(
+        "doc_id",
+        "__nc",
+        (
+            F.length("gram")
+            - F.length(F.replace(F.col("gram"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("int").alias("n"),
+        "gram",
+    )
     counted = gram_rows.groupBy("doc_id", "__nc", "n", "gram").agg(
         F.count("*").alias("cnt")
     )
@@ -164,6 +173,52 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("__top2_chars") / F.col("__nc")).alias("top2gram_char_frac"),
         (F.col("__dup3_chars") / F.col("__nc")).alias("dup3gram_char_frac"),
         keep.alias("keep"),
+    )
+
+
+def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix curation: per-source corpus statistics and
+    α=0.5 temperature-sampling weights (w_s ∝ n_tokens_s^α — the
+    standard flatten-the-mix reweighting for multilingual/multi-
+    source pretraining, e.g. XLM-R §3.1).
+
+    Exactness: doc/token counts are integers; token_share is ONE
+    int/int division; each raw weight is sqrt of an integer (one
+    IEEE op); the normalizer Z folds the per-source sqrts in SOURCE
+    NAME ORDER (sort_array over a collected struct list → sequential
+    F.aggregate, mirrored by the oracle's ordered list_reduce) so
+    both engines accumulate in the identical order — invariant #2's
+    sequential-fold rule, not a parallel double sum.
+
+    Scale: one map-side-partial shuffle to |sources| rows, then a
+    1-row broadcast back over them. The collect_list is over SOURCES
+    (a bounded dimension, ~dozens), never documents.
+    """
+    docs = t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_docs").alias("__td"),
+        F.sum("n_tokens").alias("__tt"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("source"), F.col("n_tokens")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + F.sqrt(x["n_tokens"]),
+        ).alias("__z"),
+    )
+    return (
+        per_src.join(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens") / F.col("__tt")).alias("token_share"),
+            (F.sqrt(F.col("n_tokens")) / F.col("__z")).alias("alpha_weight"),
+        )
     )
 
 
@@ -387,6 +442,7 @@ QUERIES = {
     "token_count": token_count,
     "text_quality": text_quality,
     "quality_repetition": quality_repetition,
+    "source_mix": source_mix,
     "lang_id": lang_id,
     "doc_chunks": doc_chunks,
     "pack_sequences": pack_sequences,
@@ -394,6 +450,31 @@ QUERIES = {
 }
 
 SQL_ORACLES = {
+    "source_mix": f"""
+        with per_src as (
+          select source,
+                 count(*) as n_docs,
+                 sum(len({_TOKS})) as n_tokens
+          from documents group by source
+        ),
+        tot as (
+          select sum(n_tokens) as tt,
+                 list_reduce(
+                   list_prepend(
+                     cast(0.0 as double),
+                     list_transform(
+                       list(cast(n_tokens as bigint) order by source),
+                       x -> sqrt(x))),
+                   (a, b) -> a + b) as z
+          from per_src
+        )
+        select source,
+               cast(n_docs as bigint) as n_docs,
+               cast(n_tokens as bigint) as n_tokens,
+               n_tokens / tt as token_share,
+               sqrt(cast(n_tokens as bigint)) / z as alpha_weight
+        from per_src, tot
+    """,
     "quality_repetition": f"""
         with toks as (
           select doc_id,
