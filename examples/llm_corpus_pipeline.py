@@ -3,6 +3,7 @@ table — the workflow this engine exists for at 100 TB, runnable at
 any SF:
 
   scan → quality score → language ID → token count   (per-doc stats)
+       → repetition cut (Gopher word/n-gram repetition keep-flag)
        → exact dedup (md5 fingerprint, keep min doc_id)
        → minhash-LSH candidate pairs → exact-jaccard verify (≥ 0.5)
        → connected components → keep one canonical doc per cluster
@@ -54,6 +55,15 @@ def run(spark, sf_dir: str) -> dict:
         F.size(toks).alias("n_tokens"),
         md5_fingerprint(F.col("text")).alias("fp"),
     ).where(F.col("n_tokens") >= 5)
+
+    # repetition cut: Gopher-style keep flag (top-2-gram / dup-3-gram
+    # char shares) — boilerplate and degenerate repeats go first so
+    # the dedup stages never shingle them
+    from rstreams_spark.queries.textq import quality_repetition
+
+    keep_ids = quality_repetition(spark, sf_dir).where("keep").select("doc_id")
+    stats = stats.join(keep_ids, "doc_id", "left_semi")
+    n_rep = stats.count()
 
     # exact dedup: keep the min doc_id per content fingerprint
     exact = (
@@ -135,10 +145,22 @@ def run(spark, sf_dir: str) -> dict:
     ).select("doc_id", "c.chunk_idx", "c.n_tokens")
     n_chunks = chunks.count()
 
+    # sampling mix over the surviving corpus: α=0.5 temperature
+    # weights per source (what the data loader would draw with)
+    mix = (
+        clean.groupBy("source")
+        .agg(F.sum("n_tokens").alias("n_tokens"))
+        .select("source", F.sqrt("n_tokens").alias("w"))
+    )
+    top_mix = [
+        (r["source"], r["w"])
+        for r in mix.orderBy(F.desc("w"), "source").limit(3).collect()
+    ]
+
     return {
-        "raw": n_raw, "after_exact": n_exact,
+        "raw": n_raw, "after_repetition": n_rep, "after_exact": n_exact,
         "after_near_dup": n_near, "after_decontam": n_clean,
-        "bins": n_bins, "chunks": n_chunks,
+        "bins": n_bins, "chunks": n_chunks, "top_mix": top_mix,
     }
 
 
@@ -148,10 +170,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     c = run(spark, sf_dir)
     print(
-        f"docs: {c['raw']} raw -> {c['after_exact']} after exact dedup "
+        f"docs: {c['raw']} raw -> {c['after_repetition']} after repetition cut "
+        f"-> {c['after_exact']} after exact dedup "
         f"-> {c['after_near_dup']} after near-dup clustering "
         f"-> {c['after_decontam']} after decontamination "
-        f"-> {c['bins']} packed bins, {c['chunks']} training chunks"
+        f"-> {c['bins']} packed bins, {c['chunks']} training chunks; "
+        f"top sampling sources: {[s for s, _ in c['top_mix']]}"
     )
 
 

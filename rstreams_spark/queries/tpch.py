@@ -606,18 +606,27 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE extra shuffle on l_partkey after the (part, supplier) cost
     aggregate, no self-join and no second scan of the fact table
     (q17's join-back shape would recompute the upstream agg).
+    The broadcast part filter sits BELOW the cost aggregation, so
+    only lineitems of qualifying parts (one type × one size,
+    ~0.5% of the fact) are ever aggregated — Catalyst does not
+    reorder groupBy past a join on its own.
     Part and the supplier⋈nation⋈region chain are genuine dims —
     broadcast; cost equality on doubles is safe because both sides
     come from the same aggregation (the min IS one of the values).
     """
     from pyspark.sql.window import Window
 
-    ps = t(spark, sf_dir, "lineitem").groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
-    )
     part_f = t(spark, sf_dir, "part").where(
         (F.col("p_type") == Q2_TYPE) & (F.col("p_size") == Q2_SIZE)
     ).select("p_partkey")
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+        )
+    )
     supp = (
         t(spark, sf_dir, "supplier")
         .join(
@@ -632,9 +641,8 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    eligible = (
-        ps.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    eligible = ps.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
     )
     mc = F.min("supplycost").over(Window.partitionBy("p_partkey"))
     return (
