@@ -717,11 +717,15 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     finished multi-supplier order — the original's
     EXISTS(other supplier) / NOT EXISTS(other late supplier) pair.
 
-    Both existential subqueries collapse into ONE per-order
-    aggregation (distinct-supplier count, distinct-late-supplier
-    count, and the lone late supplier via max over a conditional) —
-    two shuffles total (per-order, then per-supplier) instead of the
-    textbook plan's two extra self-joins of the fact table.
+    Both existential subqueries collapse into a TWO-LEVEL
+    aggregation: per-(order, supplier) late-flags first, then
+    per-order distinct counts as plain counts over that reduced
+    frame. Two distinct-aggregates in one groupBy would instead
+    plan a 3× row Expand through the shuffle (Spark's
+    multi-distinct rewrite); the pre-aggregation keeps every
+    shuffle at ≤ |order×supplier| rows and needs no Expand. Three
+    shuffles total (pair pre-agg, per-order, per-supplier) and no
+    fact self-joins.
     """
     orders = t(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
@@ -730,13 +734,17 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         f"INTERVAL {Q21_LATE_DAYS} DAYS"
     )
-    per_order = (
+    per_pair = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("__late"))
+    )
+    per_order = (
+        per_pair.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("__ns"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("__nl"),
-            F.max(F.when(late, F.col("l_suppkey"))).alias("__lone"),
+            F.count("*").alias("__ns"),
+            F.sum("__late").alias("__nl"),
+            F.max(F.when(F.col("__late") == 1, F.col("l_suppkey"))).alias("__lone"),
         )
         .where((F.col("__ns") > 1) & (F.col("__nl") == 1))
     )

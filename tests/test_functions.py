@@ -57,6 +57,20 @@ def test_grams_keep_multiplicity_and_order(spark):
     assert got1 == [["a", "b", "a", "b"], ["x"], []]
 
 
+def test_source_mix_weights_normalize(spark):
+    """α-temperature weights and token shares each sum to 1 (up to
+    fold rounding) and the weights flatten the mix: the largest
+    source's weight is below its raw token share."""
+    from conftest import SF_SMOKE
+    from rstreams_spark.queries.textq import source_mix
+
+    rows = source_mix(spark, SF_SMOKE).collect()
+    assert abs(sum(r["alpha_weight"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-9
+    top = max(rows, key=lambda r: r["n_tokens"])
+    assert top["alpha_weight"] < top["token_share"] or len(rows) == 1
+
+
 def test_quality_repetition_flags_repetitive_doc(spark, tmp_path):
     """A doc that is one phrase repeated must trip both Gopher cuts;
     a diverse doc must keep=True with zero dup fractions."""
