@@ -23,14 +23,46 @@ __all__ = ["chunk", "ordinal", "merge", "throttle_sample", "cycle_index"]
 def ordinal(df: DataFrame, order_by: Sequence[str], partition_by: Sequence[str] = ()) -> DataFrame:
     """Stable row ordinal ``__ord`` (0-based) — building block for
     chunk/skip/cycle, which are order-dependent in a stream world.
-    A global ordinal uses an unpartitioned window (single-task sort):
-    fine for samples/tests; at scale always pass ``partition_by``."""
-    w = (
-        Window.partitionBy(*partition_by).orderBy(*order_by)
-        if partition_by
-        else Window.orderBy(*order_by)
+
+    With ``partition_by``: a per-key window, sharded by the key.
+
+    Without it, the GLOBAL ordinal is computed in two distributed
+    phases instead of the single-task unpartitioned window: (1)
+    range-repartition on the order key and rank within each range
+    shard (every shard sorts in parallel; range bounds keep shards
+    in global order), (2) rank + the total row count of all earlier
+    shards. The offsets frame is one row per SHARD (bounded
+    metadata), so its running-sum window and the join back are
+    broadcast-cheap; no task ever holds more than its shard. The
+    ranked frame feeds both the offsets aggregate and the join, so
+    it materializes once via lazy localCheckpoint (invariant #9 —
+    use a real checkpoint dir on a cluster so shards survive
+    executor loss; the checkpoint also pins partition ids against
+    recompute instability)."""
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+        return df.withColumn("__ord", F.row_number().over(w) - 1)
+    okeys = [F.col(c) for c in order_by]
+    ranked = (
+        df.repartitionByRange(*okeys)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__rn", F.row_number().over(Window.partitionBy("__pid").orderBy(*okeys))
+        )
+        .localCheckpoint(eager=False)
     )
-    return df.withColumn("__ord", F.row_number().over(w) - 1)
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranked.groupBy("__pid")
+        .agg(F.count("*").alias("__cnt"))
+        .withColumn("__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__pid")
+        .withColumn("__ord", F.col("__off") + F.col("__rn") - 1)
+        .drop("__pid", "__rn", "__off")
+    )
 
 
 def chunk(
