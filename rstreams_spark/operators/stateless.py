@@ -101,28 +101,109 @@ def chunk_timeout(
     Two single-pass windows, no recursion: the gap indicator's
     running sum splits silence-separated groups (``__session``), a
     row_number within each splits by count (``__chunk``). With
-    ``partition_by`` both windows shard by key; without it the total
-    order matches the reference's single-stream semantics (same
-    discipline as ``chunk``).
+    ``partition_by`` both windows shard by key.
+
+    Without it, the global form is distributed the same way as
+    ``ordinal``: range shards sort in parallel, and every
+    cross-shard quantity is stitched with SHARD-COUNT-sized
+    metadata — (a) each shard's first gap test borrows the previous
+    shard's last event time, (b) global session ids add the break
+    totals of earlier shards, (c) in-session positions add the
+    segment counts of earlier shards (a session spanning shards is
+    split into per-shard segments; the segment frame is bounded by
+    shards + sessions). ``order_by`` must lead with ``ts_col`` so
+    a shard's max event time is its last. Three lazy
+    localCheckpoints pin the shard assignment and stop re-scans
+    (invariants #8/#9; real checkpoint dir on a cluster).
     """
-    keys = [F.col(c) for c in partition_by]
     order = [F.col(c) for c in order_by]
-    w = Window.partitionBy(*keys).orderBy(*order) if keys else (
-        Window.partitionBy().orderBy(*order)
-    )
     e = F.unix_timestamp(F.col(ts_col))
-    brk = (
-        F.when(e - F.lag(e).over(w) > gap_seconds, F.lit(1))
-        .otherwise(F.lit(0))
+    if partition_by:
+        keys = [F.col(c) for c in partition_by]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        brk = (
+            F.when(e - F.lag(e).over(w) > gap_seconds, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        out = df.withColumn(
+            "__session",
+            F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        w2 = Window.partitionBy(*keys, F.col("__session")).orderBy(*order)
+        return out.withColumn(
+            "__chunk",
+            F.floor((F.row_number().over(w2) - 1) / size).cast("bigint"),
+        )
+    ranged = (
+        df.repartitionByRange(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__e", e)
+        .localCheckpoint(eager=False)
     )
-    out = df.withColumn(
-        "__session",
-        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    wp = Window.partitionBy("__pid").orderBy(*order)
+    # (a) previous shard's last event time seeds the boundary gap test
+    shard_prev = (
+        ranged.groupBy("__pid")
+        .agg(F.max("__e").alias("__last"))
+        .withColumn("__prev_last", F.lag("__last").over(Window.orderBy("__pid")))
+        .select("__pid", "__prev_last")
     )
-    w2 = Window.partitionBy(*keys, F.col("__session")).orderBy(*order)
-    return out.withColumn(
-        "__chunk",
-        F.floor((F.row_number().over(w2) - 1) / size).cast("bigint"),
+    brk = F.when(
+        F.col("__e") - F.coalesce(F.lag("__e").over(wp), F.col("__prev_last"))
+        > gap_seconds,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sessioned = (
+        ranged.join(F.broadcast(shard_prev), "__pid")
+        .withColumn("__brk", brk)
+        .withColumn(
+            "__sess_local",
+            F.sum("__brk").over(wp.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # (b) global session id = local running sum + earlier shards' breaks
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    brk_off = (
+        sessioned.groupBy("__pid")
+        .agg(F.sum("__brk").alias("__bt"))
+        .withColumn("__boff", F.coalesce(F.sum("__bt").over(w_off), F.lit(0)))
+        .select("__pid", "__boff")
+    )
+    segmented = (
+        sessioned.join(F.broadcast(brk_off), "__pid")
+        .withColumn(
+            "__session", (F.col("__sess_local") + F.col("__boff")).cast("bigint")
+        )
+        .withColumn(
+            "__rn_seg",
+            F.row_number().over(
+                Window.partitionBy("__pid", "__session").orderBy(*order)
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # (c) in-session position = segment rank + earlier shards' segment counts
+    w_seg = (
+        Window.partitionBy("__session")
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg_off = (
+        segmented.groupBy("__pid", "__session")
+        .agg(F.count("*").alias("__sc"))
+        .withColumn("__soff", F.coalesce(F.sum("__sc").over(w_seg), F.lit(0)))
+        .select("__pid", "__session", "__soff")
+    )
+    return (
+        segmented.join(F.broadcast(seg_off), ["__pid", "__session"])
+        .withColumn(
+            "__chunk",
+            F.floor(
+                (F.col("__soff") + F.col("__rn_seg") - 1) / size
+            ).cast("bigint"),
+        )
+        .drop("__pid", "__e", "__prev_last", "__brk", "__sess_local", "__rn_seg", "__soff")
     )
 
 

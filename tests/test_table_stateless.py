@@ -94,6 +94,45 @@ def test_chunk_timeout_partitioned(spark):
     }
 
 
+def test_global_ordinal_and_chunk_timeout_cross_shard(spark):
+    """The distributed global forms must equal the sequential
+    definition on data that spans MANY range shards (200 rows over
+    32 shuffle partitions → every shard boundary is exercised):
+    ordinal = sorted position, sessions split exactly at >gap
+    silences, chunks every `size` rows within a session."""
+    import datetime as dt
+
+    import random
+
+    rnd = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    secs, cur = [], 0
+    for _ in range(200):
+        cur += rnd.choice([1, 2, 3, 30])  # ~25% of steps open a session
+        secs.append(cur)
+    df = spark.createDataFrame(
+        [Row(ts=base + dt.timedelta(seconds=s), n=i) for i, s in enumerate(secs)]
+    )
+    got_ord = {
+        r["n"]: r["__ord"]
+        for r in stateless.ordinal(df, ["ts", "n"]).collect()
+    }
+    assert got_ord == {i: i for i in range(200)}  # secs increase with i
+
+    got = {
+        r["n"]: (r["__session"], r["__chunk"])
+        for r in stateless.chunk_timeout(
+            df, 7, 10, "ts", order_by=["ts", "n"]
+        ).collect()
+    }
+    sess = chunk_pos = 0
+    for i, s in enumerate(secs):
+        if i and s - secs[i - 1] > 10:
+            sess, chunk_pos = sess + 1, 0
+        assert got[i] == (sess, chunk_pos // 7), f"row {i}"
+        chunk_pos += 1
+
+
 def test_throttle_sample_deterministic(spark):
     df = spark.range(1000).withColumnRenamed("id", "k")
     a = sorted(r["k"] for r in stateless.throttle_sample(df, 10, "k").collect())
