@@ -69,17 +69,107 @@ class RStream:
         df = self.df.orderBy(*order_by) if order_by else self.df
         return self._with(df.limit(n))
 
-    def skip(self, n: int, order_by: Sequence[Column | str]) -> "RStream":
-        """``StreamExt::skip``: ordered offset via row_number > n."""
-        from pyspark.sql.window import Window
+    def skip(self, n: int, order_by: Sequence[str]) -> "RStream":
+        """``StreamExt::skip``: ordered offset over the DISTRIBUTED
+        global ordinal (range shards + offset stitch — never a
+        single-task sort; see ``operators.stateless.ordinal``)."""
+        from .operators import stateless
 
-        w = Window.orderBy(*order_by)
         df = (
-            self.df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") > n)
-            .drop("__rn")
+            stateless.ordinal(self.df, order_by)
+            .where(F.col("__ord") >= n)
+            .drop("__ord")
         )
         return self._with(df)
+
+    def take_while(self, cond: Column | str, order_by: Sequence[str]) -> "RStream":
+        """``StreamExt::take_while``: rows strictly before the FIRST
+        row (in ``order_by`` order) failing ``cond``. The stop point
+        is a one-row min-ordinal aggregate broadcast back over the
+        ordinal frame; the frame feeds both consumers through one
+        lazy materialization (invariant #9)."""
+        from .operators import stateless
+
+        if isinstance(cond, str):
+            cond = F.expr(cond)
+        o = stateless.ordinal(self.df, order_by).localCheckpoint(eager=False)
+        stop = o.where(~cond).agg(F.min("__ord").alias("__stop"))
+        df = (
+            o.join(F.broadcast(stop))
+            .where(F.col("__stop").isNull() | (F.col("__ord") < F.col("__stop")))
+            .drop("__ord", "__stop")
+        )
+        return self._with(df)
+
+    def skip_while(self, cond: Column | str, order_by: Sequence[str]) -> "RStream":
+        """``StreamExt::skip_while``: drop the ordered prefix where
+        ``cond`` holds; everything from the first failing row on
+        survives (including later rows where ``cond`` holds again)."""
+        from .operators import stateless
+
+        if isinstance(cond, str):
+            cond = F.expr(cond)
+        o = stateless.ordinal(self.df, order_by).localCheckpoint(eager=False)
+        stop = o.where(~cond).agg(F.min("__ord").alias("__stop"))
+        df = (
+            o.join(F.broadcast(stop))
+            .where(F.col("__ord") >= F.col("__stop"))
+            .drop("__ord", "__stop")
+        )
+        return self._with(df)
+
+    def chain(self, other: "RStream") -> "RStream":
+        """``StreamExt::chain``: this stream exhausted first, then the
+        other. Batch reading: a ``__src`` ordinal prefix column (0 =
+        this, 1 = other) — lead any downstream ``order_by`` with it."""
+        a = self.df.withColumn("__src", F.lit(0))
+        b = other.df.withColumn("__src", F.lit(1))
+        return self._with(a.unionByName(b))
+
+    def zip(
+        self,
+        other: "RStream",
+        order_by: Sequence[str],
+        other_order_by: Sequence[str] | None = None,
+        suffix: str = "_r",
+    ) -> "RStream":
+        """``StreamExt::zip``: pair the i-th rows of two ordered
+        streams (inner join on the distributed ordinal — ends at the
+        shorter stream, like the reference). Colliding column names
+        on the right side get ``suffix``."""
+        from .operators import stateless
+
+        a = stateless.ordinal(self.df, order_by)
+        b = stateless.ordinal(other.df, list(other_order_by or order_by))
+        for c in other.df.columns:
+            if c in self.df.columns:
+                b = b.withColumnRenamed(c, c + suffix)
+        b = b.withColumnRenamed("__ord", "__ord_r")
+        df = (
+            a.join(b, a["__ord"] == b["__ord_r"])
+            .drop("__ord", "__ord_r")
+        )
+        return self._with(df)
+
+    def flat_map(self, col: Column, alias: str) -> "RStream":
+        """``StreamExt::flat_map`` (array reading): one output row per
+        element of ``col``, other columns carried along — a narrow
+        explode that pipelines with the scan."""
+        return self._with(self.df.select("*", F.explode(col).alias(alias)))
+
+    def chunk_timeout(
+        self, size: int, gap_seconds: int, order_by: Sequence[str]
+    ) -> "RStream":
+        """``StreamExt::chunks_timeout``: chunks close at ``size`` rows
+        OR a ``gap_seconds`` event-time silence (requires ``ts``);
+        distributed like ``chunk`` (see ``stateless.chunk_timeout``)."""
+        from .operators import stateless
+
+        if not self.ts:
+            raise ValueError("chunk_timeout requires an event-time column (ts)")
+        return self._with(
+            stateless.chunk_timeout(self.df, size, gap_seconds, self.ts, order_by)
+        )
 
     def chunk(self, size: int, order_by: Sequence[str]) -> "RStream":
         """``StreamExt::chunks``: tag each row with a ``__chunk`` id of

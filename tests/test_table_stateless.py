@@ -173,6 +173,55 @@ def test_rstream_split_merge(spark):
     assert evens.df.count() == 5
 
 
+def test_rstream_while_chain_zip_flatmap(spark):
+    """The remaining StreamExt combinators: take_while/skip_while cut
+    at the FIRST failing row (later matches don't resurrect),
+    chain orders one stream after another, zip pairs i-th rows and
+    ends at the shorter stream, flat_map explodes."""
+    vals = [1, 2, 3, 0, 5, 6]  # cond v>0 fails at ordinal 3 only
+    df = spark.createDataFrame([Row(ts=i, v=vals[i]) for i in range(6)])
+    s = RStream(df, key="v", ts="ts")
+    tw = sorted(r["v"] for r in s.take_while(F.col("v") > 0, ["ts"]).df.collect())
+    assert tw == [1, 2, 3]
+    sw = sorted(r["v"] for r in s.skip_while(F.col("v") > 0, ["ts"]).df.collect())
+    assert sw == [0, 5, 6]
+    # all-pass prefix: take_while keeps everything, skip_while drops all
+    assert s.take_while(F.col("v") >= 0, ["ts"]).df.count() == 6
+    assert s.skip_while(F.col("v") >= 0, ["ts"]).df.count() == 0
+
+    other = RStream(
+        spark.createDataFrame([Row(ts=i, v=100 + i) for i in range(3)]), key="v"
+    )
+    chained = s.chain(other)
+    got = [
+        r["v"]
+        for r in chained.df.orderBy("__src", "ts").collect()
+    ]
+    assert got == vals + [100, 101, 102]
+
+    zipped = s.zip(other, ["ts"])
+    pairs = sorted((r["v"], r["v_r"]) for r in zipped.df.collect())
+    assert pairs == [(1, 100), (2, 101), (3, 102)]  # ends at shorter
+
+    fm = RStream(
+        spark.createDataFrame([Row(ts=0, xs=[1, 2]), Row(ts=1, xs=[3])]), key="ts"
+    ).flat_map(F.col("xs"), "x")
+    assert sorted(r["x"] for r in fm.df.collect()) == [1, 2, 3]
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    st = RStream(
+        spark.createDataFrame(
+            [Row(ts=base + dt.timedelta(seconds=i), v=i) for i in range(6)]
+        ),
+        key="v",
+        ts="ts",
+    )
+    ct = st.chunk_timeout(2, 100, ["ts", "v"])
+    assert {r["__chunk"] for r in ct.df.collect()} == {0, 1, 2}
+
+
 def test_register_tables_sql_face(spark):
     from conftest import SF_SMOKE
     from rstreams_spark.session import register_tables
