@@ -70,20 +70,35 @@ def main() -> None:
             run(REGISTRY[name](spark, warm_dir))
 
     times: dict[str, float] = {}
+    rows: dict[str, int] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINERS:
+    for name in HEADLINERS:  # untimed pass: row sanity at bench SF
         try:
-            n = REGISTRY[name](spark, sf_dir).count()  # untimed: row sanity
-            best = float("inf")
-            for _ in range(2):  # min-of-2: absorb scheduler/GC jitter
-                start = time.perf_counter()
-                run(REGISTRY[name](spark, sf_dir))
-                best = min(best, time.perf_counter() - start)
-            times[name] = round(best, 3)
-            print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
-        except Exception as exc:  # one broken query must not kill the artifact
+            rows[name] = REGISTRY[name](spark, sf_dir).count()
+        except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+    # min-of-2, but the two timed runs are INTERLEAVED as full rounds
+    # over the whole query list: this host shows multi-minute noise
+    # bands, and back-to-back runs of one query sit inside the same
+    # band — round-robin puts each query's two samples minutes apart
+    # so the min escapes a band that doesn't span the whole round.
+    for _ in range(2):
+        for name in HEADLINERS:
+            if name in errors:
+                continue
+            try:
+                start = time.perf_counter()
+                run(REGISTRY[name](spark, sf_dir))
+                dt = time.perf_counter() - start
+                times[name] = round(min(times.get(name, float("inf")), dt), 3)
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                times.pop(name, None)
+                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+    for name in HEADLINERS:
+        if name in times:
+            print(f"# {name}: {times[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
 
     # streaming rides along but must never sink the artifact: r02's
     # BENCH JSON was unparseable because a state-store teardown stack
