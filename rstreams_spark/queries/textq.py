@@ -198,7 +198,8 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=False)  # feeds totals AND the output join:
+    # without it each consumer re-scans + re-tokenizes the corpus
     totals = per_src.agg(
         F.sum("n_docs").alias("__td"),
         F.sum("n_tokens").alias("__tt"),

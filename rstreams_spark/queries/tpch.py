@@ -450,7 +450,9 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     rev = li.groupBy(F.col("l_suppkey").alias("r_suppkey")).agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
-    )
+    ).localCheckpoint(eager=False)  # feeds mx AND the join — without
+    # it each consumer re-scans + re-aggregates the fact (invariant 9;
+    # the frame itself is |suppliers| rows, trivially materializable)
     mx = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
         rev.join(F.broadcast(mx))
@@ -552,7 +554,8 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "decimal(38,6)"
             )
         ).alias("__value")
-    )
+    ).localCheckpoint(eager=False)  # feeds total AND the threshold
+    # filter — one fact scan+agg instead of two (invariant 9)
     total = pv.agg(
         F.sum("__value").alias("__total"), F.count("*").alias("__cnt")
     )
