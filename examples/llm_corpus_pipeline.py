@@ -62,7 +62,10 @@ def run(spark, sf_dir: str) -> dict:
     from rstreams_spark.queries.textq import quality_repetition
 
     keep_ids = quality_repetition(spark, sf_dir).where("keep").select("doc_id")
-    stats = stats.join(keep_ids, "doc_id", "left_semi")
+    # stats feeds every later stage (exact dedup, shingling, counts):
+    # materialize once so the repetition subplan (explode + 2 shuffle
+    # aggs) doesn't re-run per downstream action (invariant #9)
+    stats = stats.join(keep_ids, "doc_id", "left_semi").localCheckpoint(eager=False)
     n_rep = stats.count()
 
     # exact dedup: keep the min doc_id per content fingerprint

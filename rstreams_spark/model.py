@@ -120,11 +120,20 @@ class RStream:
 
     def chain(self, other: "RStream") -> "RStream":
         """``StreamExt::chain``: this stream exhausted first, then the
-        other. Batch reading: a ``__src`` ordinal prefix column (0 =
-        this, 1 = other) — lead any downstream ``order_by`` with it."""
-        a = self.df.withColumn("__src", F.lit(0))
-        b = other.df.withColumn("__src", F.lit(1))
-        return self._with(a.unionByName(b))
+        other. Batch reading: a STRING ``__src`` path column — lead
+        any downstream ``order_by`` with it. The encoding is
+        prefix-free ('0'+left path, '1'+right path), so repeated
+        chaining stays totally ordered: a.chain(b).chain(c) yields
+        paths '00' < '01' < '1' (a plain integer tag would collapse
+        a and b onto the same value on the second chain)."""
+        def _tagged(df: DataFrame, bit: str) -> DataFrame:
+            if "__src" in df.columns:
+                return df.withColumn("__src", F.concat(F.lit(bit), F.col("__src")))
+            return df.withColumn("__src", F.lit(bit))
+
+        return self._with(
+            _tagged(self.df, "0").unionByName(_tagged(other.df, "1"))
+        )
 
     def zip(
         self,
@@ -162,13 +171,18 @@ class RStream:
     ) -> "RStream":
         """``StreamExt::chunks_timeout``: chunks close at ``size`` rows
         OR a ``gap_seconds`` event-time silence (requires ``ts``);
-        distributed like ``chunk`` (see ``stateless.chunk_timeout``)."""
+        distributed like ``chunk`` (see ``stateless.chunk_timeout``).
+        ``order_by`` is forced to lead with ``ts`` — the distributed
+        boundary gap test is only correct under event-time order."""
         from .operators import stateless
 
         if not self.ts:
             raise ValueError("chunk_timeout requires an event-time column (ts)")
+        order = list(order_by)
+        if not order or order[0] != self.ts:
+            order = [self.ts, *[c for c in order if c != self.ts]]
         return self._with(
-            stateless.chunk_timeout(self.df, size, gap_seconds, self.ts, order_by)
+            stateless.chunk_timeout(self.df, size, gap_seconds, self.ts, order)
         )
 
     def chunk(self, size: int, order_by: Sequence[str]) -> "RStream":

@@ -118,6 +118,13 @@ def chunk_timeout(
     """
     order = [F.col(c) for c in order_by]
     e = F.unix_timestamp(F.col(ts_col))
+    if not partition_by and (not order_by or order_by[0] != ts_col):
+        # the distributed boundary gap test takes each shard's MAX
+        # event time as its last row — only true in event-time order
+        raise ValueError(
+            f"global chunk_timeout requires order_by to lead with "
+            f"ts_col ({ts_col!r}); got {list(order_by)!r}"
+        )
     if partition_by:
         keys = [F.col(c) for c in partition_by]
         w = Window.partitionBy(*keys).orderBy(*order)
@@ -189,14 +196,21 @@ def chunk_timeout(
         .orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # only segments with an earlier-shard predecessor need an offset:
+    # a session spanning k shards contributes k-1 such rows, so the
+    # BROADCAST side is bounded by shards-1 no matter how many
+    # sessions exist (gap-heavy data makes sessions ~O(rows) — an
+    # unfiltered broadcast would ship them all to every executor)
     seg_off = (
         segmented.groupBy("__pid", "__session")
         .agg(F.count("*").alias("__sc"))
         .withColumn("__soff", F.coalesce(F.sum("__sc").over(w_seg), F.lit(0)))
+        .where(F.col("__soff") > 0)
         .select("__pid", "__session", "__soff")
     )
     return (
-        segmented.join(F.broadcast(seg_off), ["__pid", "__session"])
+        segmented.join(F.broadcast(seg_off), ["__pid", "__session"], "left")
+        .withColumn("__soff", F.coalesce(F.col("__soff"), F.lit(0)))
         .withColumn(
             "__chunk",
             F.floor(

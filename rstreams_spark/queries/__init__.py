@@ -13,10 +13,11 @@ oracle), then veterans with the STALEST green history (last
 driver-green in r01/r02: tpch q5/q6/q7/q10/q14/q18, candles_rollup,
 distinct_count, split_routes, stream_table_join, throttle_sample),
 then one member per remaining operator family. Displaced entries
-(r4: hopping_window, range_band_count, dedup_simhash join the r3
-set) are all r03-driver-green, family-redundant in-window, and stay
-covered by the local oracle replica (`make oracle` runs the FULL
-registry; see SURVEY §2 notes).
+(r4: hopping_window, range_band_count, dedup_simhash, gap_detect,
+cohort_retention join the r3 set) are all r03-driver-green,
+family-redundant in-window, and stay covered by the local oracle
+replica (`make oracle` runs the FULL registry; see SURVEY §2
+notes).
 """
 
 from __future__ import annotations

@@ -58,9 +58,9 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 def skip_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``StreamExt::skip`` (reference README stateless list): drop the
     first 1000 events in stream order, keep the next 100. Batch
-    reading: a stable ordinal filter — the unpartitioned window is
-    the documented sample-scale trade in ``operators.stateless``
-    (pass partition_by at scale)."""
+    reading: a stable ordinal filter over the DISTRIBUTED global
+    ordinal (range shards + per-shard offset stitch,
+    ``operators.stateless.ordinal``) — no single-task sort."""
     ev = t(spark, sf_dir, "events")
     return (
         stateless.ordinal(ev, ["ts", "event_id"])

@@ -201,7 +201,6 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)  # feeds totals AND the output join:
     # without it each consumer re-scans + re-tokenizes the corpus
     totals = per_src.agg(
-        F.sum("n_docs").alias("__td"),
         F.sum("n_tokens").alias("__tt"),
         F.aggregate(
             F.sort_array(

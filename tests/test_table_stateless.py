@@ -198,6 +198,15 @@ def test_rstream_while_chain_zip_flatmap(spark):
         for r in chained.df.orderBy("__src", "ts").collect()
     ]
     assert got == vals + [100, 101, 102]
+    # re-chaining must stay totally ordered (prefix-free string
+    # paths: '00' < '01' < '1'), never interleave the first two
+    third = RStream(
+        spark.createDataFrame([Row(ts=i, v=200 + i) for i in range(2)]), key="v"
+    )
+    got3 = [
+        r["v"] for r in chained.chain(third).df.orderBy("__src", "ts").collect()
+    ]
+    assert got3 == vals + [100, 101, 102] + [200, 201]
 
     zipped = s.zip(other, ["ts"])
     pairs = sorted((r["v"], r["v_r"]) for r in zipped.df.collect())
