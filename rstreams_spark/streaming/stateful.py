@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["stream_lag_window", "stream_latest_per_key", "stream_strat_classify", "stream_gap_detect"]
+__all__ = [
+    "stream_lag_window", "stream_latest_per_key", "stream_strat_classify",
+    "stream_gap_detect", "stream_chunk_timeout",
+]
 
 
 def stream_lag_window(
@@ -265,5 +268,82 @@ def stream_gap_detect(
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append",
             GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def stream_chunk_timeout(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    size: int,
+    gap_seconds: int,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Live count-OR-silence batching (reference
+    ``StreamExt::chunks_timeout``, src/lib.rs; batch twin
+    ``operators.stateless.chunk_timeout``): every arriving row is
+    tagged with its per-key ``(session, chunk)`` id — a new session
+    opens after more than ``gap_seconds`` of event-time silence, and
+    chunks roll every ``size`` rows within a session.
+
+    State per key is three longs (last event ms, session id, rows
+    already in the session) — O(1), watermark-independent. Each
+    batch's rows are CONCATENATED then sorted by event time before
+    the vectorized pass (invariant #7: per-chunk sorts would corrupt
+    carried state on multi-chunk groups); breaks, session ids and
+    in-session positions are pure numpy cumulatives, no Python
+    per-row loop. Deterministic under the same watermark discipline
+    as the other stateful ops: data later than the watermark bound
+    would re-open past sessions and must be dropped upstream.
+    """
+    out_schema = (
+        f"{key} string, {ts} timestamp, session bigint, chunk bigint"
+    )
+    state_schema = "last_ms long, sess long, pos long"
+    gap_ms = gap_seconds * 1000
+
+    def fn(
+        group_key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            yield pd.DataFrame({key: [], ts: [], "session": [], "chunk": []})
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ts, kind="mergesort", ignore_index=True
+        )
+        e = (pdf[ts].astype("int64") // 1_000_000).to_numpy()  # ms
+        if state.exists:
+            last_ms, sess0, pos0 = state.get
+        else:
+            last_ms, sess0, pos0 = None, 0, 0
+        prev = np.concatenate(([last_ms if last_ms is not None else e[0]], e[:-1]))
+        brk = (e - prev) > gap_ms
+        if last_ms is None:
+            brk[0] = False
+        sess = sess0 + np.cumsum(brk)
+        idx = np.arange(len(e))
+        start = np.maximum.accumulate(np.where(brk, idx, -1))
+        pos = np.where(start >= 0, idx - start, idx + pos0)
+        state.update((int(e[-1]), int(sess[-1]), int(pos[-1]) + 1))
+        yield pd.DataFrame(
+            {
+                key: pdf[key],
+                ts: pdf[ts],
+                "session": sess.astype("int64"),
+                "chunk": (pos // size).astype("int64"),
+            }
+        )
+
+    return (
+        df.select(F.col(key).cast("string").alias(key), ts)
+        .withWatermark(ts, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
         )
     )

@@ -238,6 +238,51 @@ def test_stream_gap_detect_event_time_timeout(spark, tmp_path):
     assert got == {("b", 1)}
 
 
+def test_stream_chunk_timeout_sessions_and_chunks(spark, tmp_path):
+    """Live chunks_timeout: per-key (session, chunk) ids match the
+    sequential definition across MICROBATCH boundaries — the carried
+    (last_ms, session, position) state must seam batch 2 onto batch
+    1's open session, and a silence between batches must open a new
+    session."""
+    from rstreams_spark.streaming.stateful import stream_chunk_timeout
+
+    src = tmp_path / "ct_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        import json as _json
+
+        with open(src / name, "w") as f:
+            for k, s in rows:
+                ts = (EPOCH + dt.timedelta(seconds=s)).strftime(
+                    "%Y-%m-%dT%H:%M:%S"
+                )
+                f.write(_json.dumps({"key": k, "ts": ts, "v": 1.0}) + "\n")
+
+    # key a: 3 rows (size 2 → chunk split), key b: 1 row
+    write_file("b0.json", [("a", 0), ("a", 1), ("a", 2), ("b", 0)])
+    stream = files.stream_files(spark, str(src), "json", SCHEMA)
+    out = stream_chunk_timeout(stream, "key", "ts", size=2, gap_seconds=10)
+    q = writers.stream_to_memory(out, "ct_out", "append")
+    q.processAllAvailable()
+    # batch 2: a continues its open session (3 s later, chunk 1 gets
+    # its 2nd row → next row opens chunk 2); b returns after silence
+    # (> 10 s) → new session, chunk resets
+    write_file("b1.json", [("a", 3), ("a", 4), ("b", 30)])
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["key"], int(r["ts"].timestamp() - EPOCH.timestamp())):
+            (r["session"], r["chunk"])
+        for r in spark.sql("select * from ct_out").collect()
+    }
+    assert got == {
+        ("a", 0): (0, 0), ("a", 1): (0, 0), ("a", 2): (0, 1),
+        ("a", 3): (0, 1), ("a", 4): (0, 2),
+        ("b", 0): (0, 0), ("b", 30): (1, 0),
+    }
+
+
 def test_throttled_reader_bounds_batch_rows(spark):
     """StreamExt::throttle parity: every microbatch ingests exactly
     the configured cap, never more."""
