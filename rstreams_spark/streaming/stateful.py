@@ -22,7 +22,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = [
     "stream_lag_window", "stream_latest_per_key", "stream_strat_classify",
-    "stream_gap_detect", "stream_chunk_timeout",
+    "stream_gap_detect", "stream_chunk_timeout", "stream_ordinal",
+    "stream_skip", "stream_cycle",
 ]
 
 
@@ -346,4 +347,58 @@ def stream_chunk_timeout(
             fn, out_schema, state_schema, "append",
             GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def stream_ordinal(df: DataFrame, key: str, ts: str) -> DataFrame:
+    """Per-key running row ordinal ``__ord`` (0-based, event-time
+    order, continuous across microbatches) — the live building block
+    for ``StreamExt::skip`` / ``cycle`` exactly as
+    ``operators.stateless.ordinal`` is for the batch readings.
+
+    State is ONE long per key (rows seen so far). All input columns
+    pass through (the output schema is the input schema + __ord), so
+    downstream filters/tags see the full row. Batch rows are
+    concatenated then sorted by event time before numbering
+    (invariant #7).
+    """
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", __ord bigint"
+    state_schema = "seen long"
+    cols = [f.name for f in df.schema.fields]
+
+    def fn(
+        group_key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            yield pd.DataFrame({c: [] for c in [*cols, "__ord"]})
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ts, kind="mergesort", ignore_index=True
+        )
+        seen = state.get[0] if state.exists else 0
+        pdf["__ord"] = np.arange(seen, seen + len(pdf), dtype="int64")
+        state.update((seen + len(pdf),))
+        yield pdf
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_skip(df: DataFrame, key: str, ts: str, n: int) -> DataFrame:
+    """Live ``StreamExt::skip``: drop each key's first ``n`` rows
+    (event-time order, counted across microbatches)."""
+    return stream_ordinal(df, key, ts).where(F.col("__ord") >= n).drop("__ord")
+
+
+def stream_cycle(df: DataFrame, key: str, ts: str, n: int) -> DataFrame:
+    """Live ``StreamExt::cycle`` (round-robin reading): tag each row
+    with its per-key slot ``__cycle`` = running position mod ``n``."""
+    return stream_ordinal(df, key, ts).withColumn(
+        "__cycle", F.pmod(F.col("__ord"), F.lit(n))
     )

@@ -283,6 +283,51 @@ def test_stream_chunk_timeout_sessions_and_chunks(spark, tmp_path):
     }
 
 
+def test_stream_skip_and_cycle_across_batches(spark, tmp_path):
+    """Live skip/cycle: the per-key ordinal carries across
+    microbatches, so batch 2's rows continue the count — skip(2)
+    admits nothing until a key's third row ever, and cycle slots
+    keep rotating from where batch 1 left off."""
+    from rstreams_spark.streaming.stateful import stream_cycle, stream_skip
+
+    src = tmp_path / "sk_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        import json as _json
+
+        with open(src / name, "w") as f:
+            for k, s in rows:
+                ts = (EPOCH + dt.timedelta(seconds=s)).strftime(
+                    "%Y-%m-%dT%H:%M:%S"
+                )
+                f.write(_json.dumps({"key": k, "ts": ts, "v": float(s)}) + "\n")
+
+    write_file("b0.json", [("a", 0), ("a", 1), ("b", 0)])
+    stream = files.stream_files(spark, str(src), "json", SCHEMA)
+    q1 = writers.stream_to_memory(
+        stream_skip(stream, "key", "ts", 2), "skip_out", "append"
+    )
+    stream2 = files.stream_files(spark, str(src), "json", SCHEMA)
+    q2 = writers.stream_to_memory(
+        stream_cycle(stream2, "key", "ts", 2), "cycle_out", "append"
+    )
+    q1.processAllAvailable(); q2.processAllAvailable()
+    write_file("b1.json", [("a", 2), ("b", 1), ("b", 2)])
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    skipped = {(r["key"], int(r["v"])) for r in spark.sql("select * from skip_out").collect()}
+    assert skipped == {("a", 2), ("b", 2)}  # third row per key only
+    slots = {
+        (r["key"], int(r["v"])): r["__cycle"]
+        for r in spark.sql("select * from cycle_out").collect()
+    }
+    assert slots == {
+        ("a", 0): 0, ("a", 1): 1, ("a", 2): 0,
+        ("b", 0): 0, ("b", 1): 1, ("b", 2): 0,
+    }
+
+
 def test_throttled_reader_bounds_batch_rows(spark):
     """StreamExt::throttle parity: every microbatch ingests exactly
     the configured cap, never more."""
