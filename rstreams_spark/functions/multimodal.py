@@ -40,7 +40,7 @@ __all__ = [
 
 META_SCHEMA = (
     "doc_id bigint, n_bytes int, magic string, format string, "
-    "width int, height int, content_sha1 string"
+    "width int, height int, content_sha256 string"
 )
 
 
@@ -66,7 +66,7 @@ def decode_image(payload: bytes):
 
 def _fake_decode_meta(payload: bytes) -> tuple[int, int]:
     """Deterministic pseudo width/height derived from content bytes."""
-    digest = hashlib.sha1(payload).digest()
+    digest = hashlib.sha256(payload).digest()
     return 16 + digest[0] % 64, 16 + digest[1] % 64
 
 
@@ -189,7 +189,7 @@ def extract_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "format": [d[0] for d in dims],
                     "width": [d[1] for d in dims],
                     "height": [d[2] for d in dims],
-                    "content_sha1": [hashlib.sha1(p).hexdigest() for p in payloads],
+                    "content_sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
                 }
             )
 

@@ -521,11 +521,14 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload metadata pass: pure-Python container-header
     probe (real format/width/height for PNG/JPEG/GIF/BMP payloads),
-    deterministic stub for non-image bytes — the synthetic corpus is
-    text-bytes, so this sf run exercises the stub path end-to-end
-    while tests/test_functions.py asserts byte-exact real metadata on
-    crafted image fixtures. Rows-only check by design (mapInPandas
-    metadata pass has no SQL twin)."""
+    deterministic sha256-derived stub for non-image bytes — the
+    synthetic corpus is text-bytes, so this sf run exercises the stub
+    path end-to-end while tests/test_functions.py asserts byte-exact
+    real metadata on crafted image fixtures. On the (ASCII) text
+    corpus every output column is SQL-expressible — byte length,
+    magic hex, sha256, stub dims from the digest's first two bytes —
+    so the mapInPandas plumbing is fully oracle-checked; only real
+    image decode has no SQL twin (fixture-tested instead)."""
     docs = t(spark, sf_dir, "documents")
     return multimodal.extract_meta(multimodal.with_binary_payload(docs))
 
@@ -1044,3 +1047,21 @@ def _sql_keep_best() -> str:
 
 
 SQL_ORACLES["dedup_keep_best"] = _sql_keep_best()
+
+# multimodal_meta's stub path is byte-deterministic: on the ASCII
+# text corpus payload bytes == utf-8(text), so byte length, 4-byte
+# magic, the sha256 content hash and the digest-derived stub dims
+# all have exact DuckDB twins. format is NULL for every row (no
+# image signature can start a lowercase-word corpus).
+SQL_ORACLES["multimodal_meta"] = """
+    select doc_id,
+           cast(octet_length(encode(text)) as int) as n_bytes,
+           lower(hex(encode(substring(text, 1, 4)))) as magic,
+           cast(null as varchar) as format,
+           cast(16 + cast(('0x' || substr(sha256(text), 1, 2)) as int) % 64
+                as int) as width,
+           cast(16 + cast(('0x' || substr(sha256(text), 3, 2)) as int) % 64
+                as int) as height,
+           sha256(text) as content_sha256
+    from documents
+"""

@@ -366,8 +366,8 @@ def test_multimodal_meta_deterministic(spark):
     docs = spark.createDataFrame([Row(doc_id=7, text="hello")])
     got = multimodal.extract_meta(multimodal.with_binary_payload(docs)).collect()[0]
     assert got["n_bytes"] == 5
-    assert got["content_sha1"] == hashlib.sha1(b"hello").hexdigest()
-    digest = hashlib.sha1(b"hello").digest()
+    assert got["content_sha256"] == hashlib.sha256(b"hello").hexdigest()
+    digest = hashlib.sha256(b"hello").digest()
     assert got["format"] is None  # text payload: stub path
     assert got["width"] == 16 + digest[0] % 64
     assert got["magic"] == b"hell".hex()
@@ -463,9 +463,9 @@ def test_extract_meta_real_image_payloads(spark):
     assert (got[3]["format"], got[3]["width"], got[3]["height"]) == ("jpeg", 1920, 1080)
     assert (got[4]["format"], got[4]["width"], got[4]["height"]) == ("bmp", 11, 7)
     assert got[5]["format"] is None
-    digest = hashlib.sha1(b"not an image").digest()
+    digest = hashlib.sha256(b"not an image").digest()
     assert got[5]["width"] == 16 + digest[0] % 64
-    assert got[1]["content_sha1"] == hashlib.sha1(_png_bytes(640, 480)).hexdigest()
+    assert got[1]["content_sha256"] == hashlib.sha256(_png_bytes(640, 480)).hexdigest()
 
 
 def test_decode_image_is_stubbed():

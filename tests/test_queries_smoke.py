@@ -8,7 +8,7 @@ from rstreams_spark.queries import ORACLES, REGISTRY
 
 from conftest import SF_SMOKE
 
-ROWS_ONLY = {"multimodal_meta"}  # by design (see SURVEY §2)
+ROWS_ONLY: set = set()  # every catalog entry carries a DuckDB oracle
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
