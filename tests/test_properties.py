@@ -239,3 +239,50 @@ def test_embedding_quantize_error_bound(spark, vecs):
         assert -QUANT_MAX <= r["q"] <= QUANT_MAX
         err_bound = (r["scale"] or 0.0) / 2 + 1e-12
         assert abs(r["q"] * r["scale"] - r["val"]) <= err_bound
+
+
+@given(rows=events)
+@SLOW
+def test_global_ordinal_matches_sorted_position(spark, rows):
+    """The distributed global ordinal equals each row's position in
+    the totally sorted sequence, for arbitrary duplicate-timestamp
+    bursts (seq breaks all ties)."""
+    from rstreams_spark.operators import stateless
+
+    got = {
+        r["seq"]: r["__ord"]
+        for r in stateless.ordinal(_df(spark, rows), ["ts", "seq"]).collect()
+    }
+    order = sorted(
+        range(len(rows)), key=lambda i: (EPOCH + dt.timedelta(seconds=rows[i][1]), i)
+    )
+    expect = {seq: pos for pos, seq in enumerate(order)}
+    assert got == expect
+
+
+@given(rows=events, size=st.integers(min_value=1, max_value=4),
+       gap=st.integers(min_value=1, max_value=20))
+@SLOW
+def test_chunk_timeout_matches_sequential_model(spark, rows, size, gap):
+    """Distributed global chunks_timeout equals the sequential
+    definition for arbitrary (size, gap) and duplicate timestamps."""
+    from rstreams_spark.operators import stateless
+
+    got = {
+        r["seq"]: (r["__session"], r["__chunk"])
+        for r in stateless.chunk_timeout(
+            _df(spark, rows), size, gap, "ts", order_by=["ts", "seq"]
+        ).collect()
+    }
+    order = sorted(
+        range(len(rows)), key=lambda i: (rows[i][1], i)
+    )
+    expect, sess, pos, last = {}, 0, 0, None
+    for i in order:
+        s = rows[i][1]
+        if last is not None and s - last > gap:
+            sess, pos = sess + 1, 0
+        expect[i] = (sess, pos // size)
+        pos += 1
+        last = s
+    assert got == expect
