@@ -1,0 +1,95 @@
+"""Stateless curation operators for ingest-time streams.
+
+``stream_quality_repetition`` applies the Gopher-style repetition
+cuts (batch twin: ``queries.textq.quality_repetition``) to a LIVE
+document stream. Per-document gram statistics need no cross-row
+state, so the operator is a stateless Arrow ``mapInPandas`` —
+streaming-safe in append mode with no watermark, shuffle, or state
+store, and embarrassingly parallel at any scale (each task scores
+its own batch; the 100 TB ingest shape).
+
+The kernel reproduces the batch query's integer algebra exactly —
+same normalization (lowercase, non-alnum runs → one space, trim),
+same char accounting (count × gram length over normalized length),
+same multiplication-only keep thresholds — so the two
+implementations cross-check each other (tests assert row-level
+equality against the batch/oracle-verified query).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..queries.textq import (
+    REP_DUP3_DEN, REP_DUP3_NUM, REP_TOP2_DEN, REP_TOP2_NUM,
+)
+
+__all__ = ["stream_quality_repetition"]
+
+_NORM_RE = re.compile(r"[^a-z0-9]+")
+
+OUT_SCHEMA = (
+    "doc_id bigint, n_words bigint, dup_word_frac double, "
+    "top2gram_char_frac double, dup3gram_char_frac double, keep boolean"
+)
+
+
+def _score(text: str):
+    toks = _NORM_RE.sub(" ", text.lower()).strip().split()
+    if not toks:
+        return None
+    nc = max(len(" ".join(toks)), 1)  # == normalized text length
+    w_total, w_distinct = len(toks), len(set(toks))
+    g2 = Counter(zip(toks, toks[1:]))
+    g3 = Counter(zip(toks, toks[1:], toks[2:]))
+    # gram char length = word lengths + (n-1) separators
+    top2 = max(
+        (cnt * (len(a) + len(b) + 1) for (a, b), cnt in g2.items()),
+        default=0,
+    )
+    dup3 = sum(
+        cnt * (len(a) + len(b) + len(c) + 2)
+        for (a, b, c), cnt in g3.items()
+        if cnt > 1
+    )
+    keep = (
+        top2 * REP_TOP2_DEN <= nc * REP_TOP2_NUM
+        and dup3 * REP_DUP3_DEN <= nc * REP_DUP3_NUM
+    )
+    return (
+        w_total,
+        (w_total - w_distinct) / max(w_total, 1),
+        top2 / nc,
+        dup3 / nc,
+        keep,
+    )
+
+
+def stream_quality_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition stats + keep flag over a (possibly
+    streaming) DataFrame. Documents with zero tokens are dropped —
+    the batch twin's gram explode drops them identically."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                s = _score(text or "")
+                if s is not None:
+                    rows.append((doc_id, *s))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_words", "dup_word_frac",
+                    "top2gram_char_frac", "dup3gram_char_frac", "keep",
+                ],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, OUT_SCHEMA)

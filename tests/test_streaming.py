@@ -328,6 +328,42 @@ def test_stream_skip_and_cycle_across_batches(spark, tmp_path):
     }
 
 
+def test_stream_quality_repetition_matches_batch_twin(spark):
+    """The stateless ingest-time repetition scorer must agree
+    ROW-FOR-ROW (exact doubles — identical integer numerators/
+    denominators) with the batch/oracle-verified quality_repetition
+    catalog query on the same corpus, and run as a streaming
+    mapInPandas without state or watermark."""
+    from conftest import SF_SMOKE
+    from rstreams_spark.queries._util import t
+    from rstreams_spark.queries.textq import quality_repetition
+    from rstreams_spark.streaming.curation import stream_quality_repetition
+
+    batch = {
+        r["doc_id"]: (
+            r["n_words"], r["dup_word_frac"], r["top2gram_char_frac"],
+            r["dup3gram_char_frac"], r["keep"],
+        )
+        for r in quality_repetition(spark, SF_SMOKE).collect()
+    }
+    docs = t(spark, SF_SMOKE, "documents")
+    live_shaped = {
+        r["doc_id"]: (
+            r["n_words"], r["dup_word_frac"], r["top2gram_char_frac"],
+            r["dup3gram_char_frac"], r["keep"],
+        )
+        for r in stream_quality_repetition(docs).collect()
+    }
+    assert live_shaped == batch
+    # and it is streaming-legal: plan builds on a readStream source
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value as doc_id", "'alpha beta alpha beta' as text")
+    )
+    out = stream_quality_repetition(stream)
+    assert out.isStreaming
+
+
 def test_throttled_reader_bounds_batch_rows(spark):
     """StreamExt::throttle parity: every microbatch ingests exactly
     the configured cap, never more."""
