@@ -1048,15 +1048,18 @@ def _sql_keep_best() -> str:
 
 SQL_ORACLES["dedup_keep_best"] = _sql_keep_best()
 
-# multimodal_meta's stub path is byte-deterministic: on the ASCII
-# text corpus payload bytes == utf-8(text), so byte length, 4-byte
-# magic, the sha256 content hash and the digest-derived stub dims
-# all have exact DuckDB twins. format is NULL for every row (no
-# image signature can start a lowercase-word corpus).
+# multimodal_meta's stub path is byte-deterministic: payload bytes
+# == utf-8(text), so byte length, 4-byte magic, the sha256 content
+# hash and the digest-derived stub dims all have exact DuckDB
+# twins. The magic slice is BYTE-exact for any UTF-8 text: the
+# first 4 chars carry ≥ the first 4 bytes, so the first 8 hex chars
+# of their encoding == hex(payload[:4]) even across multi-byte
+# codepoints. format is NULL for every row (no image signature can
+# start a lowercase-word corpus).
 SQL_ORACLES["multimodal_meta"] = """
     select doc_id,
            cast(octet_length(encode(text)) as int) as n_bytes,
-           lower(hex(encode(substring(text, 1, 4)))) as magic,
+           lower(substr(hex(encode(substring(text, 1, 4))), 1, 8)) as magic,
            cast(null as varchar) as format,
            cast(16 + cast(('0x' || substr(sha256(text), 1, 2)) as int) % 64
                 as int) as width,

@@ -1,3 +1,3 @@
 """Structured Streaming operator variants (watermarked windows, stateful lag, stream joins)."""
 
-from . import dedup, joins, state, stateful, throttle, tws, windows  # noqa: F401
+from . import curation, dedup, joins, state, stateful, throttle, tws, windows  # noqa: F401

@@ -33,8 +33,8 @@ __all__ = ["stream_quality_repetition"]
 
 _NORM_RE = re.compile(r"[^a-z0-9]+")
 
-OUT_SCHEMA = (
-    "doc_id bigint, n_words bigint, dup_word_frac double, "
+_STATS_SCHEMA = (
+    "n_words bigint, dup_word_frac double, "
     "top2gram_char_frac double, dup3gram_char_frac double, keep boolean"
 )
 
@@ -76,6 +76,8 @@ def stream_quality_repetition(
     """Per-document repetition stats + keep flag over a (possibly
     streaming) DataFrame. Documents with zero tokens are dropped —
     the batch twin's gram explode drops them identically."""
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, {_STATS_SCHEMA}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -92,4 +94,4 @@ def stream_quality_repetition(
                 ],
             )
 
-    return df.select(id_col, text_col).mapInPandas(run, OUT_SCHEMA)
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)

@@ -288,21 +288,29 @@ def stream_chunk_timeout(
     opens after more than ``gap_seconds`` of event-time silence, and
     chunks roll every ``size`` rows within a session.
 
-    State per key is three longs (last event ms, session id, rows
-    already in the session) — O(1), watermark-independent. Each
-    batch's rows are CONCATENATED then sorted by event time before
-    the vectorized pass (invariant #7: per-chunk sorts would corrupt
-    carried state on multi-chunk groups); breaks, session ids and
-    in-session positions are pure numpy cumulatives, no Python
-    per-row loop. Deterministic under the same watermark discipline
-    as the other stateful ops: data later than the watermark bound
-    would re-open past sessions and must be dropped upstream.
+    State per key is three longs (last event second, session id,
+    rows already in the session) — O(1), watermark-independent. Gap
+    deltas use WHOLE-SECOND truncation, matching the batch twin's
+    ``unix_timestamp()`` exactly (an ms-precision delta would
+    disagree with it on sub-second data straddling a second
+    boundary). All input columns pass through (output schema =
+    input + session/chunk) so consumers can actually batch their
+    payloads; the key keeps its native dtype (the forced
+    cast-to-string pattern measured ~20% throughput loss in
+    ``stream_lag_window``). Each batch's rows are CONCATENATED then
+    sorted by event time before the vectorized pass (invariant #7:
+    per-chunk sorts would corrupt carried state on multi-chunk
+    groups); breaks, session ids and in-session positions are pure
+    numpy cumulatives, no Python per-row loop. Deterministic under
+    the same watermark discipline as the other stateful ops: data
+    later than the watermark bound would re-open past sessions and
+    must be dropped upstream.
     """
-    out_schema = (
-        f"{key} string, {ts} timestamp, session bigint, chunk bigint"
-    )
-    state_schema = "last_ms long, sess long, pos long"
-    gap_ms = gap_seconds * 1000
+    in_cols = [f.name for f in df.schema.fields]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", session bigint, chunk bigint"
+    state_schema = "last_s long, sess long, pos long"
 
     def fn(
         group_key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -311,37 +319,33 @@ def stream_chunk_timeout(
 
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
-            yield pd.DataFrame({key: [], ts: [], "session": [], "chunk": []})
+            yield pd.DataFrame({c: [] for c in [*in_cols, "session", "chunk"]})
             return
         pdf = pd.concat(chunks, ignore_index=True).sort_values(
             ts, kind="mergesort", ignore_index=True
         )
-        e = (pdf[ts].astype("int64") // 1_000_000).to_numpy()  # ms
+        # whole seconds — identical truncation to the batch twin's
+        # unix_timestamp(ts)
+        e = (pdf[ts].astype("int64") // 1_000_000_000).to_numpy()
         if state.exists:
-            last_ms, sess0, pos0 = state.get
+            last_s, sess0, pos0 = state.get
         else:
-            last_ms, sess0, pos0 = None, 0, 0
-        prev = np.concatenate(([last_ms if last_ms is not None else e[0]], e[:-1]))
-        brk = (e - prev) > gap_ms
-        if last_ms is None:
+            last_s, sess0, pos0 = None, 0, 0
+        prev = np.concatenate(([last_s if last_s is not None else e[0]], e[:-1]))
+        brk = (e - prev) > gap_seconds
+        if last_s is None:
             brk[0] = False
         sess = sess0 + np.cumsum(brk)
         idx = np.arange(len(e))
         start = np.maximum.accumulate(np.where(brk, idx, -1))
         pos = np.where(start >= 0, idx - start, idx + pos0)
         state.update((int(e[-1]), int(sess[-1]), int(pos[-1]) + 1))
-        yield pd.DataFrame(
-            {
-                key: pdf[key],
-                ts: pdf[ts],
-                "session": sess.astype("int64"),
-                "chunk": (pos // size).astype("int64"),
-            }
-        )
+        pdf["session"] = sess.astype("int64")
+        pdf["chunk"] = (pos // size).astype("int64")
+        yield pdf
 
     return (
-        df.select(F.col(key).cast("string").alias(key), ts)
-        .withWatermark(ts, watermark)
+        df.withWatermark(ts, watermark)
         .groupBy(key)
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append",
@@ -350,16 +354,25 @@ def stream_chunk_timeout(
     )
 
 
-def stream_ordinal(df: DataFrame, key: str, ts: str) -> DataFrame:
+def stream_ordinal(
+    df: DataFrame, key: str, ts: str, tiebreakers: list[str] | None = None
+) -> DataFrame:
     """Per-key running row ordinal ``__ord`` (0-based, event-time
     order, continuous across microbatches) — the live building block
     for ``StreamExt::skip`` / ``cycle`` exactly as
     ``operators.stateless.ordinal`` is for the batch readings.
 
+    ``tiebreakers``: extra CONTENT columns appended to the sort key.
+    Without one, rows sharing an exact event time are numbered in
+    arrival order — nondeterministic across reruns/retries (the
+    instability class invariant #8 bans for anything persisted), so
+    pass a unique content column whenever duplicate timestamps are
+    possible and the assignment must be replayable.
+
     State is ONE long per key (rows seen so far). All input columns
     pass through (the output schema is the input schema + __ord), so
     downstream filters/tags see the full row. Batch rows are
-    concatenated then sorted by event time before numbering
+    concatenated then sorted by (ts, *tiebreakers) before numbering
     (invariant #7).
     """
     out_schema = ", ".join(
@@ -367,6 +380,7 @@ def stream_ordinal(df: DataFrame, key: str, ts: str) -> DataFrame:
     ) + ", __ord bigint"
     state_schema = "seen long"
     cols = [f.name for f in df.schema.fields]
+    sort_cols = [ts, *(tiebreakers or [])]
 
     def fn(
         group_key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -378,7 +392,7 @@ def stream_ordinal(df: DataFrame, key: str, ts: str) -> DataFrame:
             yield pd.DataFrame({c: [] for c in [*cols, "__ord"]})
             return
         pdf = pd.concat(chunks, ignore_index=True).sort_values(
-            ts, kind="mergesort", ignore_index=True
+            sort_cols, kind="mergesort", ignore_index=True
         )
         seen = state.get[0] if state.exists else 0
         pdf["__ord"] = np.arange(seen, seen + len(pdf), dtype="int64")
@@ -390,15 +404,25 @@ def stream_ordinal(df: DataFrame, key: str, ts: str) -> DataFrame:
     )
 
 
-def stream_skip(df: DataFrame, key: str, ts: str, n: int) -> DataFrame:
+def stream_skip(
+    df: DataFrame, key: str, ts: str, n: int,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
     """Live ``StreamExt::skip``: drop each key's first ``n`` rows
     (event-time order, counted across microbatches)."""
-    return stream_ordinal(df, key, ts).where(F.col("__ord") >= n).drop("__ord")
+    return (
+        stream_ordinal(df, key, ts, tiebreakers)
+        .where(F.col("__ord") >= n)
+        .drop("__ord")
+    )
 
 
-def stream_cycle(df: DataFrame, key: str, ts: str, n: int) -> DataFrame:
+def stream_cycle(
+    df: DataFrame, key: str, ts: str, n: int,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
     """Live ``StreamExt::cycle`` (round-robin reading): tag each row
     with its per-key slot ``__cycle`` = running position mod ``n``."""
-    return stream_ordinal(df, key, ts).withColumn(
+    return stream_ordinal(df, key, ts, tiebreakers).withColumn(
         "__cycle", F.pmod(F.col("__ord"), F.lit(n))
     )

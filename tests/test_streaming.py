@@ -27,6 +27,15 @@ def _write_batch(tmp_path, name, rows):
     return str(p)
 
 
+def _append_events(src, name, rows, v=lambda k, s: 1.0):
+    """Add one microbatch file of (key, second-offset) events to an
+    existing stream directory; ``v`` derives the payload."""
+    with open(src / name, "w") as f:
+        for k, s in rows:
+            ts = (EPOCH + dt.timedelta(seconds=s)).strftime("%Y-%m-%dT%H:%M:%S")
+            f.write(json.dumps({"key": k, "ts": ts, "v": float(v(k, s))}) + "\n")
+
+
 def _run(query):
     query.processAllAvailable()
     query.stop()
@@ -249,18 +258,8 @@ def test_stream_chunk_timeout_sessions_and_chunks(spark, tmp_path):
     src = tmp_path / "ct_src"
     src.mkdir()
 
-    def write_file(name, rows):
-        import json as _json
-
-        with open(src / name, "w") as f:
-            for k, s in rows:
-                ts = (EPOCH + dt.timedelta(seconds=s)).strftime(
-                    "%Y-%m-%dT%H:%M:%S"
-                )
-                f.write(_json.dumps({"key": k, "ts": ts, "v": 1.0}) + "\n")
-
     # key a: 3 rows (size 2 → chunk split), key b: 1 row
-    write_file("b0.json", [("a", 0), ("a", 1), ("a", 2), ("b", 0)])
+    _append_events(src, "b0.json", [("a", 0), ("a", 1), ("a", 2), ("b", 0)])
     stream = files.stream_files(spark, str(src), "json", SCHEMA)
     out = stream_chunk_timeout(stream, "key", "ts", size=2, gap_seconds=10)
     q = writers.stream_to_memory(out, "ct_out", "append")
@@ -268,7 +267,7 @@ def test_stream_chunk_timeout_sessions_and_chunks(spark, tmp_path):
     # batch 2: a continues its open session (3 s later, chunk 1 gets
     # its 2nd row → next row opens chunk 2); b returns after silence
     # (> 10 s) → new session, chunk resets
-    write_file("b1.json", [("a", 3), ("a", 4), ("b", 30)])
+    _append_events(src, "b1.json", [("a", 3), ("a", 4), ("b", 30)])
     q.processAllAvailable()
     q.stop()
     got = {
@@ -292,18 +291,8 @@ def test_stream_skip_and_cycle_across_batches(spark, tmp_path):
 
     src = tmp_path / "sk_src"
     src.mkdir()
-
-    def write_file(name, rows):
-        import json as _json
-
-        with open(src / name, "w") as f:
-            for k, s in rows:
-                ts = (EPOCH + dt.timedelta(seconds=s)).strftime(
-                    "%Y-%m-%dT%H:%M:%S"
-                )
-                f.write(_json.dumps({"key": k, "ts": ts, "v": float(s)}) + "\n")
-
-    write_file("b0.json", [("a", 0), ("a", 1), ("b", 0)])
+    _v = lambda k, s: float(s)  # noqa: E731
+    _append_events(src, "b0.json", [("a", 0), ("a", 1), ("b", 0)], v=_v)
     stream = files.stream_files(spark, str(src), "json", SCHEMA)
     q1 = writers.stream_to_memory(
         stream_skip(stream, "key", "ts", 2), "skip_out", "append"
@@ -313,7 +302,7 @@ def test_stream_skip_and_cycle_across_batches(spark, tmp_path):
         stream_cycle(stream2, "key", "ts", 2), "cycle_out", "append"
     )
     q1.processAllAvailable(); q2.processAllAvailable()
-    write_file("b1.json", [("a", 2), ("b", 1), ("b", 2)])
+    _append_events(src, "b1.json", [("a", 2), ("b", 1), ("b", 2)], v=_v)
     q1.processAllAvailable(); q2.processAllAvailable()
     q1.stop(); q2.stop()
     skipped = {(r["key"], int(r["v"])) for r in spark.sql("select * from skip_out").collect()}
