@@ -23,7 +23,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 __all__ = [
     "stream_lag_window", "stream_latest_per_key", "stream_strat_classify",
     "stream_gap_detect", "stream_chunk_timeout", "stream_ordinal",
-    "stream_skip", "stream_cycle",
+    "stream_skip", "stream_cycle", "stream_take_while",
 ]
 
 
@@ -425,4 +425,56 @@ def stream_cycle(
     with its per-key slot ``__cycle`` = running position mod ``n``."""
     return stream_ordinal(df, key, ts, tiebreakers).withColumn(
         "__cycle", F.pmod(F.col("__ord"), F.lit(n))
+    )
+
+
+def stream_take_while(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    cond,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Live ``StreamExt::take_while``: emit each key's rows until the
+    FIRST row (event-time order, across microbatches) failing
+    ``cond``; everything after — including later rows that satisfy
+    the condition again — is dropped. ``cond`` is a pandas-Series
+    predicate (e.g. ``lambda pdf: pdf['v'] > 0``) evaluated
+    vectorized per batch.
+
+    State is one sticky stop flag per key (a long: 0 = open,
+    1 = closed). Batch rows are concatenated then sorted by
+    (ts, *tiebreakers) (invariant #7); with duplicate timestamps and
+    no tiebreaker the cut point among ties follows arrival order.
+    """
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    state_schema = "closed long"
+    cols = [f.name for f in df.schema.fields]
+    sort_cols = [ts, *(tiebreakers or [])]
+
+    def fn(
+        group_key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        closed = state.exists and state.get[0] == 1
+        chunks = [p for p in pdfs if len(p)]
+        if closed or not chunks:
+            state.update((1 if closed else 0,))
+            yield pd.DataFrame({c: [] for c in cols})
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            sort_cols, kind="mergesort", ignore_index=True
+        )
+        ok = cond(pdf).to_numpy()
+        fail = (~ok).argmax() if (~ok).any() else None
+        if fail is None:
+            state.update((0,))
+            yield pdf
+        else:
+            state.update((1,))
+            yield pdf.iloc[:fail]
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

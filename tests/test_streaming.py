@@ -353,6 +353,33 @@ def test_stream_quality_repetition_matches_batch_twin(spark):
     assert out.isStreaming
 
 
+def test_stream_take_while_sticky_across_batches(spark, tmp_path):
+    """Live take_while: once a key's condition fails, the gate stays
+    CLOSED across microbatches — later passing rows never resurrect
+    the stream (StreamExt::take_while semantics)."""
+    from rstreams_spark.streaming.stateful import stream_take_while
+
+    src = tmp_path / "tw_src"
+    src.mkdir()
+    _v = lambda k, s: float(s)  # noqa: E731
+    # a: 0,1 pass; b: 0 passes, 5 fails (v >= 5 violates v < 5)
+    _append_events(src, "b0.json", [("a", 0), ("a", 1), ("b", 0), ("b", 5)], v=_v)
+    stream = files.stream_files(spark, str(src), "json", SCHEMA)
+    out = stream_take_while(
+        stream, "key", "ts", lambda pdf: pdf["v"] < 5
+    )
+    q = writers.stream_to_memory(out, "tw_out", "append")
+    q.processAllAvailable()
+    # batch 2: b sends a PASSING row — must stay dropped; a continues
+    _append_events(src, "b1.json", [("a", 2), ("b", 1)], v=_v)
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["key"], int(r["v"])) for r in spark.sql("select * from tw_out").collect()
+    )
+    assert got == [("a", 0), ("a", 1), ("a", 2), ("b", 0)]
+
+
 def test_throttled_reader_bounds_batch_rows(spark):
     """StreamExt::throttle parity: every microbatch ingests exactly
     the configured cap, never more."""
