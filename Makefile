@@ -33,3 +33,4 @@ examples:
 	python examples/wordcount_pipeline.py /root/testdata/sf0.001 10
 	python examples/llm_corpus_pipeline.py /root/testdata/sf0.001
 	python examples/stocks_streaming.py /root/testdata/sf0.001
+	python examples/ingest_curation_streaming.py /root/testdata/sf0.001

@@ -1,0 +1,77 @@
+"""Training-data curation AT INGEST — the llm_corpus_pipeline's
+front gates running live on a document stream:
+
+  document stream → repetition cut (stateless Gopher scorer)
+                  → exact dedup (watermarked state, first copy wins)
+                  → (sink: what a lakehouse writer would commit)
+
+Everything here is streaming-legal and shuffle-light: the
+repetition scorer is a stateless Arrow ``mapInPandas`` (no state, no
+watermark — pure per-batch parallelism), and the dedup stage keeps
+one fingerprint per seen document inside the watermark horizon.
+Batch re-curation (the full pipeline with near-dup clustering and
+decontamination) stays in ``llm_corpus_pipeline.py``; this is the
+day-0 gate that keeps obvious junk from ever landing.
+
+Run: python examples/ingest_curation_streaming.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from rstreams_spark.queries._util import t
+from rstreams_spark.session import get_spark
+from rstreams_spark.sinks import writers
+from rstreams_spark.streaming.curation import stream_quality_repetition
+from rstreams_spark.streaming.dedup import stream_dedup_exact
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("ingest-curation")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = Path(tempfile.mkdtemp(prefix="ingest_curation_"))
+
+    # replay the documents table as a file stream of arriving docs
+    docs_dir = work / "docs"
+    docs = t(spark, sf_dir, "documents")
+    n_raw = docs.count()
+    (
+        docs.selectExpr(
+            "doc_id", "text", "timestamp '2024-01-01' + interval 1 second * doc_id as ts"
+        ).write.json(str(docs_dir))
+    )
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, ts timestamp"
+    ).json(str(docs_dir))
+
+    # gate 1: repetition cut — stateless, per-batch parallel
+    scored = stream_quality_repetition(stream)
+    kept_ids = scored.where("keep")
+    q1 = writers.stream_to_memory(kept_ids, "rep_kept", "append")
+    q1.processAllAvailable()
+    q1.stop()
+    n_rep = spark.sql("select count(*) n from rep_kept").collect()[0]["n"]
+
+    # gate 2: live exact dedup over the full doc stream (first copy
+    # of identical normalized content wins; state bounded by horizon)
+    deduped = stream_dedup_exact(stream, "text", "ts", horizon="1 hour")
+    q2 = writers.stream_to_memory(deduped, "dedup_kept", "append")
+    q2.processAllAvailable()
+    q2.stop()
+    n_dedup = spark.sql("select count(*) n from dedup_kept").collect()[0]["n"]
+
+    print(
+        f"[ingest] {n_raw} arriving docs -> {n_rep} past the repetition "
+        f"gate, {n_dedup} past exact dedup (gates run independently here; "
+        "chain them behind one sink in production)"
+    )
+
+
+if __name__ == "__main__":
+    main()
