@@ -14,10 +14,10 @@ driver-green in r01/r02: tpch q5/q6/q7/q10/q14/q18, candles_rollup,
 distinct_count, split_routes, stream_table_join, throttle_sample),
 then one member per remaining operator family. Displaced entries
 (r4: hopping_window, range_band_count, dedup_simhash, gap_detect,
-cohort_retention join the r3 set) are all r03-driver-green,
-family-redundant in-window, and stay covered by the local oracle
-replica (`make oracle` runs the FULL registry; see SURVEY §2
-notes).
+cohort_retention, strat_classify, value_percentiles join the r3
+set) are all r03-driver-green, family-redundant in-window, and stay
+covered by the local oracle replica (`make oracle` runs the FULL
+registry; see SURVEY §2 notes).
 """
 
 from __future__ import annotations
@@ -35,6 +35,7 @@ _FRONT = [
     #   window; skip_take/cycle_take and tpch_q2/q20/q21 new in r4) —
     "tpch_q11", "tpch_q16", "skip_take", "cycle_take",
     "tpch_q2", "tpch_q20", "tpch_q21", "quality_repetition", "source_mix",
+    "take_while", "skip_while",
     # — stalest green history (last driver-verified r01/r02) —
     "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q18",
     "candles_rollup", "distinct_count", "split_routes", "stream_table_join",
@@ -43,8 +44,8 @@ _FRONT = [
     #   rotated out — wordcount/funnel_3step displaced by the two r4
     #   newcomers above) —
     "latest_per_key", "tumbling_window",
-    "session_window", "interval_join", "asof_enrich", "strat_classify",
-    "value_percentiles", "salted_sum",
+    "session_window", "interval_join", "asof_enrich",
+    "salted_sum",
     "pattern_followed_by",
     "chunk_fold_timeout",
     # — TPC-H representatives (agg / join+topk / wide profit rollup) —

@@ -71,6 +71,41 @@ def skip_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TAKE_WHILE_V = 300.0  # first event above this stops the stream
+
+
+def take_while(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``StreamExt::take_while`` batch reading: every event strictly
+    before the FIRST (stream-order) event whose value exceeds the
+    bound — exercised through the fluent ``RStream.take_while``
+    (distributed ordinal + one-row min-stop broadcast)."""
+    from ..model import RStream
+
+    ev = t(spark, sf_dir, "events")
+    out = RStream(ev, key="user_id", ts="ts").take_while(
+        F.col("value") <= TAKE_WHILE_V, ["ts", "event_id"]
+    )
+    return out.df.select(
+        "event_id", "user_id", epoch(F.col("ts")).alias("ts_epoch"), "value"
+    )
+
+
+def skip_while(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``StreamExt::skip_while``: the complementary suffix — drop the
+    ordered prefix where the value stays under the bound; everything
+    from the first exceeding event on survives (later small values
+    included)."""
+    from ..model import RStream
+
+    ev = t(spark, sf_dir, "events")
+    out = RStream(ev, key="user_id", ts="ts").skip_while(
+        F.col("value") <= TAKE_WHILE_V, ["ts", "event_id"]
+    )
+    return out.df.select(
+        "event_id", "user_id", epoch(F.col("ts")).alias("ts_epoch"), "value"
+    )
+
+
 def cycle_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``StreamExt::cycle`` analog for bounded data
     (``operators.stateless.cycle_index``): round-robin slot
@@ -755,6 +790,8 @@ QUERIES = {
     "merge_take": merge_take,
     "chunk_fold": chunk_fold,
     "skip_take": skip_take,
+    "take_while": take_while,
+    "skip_while": skip_while,
     "cycle_take": cycle_take,
     "chunk_fold_timeout": chunk_fold_timeout,
     "latest_per_key": latest_per_key,
@@ -832,6 +869,24 @@ SQL_ORACLES = {
           select *, row_number() over (order by ts, event_id) - 1 as ord
           from events
         ) where ord between 1000 and 1099
+    """,
+    "take_while": f"""
+        with o as (
+          select *, row_number() over (order by ts, event_id) - 1 as ord
+          from events
+        ),
+        stop as (select min(ord) as s from o where value > {TAKE_WHILE_V})
+        select event_id, user_id, {_E} as ts_epoch, value
+        from o, stop where s is null or ord < s
+    """,
+    "skip_while": f"""
+        with o as (
+          select *, row_number() over (order by ts, event_id) - 1 as ord
+          from events
+        ),
+        stop as (select min(ord) as s from o where value > {TAKE_WHILE_V})
+        select event_id, user_id, {_E} as ts_epoch, value
+        from o, stop where ord >= s
     """,
     "cycle_take": f"""
         select cast(ord % 7 as bigint) as slot,
