@@ -435,45 +435,62 @@ def stream_take_while(
     cond,
     tiebreakers: list[str] | None = None,
 ) -> DataFrame:
-    """Live ``StreamExt::take_while``: emit each key's rows until the
-    FIRST row (event-time order, across microbatches) failing
-    ``cond``; everything after — including later rows that satisfy
-    the condition again — is dropped. ``cond`` is a pandas-Series
-    predicate (e.g. ``lambda pdf: pdf['v'] > 0``) evaluated
-    vectorized per batch.
+    """Live ``StreamExt::take_while``: emit each key's rows strictly
+    before the FIRST (EVENT-time) row failing ``cond``. ``cond`` is
+    a pandas-Series predicate (e.g. ``lambda pdf: pdf['v'] > 0``)
+    evaluated vectorized per batch; a NULL/NaN predicate result
+    counts as PASSING — the same policy as the batch twin
+    (``RStream.take_while`` scans ``~cond`` for the stop ordinal,
+    and NULL never satisfies it).
 
-    State is one sticky stop flag per key (a long: 0 = open,
-    1 = closed). Batch rows are concatenated then sorted by
-    (ts, *tiebreakers) (invariant #7); with duplicate timestamps and
-    no tiebreaker the cut point among ties follows arrival order.
+    State per key is the CUT TIMESTAMP (ns; far-future while open),
+    not a boolean — so late rows are judged by event time, not
+    arrival: a late row BEFORE the cut is still emitted, and a late
+    VIOLATOR tightens the cut for everything after it. What append
+    mode cannot do is retract already-emitted rows that a late
+    violator retroactively invalidates — bound that window with the
+    source watermark, the same discipline the sibling stateful ops
+    document. Rows sharing the violator's exact timestamp pass only
+    if they sorted before it (ts, *tiebreakers) in its own batch.
     """
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
-    state_schema = "closed long"
+    state_schema = "cut_ns long"
     cols = [f.name for f in df.schema.fields]
     sort_cols = [ts, *(tiebreakers or [])]
+    OPEN = 1 << 62
 
     def fn(
         group_key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        closed = state.exists and state.get[0] == 1
+        import numpy as np
+
+        cut = state.get[0] if state.exists else OPEN
         chunks = [p for p in pdfs if len(p)]
-        if closed or not chunks:
-            state.update((1 if closed else 0,))
+        if not chunks:
+            state.update((cut,))
             yield pd.DataFrame({c: [] for c in cols})
             return
         pdf = pd.concat(chunks, ignore_index=True).sort_values(
             sort_cols, kind="mergesort", ignore_index=True
         )
-        ok = cond(pdf).to_numpy()
-        fail = (~ok).argmax() if (~ok).any() else None
-        if fail is None:
-            state.update((0,))
+        ts_ns = pdf[ts].astype("int64").to_numpy()
+        before_cut = ts_ns < cut
+        pdf = pdf.iloc[before_cut]
+        if not len(pdf):
+            state.update((cut,))
             yield pdf
-        else:
-            state.update((1,))
-            yield pdf.iloc[:fail]
+            return
+        ok = cond(pdf)
+        # NULL result = pass (batch-twin parity)
+        viol = (~ok.fillna(True).astype(bool)).to_numpy()
+        if viol.any():
+            fail = int(viol.argmax())
+            cut = min(cut, int(ts_ns[before_cut][fail]))
+            pdf = pdf.iloc[:fail]
+        state.update((cut,))
+        yield pdf
 
     return df.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

@@ -354,9 +354,11 @@ def test_stream_quality_repetition_matches_batch_twin(spark):
 
 
 def test_stream_take_while_sticky_across_batches(spark, tmp_path):
-    """Live take_while: once a key's condition fails, the gate stays
-    CLOSED across microbatches — later passing rows never resurrect
-    the stream (StreamExt::take_while semantics)."""
+    """Live take_while: the cut is an EVENT-time point carried in
+    state — rows at/after the first violator's timestamp stay
+    dropped across microbatches, while a LATE row from before the
+    cut is still admitted (event-time, not arrival-order,
+    semantics)."""
     from rstreams_spark.streaming.stateful import stream_take_while
 
     src = tmp_path / "tw_src"
@@ -370,14 +372,15 @@ def test_stream_take_while_sticky_across_batches(spark, tmp_path):
     )
     q = writers.stream_to_memory(out, "tw_out", "append")
     q.processAllAvailable()
-    # batch 2: b sends a PASSING row — must stay dropped; a continues
-    _append_events(src, "b1.json", [("a", 2), ("b", 1)], v=_v)
+    # batch 2: b's late ts=1 row precedes the ts=5 cut → admitted;
+    # b's ts=6 row is past the cut → dropped; a continues
+    _append_events(src, "b1.json", [("a", 2), ("b", 1), ("b", 6)], v=_v)
     q.processAllAvailable()
     q.stop()
     got = sorted(
         (r["key"], int(r["v"])) for r in spark.sql("select * from tw_out").collect()
     )
-    assert got == [("a", 0), ("a", 1), ("a", 2), ("b", 0)]
+    assert got == [("a", 0), ("a", 1), ("a", 2), ("b", 0), ("b", 1)]
 
 
 def test_throttled_reader_bounds_batch_rows(spark):
