@@ -29,7 +29,7 @@ from ..queries.textq import (
     REP_DUP3_DEN, REP_DUP3_NUM, REP_TOP2_DEN, REP_TOP2_NUM,
 )
 
-__all__ = ["stream_quality_repetition"]
+__all__ = ["stream_quality_repetition", "stream_source_mix"]
 
 _NORM_RE = re.compile(r"[^a-z0-9]+")
 
@@ -95,3 +95,25 @@ def stream_quality_repetition(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
+def stream_source_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Live corpus-mix monitor: running per-source doc and token
+    counts over a document stream (update-mode streaming aggregation,
+    one row of state per source — the bounded dimension). The batch
+    twin ``queries.textq.source_mix`` derives α-temperature weights
+    from the same counts; on a stream the counts are the useful
+    monitoring surface (weights need the cross-source normalizer,
+    which a sink-side query computes from this table's snapshot).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens
+
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens(F.col(text_col))).cast("long")).alias("n_tokens"),
+        )
+    )

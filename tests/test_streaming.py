@@ -383,6 +383,46 @@ def test_stream_take_while_sticky_across_batches(spark, tmp_path):
     assert got == [("a", 0), ("a", 1), ("a", 2), ("b", 0), ("b", 1)]
 
 
+def test_stream_source_mix_counts_match_batch(spark, tmp_path):
+    """Live per-source doc/token counts (update-mode agg) equal the
+    batch source_mix counts over the same corpus once the stream
+    drains."""
+    import json as _json
+
+    from conftest import SF_SMOKE
+    from rstreams_spark.queries._util import t
+    from rstreams_spark.queries.textq import source_mix
+    from rstreams_spark.streaming.curation import stream_source_mix
+
+    src = tmp_path / "mix_src"
+    src.mkdir()
+    docs = t(spark, SF_SMOKE, "documents").select("doc_id", "text", "source")
+    with open(src / "b0.json", "w") as f:
+        for r in docs.collect():
+            f.write(_json.dumps(
+                {"doc_id": r["doc_id"], "text": r["text"], "source": r["source"]}
+            ) + "\n")
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, source string"
+    ).json(str(src))
+    q = (
+        stream_source_mix(stream)
+        .writeStream.format("memory").queryName("mix_out")
+        .outputMode("complete").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    live = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in spark.sql("select * from mix_out").collect()
+    }
+    batch = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in source_mix(spark, SF_SMOKE).collect()
+    }
+    assert live == batch
+
+
 def test_throttled_reader_bounds_batch_rows(spark):
     """StreamExt::throttle parity: every microbatch ingests exactly
     the configured cap, never more."""
