@@ -3,7 +3,11 @@
 
 SF ?= /root/testdata/sf0.01
 
-.PHONY: test oracle bench smoke examples plans scaling sf1
+.PHONY: test oracle bench smoke examples plans scaling sf1 verify
+
+# the full drive recipe (.claude/skills/verify/SKILL.md) in one
+# command: driver contract -> full oracle gate replica -> pytest
+verify: smoke oracle test
 
 plans:
 	python tools/plan_audit.py
