@@ -123,6 +123,27 @@ def run(spark, sf_dir: str) -> dict:
     clean = train.join(contaminated, "doc_id", "left_anti")
     n_clean = clean.count()
 
+    # span-level exact substring dedup (Lee et al.) over the clean
+    # corpus: remove 16-token spans whose text occurred earlier, and
+    # account for the tokens it reclaims
+    spans = clean.select(
+        "doc_id",
+        F.explode(token_chunks(tokens(F.col("text")), 16, 0)).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("long").alias("span_idx"),
+        F.col("c.chunk_text").alias("span_text"),
+        F.col("c.n_tokens").cast("long").alias("span_tokens"),
+    ).withColumn("__key", F.col("doc_id") * 1_000_000 + F.col("span_idx"))
+    first_span = spans.groupBy("span_text").agg(F.min("__key").alias("__fk"))
+    span_cut = (
+        spans.join(first_span, "span_text")
+        .where(F.col("__key") != F.col("__fk"))
+        .agg(F.count("*").alias("dup_spans"),
+             F.coalesce(F.sum("span_tokens"), F.lit(0)).alias("dup_tokens"))
+        .collect()[0]
+    )
+
     # pack the clean docs into 512-token bins, per source shard
     from pyspark.sql.window import Window
 
@@ -160,10 +181,26 @@ def run(spark, sf_dir: str) -> dict:
         for r in mix.orderBy(F.desc("w"), "source").limit(3).collect()
     ]
 
+    # deterministic train/val/test split over the final corpus — the
+    # pre-training sanity gate (stable under retries: content hash,
+    # never random())
+    bucket = hash64(F.col("doc_id").cast("string"), salt=7) % 100
+    split_col = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    splits = {
+        r["split"]: r["n"]
+        for r in clean.groupBy(split_col.alias("split"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
     return {
         "raw": n_raw, "after_repetition": n_rep, "after_exact": n_exact,
         "after_near_dup": n_near, "after_decontam": n_clean,
+        "dup_spans": span_cut["dup_spans"], "dup_tokens": span_cut["dup_tokens"],
         "bins": n_bins, "chunks": n_chunks, "top_mix": top_mix,
+        "splits": splits,
     }
 
 
@@ -178,7 +215,10 @@ def main() -> None:
         f"-> {c['after_near_dup']} after near-dup clustering "
         f"-> {c['after_decontam']} after decontamination "
         f"-> {c['bins']} packed bins, {c['chunks']} training chunks; "
-        f"top sampling sources: {[s for s, _ in c['top_mix']]}"
+        f"span dedup reclaims {c['dup_tokens']} tokens "
+        f"({c['dup_spans']} duplicate spans); "
+        f"top sampling sources: {[s for s, _ in c['top_mix']]}; "
+        f"split: {c['splits']}"
     )
 
 

@@ -32,19 +32,25 @@ for mod in (core, tpch, textq, dedupq):
 
 _FRONT = [
     # — NEVER driver-verified (r3 newcomers that landed past the
-    #   window; skip_take/cycle_take and tpch_q2/q20/q21 new in r4) —
+    #   window; skip_take/cycle_take, tpch_q2/q20/q21 and the late-r4
+    #   curation block span_dedup/doc_commonness/ngram_novelty/
+    #   dataset_split new in r4) —
     "tpch_q11", "tpch_q16", "skip_take", "cycle_take",
     "tpch_q2", "tpch_q20", "tpch_q21", "quality_repetition", "source_mix",
     "take_while", "skip_while",
+    "span_dedup", "doc_commonness", "ngram_novelty", "dataset_split",
     # — stalest green history (last driver-verified r01/r02) —
     "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q18",
     "candles_rollup", "distinct_count", "split_routes", "stream_table_join",
     "throttle_sample",
     # — core rstreams surface (one per family; r03-green near-dups
     #   rotated out — wordcount/funnel_3step displaced by the two r4
-    #   newcomers above) —
-    "latest_per_key", "tumbling_window",
-    "session_window", "interval_join", "asof_enrich",
+    #   newcomers above; latest_per_key/tumbling_window/
+    #   session_window/interval_join displaced by the late-r4
+    #   curation newcomers: all four are r03-driver-green and their
+    #   families stay represented in-window by candles_rollup,
+    #   stream_table_join, asof_enrich and chunk_fold_timeout) —
+    "asof_enrich",
     "salted_sum",
     "pattern_followed_by",
     "chunk_fold_timeout",

@@ -14,7 +14,7 @@ from ..functions.text import (
     BPE_ISH_PATTERN, STOPWORDS, bpe_ish_tokens, md5_fingerprint, norm_text,
     token_chunks, tokens,
 )
-from ._util import SQL_NORM, SQL_TOKS, t
+from ._util import SQL_NORM, SQL_TOKS, sql_h64, t
 
 _NORM = SQL_NORM.format(c="text")
 _TOKS = SQL_TOKS.format(c="text")
@@ -434,6 +434,215 @@ def incremental_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_SIZE = 16  # tokens per dedup span (non-overlapping)
+# span_idx is bounded by len(tokens)/SPAN_SIZE — 1e6 leaves room for
+# ~16M-token documents while keeping doc_id*1e6+idx inside bigint
+_SPAN_KEY_MUL = 1_000_000
+
+
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring (span-level) dedup — Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    approximated at non-overlapping 16-token span granularity (the
+    corpus has no sentence punctuation, so spans stand in for the
+    C4-style sentence/line unit): every span whose text occurred
+    earlier in the corpus (first occurrence = smallest
+    (doc_id, span_idx)) is removed, and each document's surviving
+    text is reassembled in span order.
+
+    Exactness: the keeper key is the exact integer
+    ``doc_id*1e6 + span_idx`` (min per span text — portable integer
+    algebra, no struct-min dialect differences); outputs are strings
+    and integer counts only, no FP anywhere.
+
+    Scale shape: one narrow explode (~n_tokens/16 rows per doc,
+    fanout-guarded), ONE shuffle on span_text for the first-occurrence
+    aggregate (map-side partial min; hot boilerplate spans are exactly
+    what AQE skew-join handles), a shuffle join back on span_text, and
+    one shuffle on doc_id to reassemble. No self-join, no window over
+    a skewed key, no driver collect — the same shape at 100 TB.
+    """
+    from ..functions.core import ensure_fanout_parallelism
+
+    docs = t(spark, sf_dir, "documents")
+    spans = ensure_fanout_parallelism(docs).select(
+        "doc_id",
+        F.explode(token_chunks(tokens(F.col("text")), SPAN_SIZE, 0)).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("long").alias("span_idx"),
+        F.col("c.chunk_text").alias("span_text"),
+        F.col("c.n_tokens").cast("long").alias("n_tokens"),
+    )
+    spans = spans.withColumn(
+        "__key", F.col("doc_id") * _SPAN_KEY_MUL + F.col("span_idx")
+    )
+    first = spans.groupBy("span_text").agg(F.min("__key").alias("__first_key"))
+    marked = spans.join(first, "span_text").withColumn(
+        "kept", F.col("__key") == F.col("__first_key")
+    )
+    kept_struct = F.when(
+        F.col("kept"), F.struct("span_idx", "span_text")
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("n_dup_spans"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0)).alias(
+            "n_tokens_kept"
+        ),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["span_text"],
+            ),
+        ).alias("dedup_text"),
+    )
+
+
+def doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM commonness score — the CCNet/perplexity-filter analog
+    built on exact rational arithmetic instead of log-probs (ln()
+    differs in the last ulp across libms; invariant #2): per document,
+    the mean document-frequency share of its token occurrences,
+
+        commonness = Σ_occurrences df(term) / (n_tokens · n_docs).
+
+    High = boilerplate/common (head tokens), low = rare/noisy — the
+    standard head/tail bucketing signal for pretraining curation.
+    Numerator and denominator are exact bigints; the single double
+    division is the only FP op and is bit-identical across engines.
+
+    Scale shape: the same tf→df machinery as top_terms — (doc, term)
+    count shuffle, |vocab| df aggregate joined back on term, per-doc
+    sum shuffle, corpus size as a one-row broadcast. Linear in corpus
+    tokens, no skew beyond the natural vocabulary head (AQE).
+    """
+    from ..functions.core import ensure_fanout_parallelism
+
+    docs = t(spark, sf_dir, "documents")
+    term = ensure_fanout_parallelism(docs).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = (
+        term.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)  # feeds df AND the scored join
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        tf.join(df_tbl, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count("*").alias("n_terms"),
+            F.sum(F.col("tf") * F.col("df")).alias("__num"),
+        )
+    )
+    return per_doc.join(F.broadcast(n_docs)).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_terms").cast("long").alias("n_distinct_terms"),
+        (
+            F.col("__num") / (F.col("n_tokens") * F.col("n_docs"))
+        ).alias("commonness"),
+    )
+
+
+NOVELTY_N = 3  # n-gram size for novelty attribution
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a document's DISTINCT
+    3-grams whose first corpus occurrence (min doc_id) is this
+    document — "how much new text does this doc contribute", the
+    dedup-adjacent contribution score used to rank ingest batches.
+    Documents with fewer than 3 tokens contribute no grams and are
+    omitted (documented; the oracle applies the same filter).
+
+    Exactness: integer counts + ONE double division per row.
+
+    Scale shape: gram explode (fanout-guarded) → per-(doc, gram)
+    distinct aggregate (one shuffle) materialized once — it feeds
+    both the first-seen aggregate and the join back — → |grams|
+    first-seen min aggregate → join on gram → per-doc sum. All keys
+    grow with the corpus; hot boilerplate grams are bounded by the
+    distinct-per-doc collapse ahead of the join.
+    """
+    from ..functions.core import ensure_fanout_parallelism
+    from ..functions.dedup import grams
+
+    docs = t(spark, sf_dir, "documents")
+    gram_rows = (
+        ensure_fanout_parallelism(docs)
+        .select(
+            "doc_id",
+            F.explode(grams(tokens(F.col("text")), NOVELTY_N)).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.lit(1).alias("__one"))
+        .localCheckpoint(eager=False)  # feeds first-seen AND the join
+    )
+    first_seen = gram_rows.groupBy("gram").agg(
+        F.min("doc_id").alias("__first_doc")
+    )
+    return (
+        gram_rows.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_grams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("__first_doc"), 1).otherwise(0)
+            ).alias("n_novel_grams"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_distinct_grams").cast("long").alias("n_distinct_grams"),
+            F.col("n_novel_grams").cast("long").alias("n_novel_grams"),
+            (F.col("n_novel_grams") / F.col("n_distinct_grams")).alias(
+                "novelty_frac"
+            ),
+        )
+    )
+
+
+SPLIT_SALT = 7
+SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 80, 10  # train/val/test = 80/10/10
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split summary: every document is
+    assigned by the portable content hash ``h64(doc_id) % 100``
+    (coordination-free, stable under re-runs and task retries —
+    CLAUDE.md invariant 8; never a random() or positional id), and
+    the query reports per-split document and token counts — the
+    sanity gate run before any training job.
+
+    Scale shape: stateless hash + one map-side-partial shuffle to 3
+    rows. The assignment expression is the reusable primitive; the
+    aggregate is the checkable surface.
+    """
+    from ..functions.text import hash64
+
+    docs = t(spark, sf_dir, "documents")
+    bucket = hash64(F.col("doc_id").cast("string"), salt=SPLIT_SALT) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")))
+    return (
+        docs.select(split.alias("split"), ws.cast("long").alias("n_tokens"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "incremental_dedup_exact": incremental_dedup_exact,
@@ -447,6 +656,10 @@ QUERIES = {
     "doc_chunks": doc_chunks,
     "pack_sequences": pack_sequences,
     "top_terms": top_terms,
+    "span_dedup": span_dedup,
+    "doc_commonness": doc_commonness,
+    "ngram_novelty": ngram_novelty,
+    "dataset_split": dataset_split,
 }
 
 SQL_ORACLES = {
@@ -651,5 +864,103 @@ SQL_ORACLES = {
         )
         select doc_id, term, tf, df, score, rank
         from ranked where rank <= {TOPTERMS_K}
+    """,
+    "span_dedup": f"""
+        with tk as (select doc_id, {_TOKS} as toks from documents),
+        sp as (
+          select doc_id, toks,
+                 unnest(range(0, (len(toks) - 1) // {SPAN_SIZE} + 1)) as span_idx
+          from tk where len(toks) > 0
+        ),
+        spans as (
+          select doc_id, span_idx,
+                 array_to_string(
+                   toks[span_idx * {SPAN_SIZE} + 1
+                        : span_idx * {SPAN_SIZE} + {SPAN_SIZE}], ' ')
+                   as span_text,
+                 least(len(toks) - span_idx * {SPAN_SIZE}, {SPAN_SIZE})
+                   as n_tokens,
+                 doc_id * {_SPAN_KEY_MUL} + span_idx as key
+          from sp
+        ),
+        first as (
+          select span_text, min(key) as first_key
+          from spans group by span_text
+        ),
+        marked as (
+          select s.doc_id, s.span_idx, s.span_text, s.n_tokens,
+                 s.key = f.first_key as kept
+          from spans s join first f using (span_text)
+        )
+        select doc_id,
+               count(*) as n_spans,
+               cast(sum(case when not kept then 1 else 0 end) as bigint)
+                 as n_dup_spans,
+               cast(sum(case when kept then n_tokens else 0 end) as bigint)
+                 as n_tokens_kept,
+               coalesce(string_agg(case when kept then span_text end,
+                                   ' ' order by span_idx), '') as dedup_text
+        from marked group by doc_id
+    """,
+    "doc_commonness": f"""
+        with term as (
+          select doc_id, unnest({_TOKS}) as term from documents
+        ),
+        tf as (
+          select doc_id, term, count(*) as tf
+          from term group by doc_id, term
+        ),
+        dft as (select term, count(*) as df from tf group by term),
+        n as (select count(*) as n_docs from documents),
+        per_doc as (
+          select doc_id,
+                 sum(tf) as n_tokens,
+                 count(*) as n_terms,
+                 sum(tf * df) as num
+          from tf join dft using (term) group by doc_id
+        )
+        select doc_id,
+               cast(n_tokens as bigint) as n_tokens,
+               cast(n_terms as bigint) as n_distinct_terms,
+               num / (n_tokens * n_docs) as commonness
+        from per_doc cross join n
+    """,
+    "ngram_novelty": f"""
+        with toks as (select doc_id, {_TOKS} as tk from documents),
+        gr_all as (
+          select doc_id,
+                 unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                         for i in range(1, len(tk) - 1)]) as gram
+          from toks
+        ),
+        gr as (select distinct doc_id, gram from gr_all),
+        first as (select gram, min(doc_id) as first_doc from gr group by gram),
+        agg as (
+          select doc_id,
+                 count(*) as n_distinct_grams,
+                 cast(sum(case when doc_id = first_doc then 1 else 0 end)
+                      as bigint) as n_novel_grams
+          from gr join first using (gram) group by doc_id
+        )
+        select doc_id, n_distinct_grams, n_novel_grams,
+               n_novel_grams / n_distinct_grams as novelty_frac
+        from agg
+    """,
+    "dataset_split": f"""
+        with d as (
+          select case
+                   when {sql_h64("cast(doc_id as varchar)", salt=SPLIT_SALT)}
+                        % 100 < {SPLIT_TRAIN_PCT} then 'train'
+                   when {sql_h64("cast(doc_id as varchar)", salt=SPLIT_SALT)}
+                        % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} then 'val'
+                   else 'test'
+                 end as split,
+                 len(list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x != '')) as n_tokens
+          from documents
+        )
+        select split, count(*) as n_docs,
+               cast(sum(n_tokens) as bigint) as n_tokens
+        from d group by split
     """,
 }

@@ -98,6 +98,75 @@ def test_quality_repetition_flags_repetitive_doc(spark, tmp_path):
     assert rows[2]["dup3gram_char_frac"] == 0.0
 
 
+def _write_docs(tmp_path, texts):
+    import pandas as pd
+
+    sf = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": list(range(1, len(texts) + 1)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def test_span_dedup_removes_repeated_span(spark, tmp_path):
+    """A 16-token span that re-occurs verbatim in a later document is
+    removed there and kept at its first occurrence (Lee et al. span
+    dedup at 16-token granularity)."""
+    span = " ".join(f"s{i}" for i in range(16))
+    other = " ".join(f"u{i}" for i in range(16))
+    sf = _write_docs(tmp_path, [span, span + " " + other])
+    from rstreams_spark.queries.textq import span_dedup
+
+    rows = {r["doc_id"]: r for r in span_dedup(spark, sf).collect()}
+    assert rows[1]["n_spans"] == 1 and rows[1]["n_dup_spans"] == 0
+    assert rows[1]["dedup_text"] == span
+    assert rows[2]["n_spans"] == 2 and rows[2]["n_dup_spans"] == 1
+    assert rows[2]["dedup_text"] == other
+    assert rows[2]["n_tokens_kept"] == 16
+
+
+def test_doc_commonness_exact_formula(spark, tmp_path):
+    """commonness = Σ df(term occurrences) / (n_tokens · n_docs),
+    exact rational: docs {a b, a c} → both (2+1)/(2·2) = 0.75."""
+    sf = _write_docs(tmp_path, ["a b", "a c"])
+    from rstreams_spark.queries.textq import doc_commonness
+
+    rows = {r["doc_id"]: r for r in doc_commonness(spark, sf).collect()}
+    assert rows[1]["commonness"] == 0.75 == rows[2]["commonness"]
+    assert rows[1]["n_tokens"] == 2 and rows[1]["n_distinct_terms"] == 2
+
+
+def test_ngram_novelty_first_doc_wins(spark, tmp_path):
+    """A doc's gram seen earlier (smaller doc_id) is not novel; the
+    first doc always scores 1.0."""
+    sf = _write_docs(tmp_path, ["x y z w", "x y z q"])
+    from rstreams_spark.queries.textq import ngram_novelty
+
+    rows = {r["doc_id"]: r for r in ngram_novelty(spark, sf).collect()}
+    assert rows[1]["novelty_frac"] == 1.0 and rows[1]["n_distinct_grams"] == 2
+    assert rows[2]["n_novel_grams"] == 1 and rows[2]["novelty_frac"] == 0.5
+
+
+def test_dataset_split_partitions_every_doc(spark):
+    """Split counts cover the corpus exactly once and the hash split
+    lands near 80/10/10."""
+    from conftest import SF_SMOKE
+    from rstreams_spark.queries._util import t as load
+    from rstreams_spark.queries.textq import dataset_split
+
+    rows = {r["split"]: r for r in dataset_split(spark, SF_SMOKE).collect()}
+    total = load(spark, SF_SMOKE, "documents").count()
+    assert sum(r["n_docs"] for r in rows.values()) == total
+    assert set(rows) <= {"train", "val", "test"}
+    assert rows["train"]["n_docs"] > 0.6 * total
+
+
 def test_minhash_identical_docs_same_signature(spark):
     docs = spark.createDataFrame(
         [Row(doc_id=1, text="the quick brown fox jumps"),
