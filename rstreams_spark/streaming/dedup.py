@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import md5_fingerprint
 
-__all__ = ["stream_dedup_exact"]
+__all__ = ["stream_dedup_exact", "stream_span_dedup"]
 
 
 def stream_dedup_exact(
@@ -41,3 +41,46 @@ def stream_dedup_exact(
     fp = df.withColumn("__fp", md5_fingerprint(F.col(text_col)))
     fp = fp.withWatermark(ts_col, horizon)
     return fp.dropDuplicatesWithinWatermark([*keys, "__fp"]).drop("__fp")
+
+
+def stream_span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ts_col: str,
+    horizon: str = "1 hour",
+    span_size: int = 16,
+) -> DataFrame:
+    """Live span-level exact substring dedup — the streaming
+    counterpart of the batch ``span_dedup`` catalog query (Lee et
+    al. 2021 at non-overlapping ``span_size``-token granularity):
+    each document is exploded into spans and a span whose text was
+    already emitted inside the watermark horizon is dropped, so the
+    sink receives only first-occurrence spans (with their source doc
+    id and position, from which a consumer reassembles text exactly
+    like the batch operator does).
+
+    First-arrival order stands in for the batch min-(doc_id, idx)
+    keeper — on a live firehose "first seen" IS arrival order. State
+    is the engine's dedup store keyed by span text, hash-partitioned
+    and watermark-evicted: (distinct spans per horizon), not (all
+    spans ever) — the same trade ``stream_dedup_exact`` makes.
+    """
+    from ..functions.text import token_chunks, tokens
+
+    spans = df.select(
+        id_col,
+        ts_col,
+        F.explode(
+            token_chunks(tokens(F.col(text_col)), span_size, 0)
+        ).alias("__c"),
+    ).select(
+        id_col,
+        ts_col,
+        F.col("__c.chunk_idx").cast("long").alias("span_idx"),
+        F.col("__c.chunk_text").alias("span_text"),
+        F.col("__c.n_tokens").cast("long").alias("n_tokens"),
+    )
+    return spans.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
+        ["span_text"]
+    )

@@ -211,6 +211,32 @@ def test_stream_dedup_exact_first_wins(spark, tmp_path):
     assert got == ["dup text", "other"]
 
 
+def test_stream_span_dedup_first_span_wins(spark, tmp_path):
+    """Live span-level dedup: a 2-token span repeated by a later doc
+    is dropped; novel spans pass with their doc id and position."""
+    from rstreams_spark.streaming.dedup import stream_span_dedup
+
+    path = _write_batch(
+        tmp_path, "sd",
+        [("aa bb cc dd", 0, 1.0), ("aa bb xx yy", 5, 2.0)],
+    )
+    stream = files.stream_files(spark, path, "json", SCHEMA)
+    out = stream_span_dedup(
+        stream, "v", "key", "ts", horizon="10 minutes", span_size=2
+    )
+    q = writers.stream_to_memory(out, "span_out", "append")
+    _run(q)
+    rows = spark.sql("select * from span_out").collect()
+    # exactly one copy of the shared "aa bb" span survives (either
+    # doc — arrival order inside one microbatch is not pinned); the
+    # novel spans pass with their doc id and position
+    assert sorted(r["span_text"] for r in rows) == ["aa bb", "cc dd", "xx yy"]
+    by_text = {r["span_text"]: r for r in rows}
+    assert (by_text["cc dd"]["v"], by_text["cc dd"]["span_idx"]) == (1.0, 1)
+    assert (by_text["xx yy"]["v"], by_text["xx yy"]["span_idx"]) == (2.0, 1)
+    assert all(r["n_tokens"] == 2 for r in rows)
+
+
 def test_stream_gap_detect_event_time_timeout(spark, tmp_path):
     """StreamExt::timeout live: keys silent > gap in EVENT time emit
     a gap row once the watermark passes — batch 2 advances the
