@@ -35,7 +35,7 @@ HEADLINERS = [
     "doc_chunks", "embedding_quantize", "decontaminate_ngrams",
     "pack_sequences", "top_terms", "orders_rollup", "embedding_dim_stats",
     "ann_topk", "ann_lsh_topk", "text_quality", "quality_repetition",
-    "span_dedup", "doc_commonness", "ngram_novelty",
+    "span_dedup", "doc_commonness", "ngram_novelty", "dedup_winnowing",
 ]
 
 

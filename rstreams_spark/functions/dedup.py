@@ -93,6 +93,52 @@ def doc_shingles(docs: DataFrame, text_col: str, n: int, id_col: str = "doc_id")
     )
 
 
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS rolling-hash scheme): hash every k-token
+    gram, slide a w-hash window over the gram sequence, select each
+    window's minimum hash; the distinct selected hashes are the
+    document's fingerprint set. Guarantee: any shared token run of
+    length ≥ w+k-1 between two documents produces at least one
+    shared fingerprint — the local, position-robust complement to
+    the whole-document md5 fingerprint.
+
+    Returns distinct ``(id_col, fp)`` rows. One shuffle on the id
+    (the per-document window sort — bounded by document length,
+    never corpus-wide); the gram hash is the portable md5-based
+    ``hash64`` so the DuckDB oracle reproduces fp values exactly.
+    """
+    from pyspark.sql.window import Window
+
+    from .core import ensure_fanout_parallelism
+
+    g = (
+        ensure_fanout_parallelism(docs, by=id_col)
+        .select(
+            F.col(id_col),
+            F.posexplode(grams(tokens(F.col(text_col)), k)).alias(
+                "pos", "gram"
+            ),
+        )
+        .select(id_col, "pos", hash64(F.col("gram")).alias("h"))
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    full = Window.partitionBy(id_col)
+    sel = g.select(
+        F.col(id_col),
+        "pos",
+        F.min("h").over(win).alias("fp"),
+        F.count("*").over(full).alias("__n"),
+    ).where(F.col("pos") <= F.col("__n") - w)  # full windows only
+    return sel.select(id_col, "fp").distinct()
+
+
 def minhash_signature(
     exploded: DataFrame,
     num_perm: int,

@@ -39,6 +39,7 @@ _FRONT = [
     "tpch_q2", "tpch_q20", "tpch_q21", "quality_repetition", "source_mix",
     "take_while", "skip_while",
     "span_dedup", "doc_commonness", "ngram_novelty", "dataset_split",
+    "doc_winnowing", "dedup_winnowing",
     # — stalest green history (last driver-verified r01/r02) —
     "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q18",
     "candles_rollup", "distinct_count", "split_routes", "stream_table_join",
@@ -58,8 +59,12 @@ _FRONT = [
     "tpch_q1", "tpch_q3", "tpch_q9",
     # — LLM-data-pipeline block (text_quality rotated out for r4
     #   newcomer dedup_keep_best, whose oracle embeds its formula) —
-    "dedup_exact", "incremental_dedup_exact", "dedup_keep_best", "lang_id",
-    "doc_chunks", "pack_sequences", "top_terms", "dedup_ngram_jaccard",
+    # (dedup_exact and dedup_ngram_jaccard displaced by the two
+    #  winnowing newcomers — both r03-driver-green, and the exact/
+    #  n-gram dedup families stay represented in-window by
+    #  incremental_dedup_exact and dedup_minhash/dedup_clusters)
+    "incremental_dedup_exact", "dedup_keep_best", "lang_id",
+    "doc_chunks", "pack_sequences", "top_terms",
     "dedup_minhash", "dedup_clusters",
     "embedding_cosine_dup", "ann_topk", "ann_lsh_topk", "ivf_topk",
     "minhash_lsh_topk", "multimodal_meta", "decontaminate_ngrams",

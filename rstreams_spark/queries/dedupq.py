@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 from ..functions import multimodal
 from ..functions.dedup import (
     P61, connected_components_hybrid, doc_shingles, lsh_band_pairs,
-    minhash_signature, perm_coeffs, simhash32,
+    minhash_signature, perm_coeffs, simhash32, winnowing_fingerprints,
 )
 from ..functions.similarity import (
     brute_topk, cosine_pairs, hyperplanes, lsh_bucket,
@@ -167,6 +167,55 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_members", F.count("*").over(w))
         .where(F.col("__rn") == 1)
         .select("cluster_id", "doc_id", "quality_score", "n_members")
+    )
+
+
+WINNOW_K, WINNOW_W = 4, 4
+WINNOW_DF_CAP = 64  # max docs a fingerprint may appear in (cf. NGRAM_DF_CAP)
+WINNOW_MIN_SHARED = 2
+
+
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer et
+    al. 2003): distinct per-document window-min k-gram hashes — the
+    local fingerprinting primitive behind MOSS-style overlap
+    detection. See functions/dedup.py::winnowing_fingerprints for the
+    guarantee and scale shape (one per-document window shuffle)."""
+    docs = t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, "text", WINNOW_K, WINNOW_W)
+
+
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints: documents
+    sharing ≥ 2 selected hashes — i.e. at least two independent
+    common token runs of length ≥ w+k-1 (or one long run) — are
+    flagged, the fingerprint-level analog of dedup_ngram_jaccard.
+
+    Scale shape: the fingerprint frame is document-linear; a
+    window-count DF cap (≤ 64 docs per fingerprint, same discipline
+    as the shingle cap) kills boilerplate mega-groups before the
+    self-join, so candidate pairs stay near-linear; the capped frame
+    materializes once (lazy localCheckpoint — it feeds both sides of
+    the self-join, invariant 9).
+    """
+    docs = t(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs, "text", WINNOW_K, WINNOW_W)
+    kept = (
+        fps.withColumn(
+            "__df", F.count("*").over(Window.partitionBy("fp"))
+        )
+        .where(F.col("__df") <= WINNOW_DF_CAP)
+        .select("doc_id", "fp")
+        .localCheckpoint(eager=False)
+    )
+    a = kept.select(F.col("doc_id").alias("id1"), "fp")
+    b = kept.select(F.col("doc_id").alias("id2"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
 
 
@@ -601,6 +650,8 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
     "dedup_simhash": dedup_simhash,
+    "doc_winnowing": doc_winnowing,
+    "dedup_winnowing": dedup_winnowing,
     "embedding_cosine_dup": embedding_cosine_dup,
     "ann_topk": ann_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -1067,4 +1118,52 @@ SQL_ORACLES["multimodal_meta"] = """
                 as int) as height,
            sha256(text) as content_sha256
     from documents
+"""
+
+
+def _sql_winnow_fps() -> str:
+    """CTE text: distinct (doc_id, fp) winnowing fingerprints —
+    mirrors functions/dedup.py::winnowing_fingerprints exactly
+    (same gram positions, same h64, same full-window cut)."""
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(WINNOW_K))
+    return f"""
+      toks as (select doc_id, {_TOKS} as toks from documents),
+      g as (
+        select doc_id, i - 1 as pos,
+               {sql_h64(f"({gram})")} as h
+        from (select doc_id, toks,
+                     unnest(range(1, len(toks) - {WINNOW_K - 2})) as i
+              from toks)
+      ),
+      win as (
+        select doc_id, pos,
+               min(h) over (partition by doc_id order by pos
+                            rows between current row
+                            and {WINNOW_W - 1} following) as fp,
+               count(*) over (partition by doc_id) as n
+        from g
+      ),
+      fps as (
+        select distinct doc_id, fp from win where pos <= n - {WINNOW_W}
+      )
+    """
+
+
+SQL_ORACLES["doc_winnowing"] = f"""
+    with {_sql_winnow_fps()}
+    select doc_id, fp from fps
+"""
+
+SQL_ORACLES["dedup_winnowing"] = f"""
+    with {_sql_winnow_fps()},
+    kept as (
+      select doc_id, fp from (
+        select doc_id, fp, count(*) over (partition by fp) as df from fps
+      ) where df <= {WINNOW_DF_CAP}
+    )
+    select a.doc_id as id1, b.doc_id as id2, count(*) as n_shared
+    from kept a join kept b using (fp)
+    where a.doc_id < b.doc_id
+    group by a.doc_id, b.doc_id
+    having count(*) >= {WINNOW_MIN_SHARED}
 """

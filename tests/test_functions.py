@@ -153,6 +153,28 @@ def test_ngram_novelty_first_doc_wins(spark, tmp_path):
     assert rows[2]["n_novel_grams"] == 1 and rows[2]["novelty_frac"] == 0.5
 
 
+def test_winnowing_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee (Schleimer et al.): two docs sharing a
+    token run of length ≥ w+k-1 (= 7 for k=w=4) share at least one
+    fingerprint; disjoint docs share none."""
+    from rstreams_spark.functions.dedup import winnowing_fingerprints
+
+    run = " ".join(f"r{i}" for i in range(7))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=run + " " + " ".join(f"a{i}" for i in range(8))),
+            Row(doc_id=2, text=" ".join(f"b{i}" for i in range(8)) + " " + run),
+            Row(doc_id=3, text=" ".join(f"c{i}" for i in range(15))),
+        ]
+    )
+    fps = winnowing_fingerprints(docs, "text", 4, 4).collect()
+    by_id = {}
+    for r in fps:
+        by_id.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_id[1] & by_id[2], "shared 7-token run must share a fingerprint"
+    assert not (by_id[1] & by_id[3]) and not (by_id[2] & by_id[3])
+
+
 def test_dataset_split_partitions_every_doc(spark):
     """Split counts cover the corpus exactly once and the hash split
     lands near 80/10/10."""
