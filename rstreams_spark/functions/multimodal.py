@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .audiohdr import build_wav, probe_audio
 from .imagehdr import probe_image
 
 try:  # optional codec: absent in this container, real on full images
@@ -35,7 +36,7 @@ except ImportError:  # pragma: no cover - exercised implicitly here
 
 __all__ = [
     "with_binary_payload", "extract_meta", "decode_image", "sample_frames",
-    "resize_images",
+    "resize_images", "with_audio_payload", "extract_audio_meta",
 ]
 
 META_SCHEMA = (
@@ -194,3 +195,68 @@ def extract_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(run, META_SCHEMA)
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id bigint, n_bytes int, format string, sample_rate int, "
+    "channels int, bits int, n_samples bigint, duration_ms bigint"
+)
+
+
+def with_audio_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic REAL audio payloads for the synthetic corpus:
+    PCM parameters derive from the content digest (rate = 8000 +
+    1000·(d₀ mod 8), channels = 1 + d₁ mod 2, bits = 16, samples =
+    16 + d₂ mod 64 where dᵢ are sha256(text) bytes) and
+    ``audiohdr.build_wav`` writes a genuine RIFF/WAVE container —
+    the downstream probe exercises REAL header parsing while every
+    parameter stays SQL-derivable for the DuckDB oracle (same trick
+    as ``multimodal_meta``'s sha256 stub dims)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for txt in pdf[text_col]:
+                d = hashlib.sha256(str(txt).encode("utf-8")).digest()
+                payloads.append(
+                    build_wav(
+                        8000 + (d[0] % 8) * 1000,
+                        1 + d[1] % 2,
+                        16,
+                        16 + d[2] % 64,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id", text_col).mapInPandas(
+        run, "doc_id bigint, payload binary"
+    )
+
+
+def extract_audio_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched audio metadata extraction over binary payloads —
+    the audio analog of ``extract_meta``: real WAV/FLAC header probe
+    (``audiohdr.probe_audio``), NULL format for unrecognized bytes.
+    Stateless mapInPandas: pipelines with the scan, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            probed = [probe_audio(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": [len(p) for p in payloads],
+                    "format": [t[0] if t else None for t in probed],
+                    "sample_rate": [t[1] if t else 0 for t in probed],
+                    "channels": [t[2] if t else 0 for t in probed],
+                    "bits": [t[3] if t else 0 for t in probed],
+                    "n_samples": [t[4] if t else 0 for t in probed],
+                    "duration_ms": [
+                        t[4] * 1000 // t[1] if t and t[1] else 0
+                        for t in probed
+                    ],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, AUDIO_META_SCHEMA)

@@ -39,7 +39,7 @@ _FRONT = [
     "tpch_q2", "tpch_q20", "tpch_q21", "quality_repetition", "source_mix",
     "take_while", "skip_while",
     "span_dedup", "doc_commonness", "ngram_novelty", "dataset_split",
-    "doc_winnowing", "dedup_winnowing",
+    "doc_winnowing", "dedup_winnowing", "audio_meta",
     # — stalest green history (last driver-verified r01/r02) —
     "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q18",
     "candles_rollup", "distinct_count", "split_routes", "stream_table_join",
@@ -66,8 +66,10 @@ _FRONT = [
     "incremental_dedup_exact", "dedup_keep_best", "lang_id",
     "doc_chunks", "pack_sequences", "top_terms",
     "dedup_minhash", "dedup_clusters",
+    # (minhash_lsh_topk displaced by audio_meta — r03-driver-green,
+    #  ANN family stays represented by ann_topk/ann_lsh_topk/ivf_topk)
     "embedding_cosine_dup", "ann_topk", "ann_lsh_topk", "ivf_topk",
-    "minhash_lsh_topk", "multimodal_meta", "decontaminate_ngrams",
+    "multimodal_meta", "decontaminate_ngrams",
 ]
 
 _missing = [k for k in _FRONT if k not in _ALL]

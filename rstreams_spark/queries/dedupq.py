@@ -582,6 +582,21 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_meta(multimodal.with_binary_payload(docs))
 
 
+def audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-payload metadata pass: deterministic REAL RIFF/WAVE
+    containers are built per document (PCM params derived from
+    sha256(text) — functions/multimodal.py::with_audio_payload) and
+    parsed back by the pure-Python WAV/FLAC header probe
+    (functions/audiohdr.py). The oracle recomputes every parameter
+    from the digest in SQL, so a build→parse round-trip failure
+    anywhere in the header writer or prober breaks the hash match;
+    real-world WAV (stdlib wave writer) and FLAC fixtures are
+    byte-tested in tests/test_functions.py. Two stateless
+    mapInPandas stages — pipelines with the scan, no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    return multimodal.extract_audio_meta(multimodal.with_audio_payload(docs))
+
+
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label per-dimension embedding statistics — the centroid /
     distribution-profiling primitive behind IVF seeding, drift
@@ -659,6 +674,7 @@ QUERIES = {
     "ivf_topk": ivf_topk,
     "minhash_lsh_topk": minhash_lsh_topk,
     "multimodal_meta": multimodal_meta,
+    "audio_meta": audio_meta,
     "decontaminate_ngrams": decontaminate_ngrams,
     "embedding_dim_stats": embedding_dim_stats,
 }
@@ -1166,4 +1182,30 @@ SQL_ORACLES["dedup_winnowing"] = f"""
     where a.doc_id < b.doc_id
     group by a.doc_id, b.doc_id
     having count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+SQL_ORACLES["audio_meta"] = """
+    with d as (
+      select doc_id,
+             cast(('0x' || substr(sha256(text), 1, 2)) as int) as d0,
+             cast(('0x' || substr(sha256(text), 3, 2)) as int) as d1,
+             cast(('0x' || substr(sha256(text), 5, 2)) as int) as d2
+      from documents
+    ),
+    p as (
+      select doc_id,
+             8000 + (d0 % 8) * 1000 as sample_rate,
+             1 + (d1 % 2) as channels,
+             16 + (d2 % 64) as ns
+      from d
+    )
+    select doc_id,
+           cast(44 + ns * channels * 2 as int) as n_bytes,
+           'wav' as format,
+           cast(sample_rate as int) as sample_rate,
+           cast(channels as int) as channels,
+           cast(16 as int) as bits,
+           cast(ns as bigint) as n_samples,
+           cast(ns * 1000 // sample_rate as bigint) as duration_ms
+    from p
 """

@@ -175,6 +175,59 @@ def test_winnowing_shared_run_shares_fingerprint(spark):
     assert not (by_id[1] & by_id[3]) and not (by_id[2] & by_id[3])
 
 
+def test_audio_probe_parses_real_wav_and_flac():
+    """Header probe vs real containers: a stdlib-wave-written WAV, a
+    build_wav round-trip, a hand-packed FLAC STREAMINFO, garbage."""
+    import io
+    import wave
+
+    from rstreams_spark.functions.audiohdr import build_wav, probe_audio
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(22050)
+    w.writeframes(b"\x00\x00" * 50)
+    w.close()
+    assert probe_audio(buf.getvalue()) == ("wav", 22050, 1, 16, 50)
+    assert probe_audio(build_wav(16000, 2, 16, 37)) == ("wav", 16000, 2, 16, 37)
+
+    rate, ch, bits, n = 44100, 2, 16, 1000
+    word = (rate << 44) | ((ch - 1) << 41) | ((bits - 1) << 36) | n
+    flac = (
+        b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+        + b"\x00" * 10 + word.to_bytes(8, "big") + b"\x00" * 16
+    )
+    assert probe_audio(flac) == ("flac", rate, ch, bits, n)
+    assert probe_audio(b"not audio at all") is None
+
+
+def test_extract_audio_meta_round_trips_digest_params(spark):
+    """with_audio_payload builds REAL WAV bytes from sha256-derived
+    params; extract_audio_meta must parse back exactly those params."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="some document text"),
+         Row(doc_id=2, text="another one")]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.extract_audio_meta(
+            multimodal.with_audio_payload(docs)
+        ).collect()
+    }
+    for doc_id, text in [(1, "some document text"), (2, "another one")]:
+        d = hashlib.sha256(text.encode()).digest()
+        r = got[doc_id]
+        assert r["format"] == "wav"
+        assert r["sample_rate"] == 8000 + (d[0] % 8) * 1000
+        assert r["channels"] == 1 + d[1] % 2
+        assert r["bits"] == 16
+        assert r["n_samples"] == 16 + d[2] % 64
+
+
 def test_dataset_split_partitions_every_doc(spark):
     """Split counts cover the corpus exactly once and the hash split
     lands near 80/10/10."""
