@@ -39,11 +39,13 @@ _FRONT = [
     "tpch_q2", "tpch_q20", "tpch_q21", "quality_repetition", "source_mix",
     "take_while", "skip_while",
     "span_dedup", "doc_commonness", "ngram_novelty", "dataset_split",
-    "doc_winnowing", "dedup_winnowing", "audio_meta",
+    "doc_winnowing", "dedup_winnowing", "audio_meta", "vocab_coverage",
     # — stalest green history (last driver-verified r01/r02) —
     "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q18",
+    # (throttle_sample displaced by vocab_coverage — its hash-sample
+    #  family stays represented by dataset_split/stratified-style
+    #  split_routes; first-time verification beats stale-refresh)
     "candles_rollup", "distinct_count", "split_routes", "stream_table_join",
-    "throttle_sample",
     # — core rstreams surface (one per family; r03-green near-dups
     #   rotated out — wordcount/funnel_3step displaced by the two r4
     #   newcomers above; latest_per_key/tumbling_window/

@@ -643,6 +643,58 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_K = 32
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage — the tokenizer-design statistic: per
+    source, the fraction of token OCCURRENCES covered by the
+    corpus-global top-``VOCAB_K`` terms (ties → term asc). The
+    drop-off across sources is the signal for vocab sizing and
+    domain mismatch before training a tokenizer.
+
+    Exactness: integer counts; coverage is ONE double division per
+    source. Scale shape: one explode → ONE shuffle to (source, term)
+    — materialized once (it feeds the global ranking, the covered
+    sum and the totals; invariant 9) — then a distributed
+    TakeOrderedAndProject top-K (never a single-partition window
+    over the vocabulary) broadcast back as a semi-join.
+    """
+    from ..functions.core import ensure_fanout_parallelism
+
+    docs = t(spark, sf_dir, "documents")
+    st = (
+        ensure_fanout_parallelism(docs)
+        .select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    topk = (
+        st.groupBy("term")
+        .agg(F.sum("cnt").alias("g"))
+        .orderBy(F.col("g").desc(), "term")
+        .limit(VOCAB_K)
+        .select("term")
+    )
+    covered = (
+        st.join(F.broadcast(topk), "term", "left_semi")
+        .groupBy("source")
+        .agg(F.sum("cnt").alias("covered_tokens"))
+    )
+    totals = st.groupBy("source").agg(F.sum("cnt").alias("n_tokens"))
+    cov = F.coalesce(F.col("covered_tokens"), F.lit(0))
+    return (
+        totals.join(covered, "source", "left")
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            cov.cast("long").alias("covered_tokens"),
+            (cov / F.col("n_tokens")).alias("coverage"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "incremental_dedup_exact": incremental_dedup_exact,
@@ -660,6 +712,7 @@ QUERIES = {
     "doc_commonness": doc_commonness,
     "ngram_novelty": ngram_novelty,
     "dataset_split": dataset_split,
+    "vocab_coverage": vocab_coverage,
 }
 
 SQL_ORACLES = {
@@ -962,5 +1015,30 @@ SQL_ORACLES = {
         select split, count(*) as n_docs,
                cast(sum(n_tokens) as bigint) as n_tokens
         from d group by split
+    """,
+    "vocab_coverage": f"""
+        with term as (
+          select source, unnest({_TOKS}) as term from documents
+        ),
+        st as (
+          select source, term, count(*) as cnt
+          from term group by source, term
+        ),
+        gterms as (select term, sum(cnt) as g from st group by term),
+        topk as (
+          select term from gterms order by g desc, term limit {VOCAB_K}
+        ),
+        cov as (
+          select source, sum(cnt) as covered
+          from st join topk using (term) group by source
+        ),
+        tot as (
+          select source, sum(cnt) as n_tokens from st group by source
+        )
+        select tot.source,
+               cast(n_tokens as bigint) as n_tokens,
+               cast(coalesce(covered, 0) as bigint) as covered_tokens,
+               coalesce(covered, 0) / n_tokens as coverage
+        from tot left join cov using (source)
     """,
 }

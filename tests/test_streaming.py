@@ -237,6 +237,29 @@ def test_stream_span_dedup_first_span_wins(spark, tmp_path):
     assert all(r["n_tokens"] == 2 for r in rows)
 
 
+def test_multimodal_stages_are_streaming_legal(spark, tmp_path):
+    """The multimodal mapInPandas stages (binary payload build +
+    audio metadata probe) are stateless, so they must run unchanged
+    on a live stream — the decode-at-ingest shape of a 100 TB
+    multimodal pipeline."""
+    import hashlib
+
+    from rstreams_spark.functions import multimodal
+
+    path = _write_batch(tmp_path, "mm", [("doc one", 0, 1.0), ("two", 1, 2.0)])
+    stream = files.stream_files(spark, path, "json", SCHEMA).select(
+        F.col("v").cast("bigint").alias("doc_id"), F.col("key").alias("text")
+    )
+    out = multimodal.extract_audio_meta(multimodal.with_audio_payload(stream))
+    q = writers.stream_to_memory(out, "mm_out", "append")
+    _run(q)
+    got = {r["doc_id"]: r for r in spark.sql("select * from mm_out").collect()}
+    d = hashlib.sha256(b"doc one").digest()
+    assert got[1]["format"] == "wav"
+    assert got[1]["sample_rate"] == 8000 + (d[0] % 8) * 1000
+    assert got[2]["format"] == "wav"
+
+
 def test_stream_gap_detect_event_time_timeout(spark, tmp_path):
     """StreamExt::timeout live: keys silent > gap in EVENT time emit
     a gap row once the watermark passes — batch 2 advances the
