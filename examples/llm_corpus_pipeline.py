@@ -39,7 +39,10 @@ from rstreams_spark.functions.text import (
     hash64, md5_fingerprint, token_chunks, tokens,
 )
 from rstreams_spark.queries._util import t
-from rstreams_spark.queries.textq import CHUNK_OVERLAP, CHUNK_SIZE
+from rstreams_spark.queries.textq import (
+    _SPAN_KEY_MUL, CHUNK_OVERLAP, CHUNK_SIZE, SPAN_SIZE, SPLIT_SALT,
+    SPLIT_TRAIN_PCT, SPLIT_VAL_PCT,
+)
 from rstreams_spark.session import get_spark
 
 
@@ -120,21 +123,30 @@ def run(spark, sf_dir: str) -> dict:
         .select("doc_id")
         .distinct()
     )
-    clean = train.join(contaminated, "doc_id", "left_anti")
+    # clean feeds four downstream actions (span stats, packing,
+    # chunking, split counts) — materialize once or each action
+    # re-runs the whole dedup/decontamination pipeline (invariant 9;
+    # same rationale as the stats checkpoint above)
+    clean = train.join(contaminated, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
     n_clean = clean.count()
 
     # span-level exact substring dedup (Lee et al.) over the clean
     # corpus: remove 16-token spans whose text occurred earlier, and
-    # account for the tokens it reclaims
+    # account for the tokens it reclaims (catalog constants — this
+    # demonstrates the same operator as queries/textq.py::span_dedup)
     spans = clean.select(
         "doc_id",
-        F.explode(token_chunks(tokens(F.col("text")), 16, 0)).alias("c"),
+        F.explode(token_chunks(tokens(F.col("text")), SPAN_SIZE, 0)).alias("c"),
     ).select(
         "doc_id",
         F.col("c.chunk_idx").cast("long").alias("span_idx"),
         F.col("c.chunk_text").alias("span_text"),
         F.col("c.n_tokens").cast("long").alias("span_tokens"),
-    ).withColumn("__key", F.col("doc_id") * 1_000_000 + F.col("span_idx"))
+    ).withColumn(
+        "__key", F.col("doc_id") * _SPAN_KEY_MUL + F.col("span_idx")
+    ).localCheckpoint(eager=False)  # feeds first_span AND the join probe
     first_span = spans.groupBy("span_text").agg(F.min("__key").alias("__fk"))
     span_cut = (
         spans.join(first_span, "span_text")
@@ -184,9 +196,11 @@ def run(spark, sf_dir: str) -> dict:
     # deterministic train/val/test split over the final corpus — the
     # pre-training sanity gate (stable under retries: content hash,
     # never random())
-    bucket = hash64(F.col("doc_id").cast("string"), salt=7) % 100
+    bucket = hash64(F.col("doc_id").cast("string"), salt=SPLIT_SALT) % 100
     split_col = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
     )
     splits = {
         r["split"]: r["n"]

@@ -31,7 +31,9 @@ def probe_audio(
     """``(format, sample_rate, channels, bits, n_samples)`` if
     ``payload`` starts with a recognized audio container, else
     ``None`` (caller falls back)."""
-    p = bytes(payload)
+    # header probe must not copy multi-MB payloads: bytes/bytearray
+    # slice-and-compare directly; only exotic buffer types convert
+    p = payload if isinstance(payload, (bytes, bytearray)) else bytes(payload)
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         return _probe_wav(p)
     if p[:4] == b"fLaC" and len(p) >= 42:

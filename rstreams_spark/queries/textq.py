@@ -19,6 +19,17 @@ from ._util import SQL_NORM, SQL_TOKS, sql_h64, t
 _NORM = SQL_NORM.format(c="text")
 _TOKS = SQL_TOKS.format(c="text")
 
+# whitespace-token splitter shared by BOTH engines as an explicit
+# character class: Java's \s is [ \t\n\x0B\f\r] but RE2's \s lacks
+# vertical tab, so a bare \s+ silently diverges on \x0B-bearing text
+# (latent oracle-parity bug; caught in the r4 review pass). The same
+# literal works verbatim as a Java regex and a DuckDB/RE2 regex.
+WS_PATTERN = r"[ \t\n\x0B\f\r]+"
+
+
+def _ws_tokens() -> F.Column:
+    return F.filter(F.split(F.col("text"), WS_PATTERN), lambda x: x != F.lit(""))
+
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group identical normalized content, mark survivors.
@@ -51,7 +62,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")))
+    ws = F.size(_ws_tokens())
     return docs.select(
         "doc_id",
         ws.cast("long").alias("n_ws_tokens"),
@@ -389,7 +400,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     count). No UDFs, no iteration.
     """
     docs = t(spark, sf_dir, "documents")
-    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")))
+    ws = F.size(_ws_tokens())
     d = docs.select("doc_id", "source", ws.cast("long").alias("n_tokens"))
     w = (
         Window.partitionBy("source")
@@ -474,8 +485,28 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.chunk_text").alias("span_text"),
         F.col("c.n_tokens").cast("long").alias("n_tokens"),
     )
-    spans = spans.withColumn(
-        "__key", F.col("doc_id") * _SPAN_KEY_MUL + F.col("span_idx")
+    spans = (
+        spans.where(
+            # in-plan key-domain guard (cf. brute_topk's probe cap):
+            # assert_true raises the moment a document has ≥1e6 spans
+            # (≥16M tokens), where doc_id·1e6+idx keys would collide
+            # across documents and silently corrupt keeper selection;
+            # isNull() keeps every legal row
+            F.assert_true(
+                F.col("span_idx") < _SPAN_KEY_MUL,
+                F.lit(
+                    "span_dedup: span_idx exceeds the 1e6 key domain; "
+                    "raise _SPAN_KEY_MUL for multi-16M-token documents"
+                ),
+            ).isNull()
+        )
+        .withColumn(
+            "__key", F.col("doc_id") * _SPAN_KEY_MUL + F.col("span_idx")
+        )
+        # feeds the first-occurrence aggregate AND the join probe side:
+        # without materialization both consumers re-scan + re-chunk the
+        # corpus (invariant 9)
+        .localCheckpoint(eager=False)
     )
     first = spans.groupBy("span_text").agg(F.min("__key").alias("__first_key"))
     marked = spans.join(first, "span_text").withColumn(
@@ -580,8 +611,7 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(grams(tokens(F.col("text")), NOVELTY_N)).alias("gram"),
         )
-        .groupBy("doc_id", "gram")
-        .agg(F.lit(1).alias("__one"))
+        .distinct()
         .localCheckpoint(eager=False)  # feeds first-seen AND the join
     )
     first_seen = gram_rows.groupBy("gram").agg(
@@ -632,7 +662,7 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
         .otherwise("test")
     )
-    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")))
+    ws = F.size(_ws_tokens())
     return (
         docs.select(split.alias("split"), ws.cast("long").alias("n_tokens"))
         .groupBy("split")
@@ -828,7 +858,7 @@ SQL_ORACLES = {
     """,
     "token_count": f"""
         select doc_id,
-               len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) as n_ws_tokens,
+               len(list_filter(string_split_regex(text, '{WS_PATTERN}'), x -> x != '')) as n_ws_tokens,
                len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}')) as n_bpe_tokens
         from documents
     """,
@@ -876,7 +906,7 @@ SQL_ORACLES = {
     "pack_sequences": f"""
         with d as (
           select doc_id, source,
-                 len(list_filter(string_split_regex(text, '\\s+'),
+                 len(list_filter(string_split_regex(text, '{WS_PATTERN}'),
                                  x -> x != '')) as n_tokens
           from documents
         ),
@@ -1008,7 +1038,7 @@ SQL_ORACLES = {
                         % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} then 'val'
                    else 'test'
                  end as split,
-                 len(list_filter(string_split_regex(text, '\\s+'),
+                 len(list_filter(string_split_regex(text, '{WS_PATTERN}'),
                                  x -> x != '')) as n_tokens
           from documents
         )
