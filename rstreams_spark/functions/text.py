@@ -41,7 +41,11 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(norm_text(col), " "), lambda x: x != F.lit(""))
 
 
-BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+# explicit whitespace class, not \s: Java's \s includes vertical tab
+# (\x0B) while RE2/DuckDB's does not, so a bare \s inside the negated
+# class would count \x0B as a symbol token in the oracle but not in
+# Spark (CLAUDE.md invariant 14)
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]"
 
 
 def bpe_ish_tokens(col: Column) -> Column:
