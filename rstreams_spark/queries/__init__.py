@@ -40,6 +40,7 @@ _FRONT = [
     "take_while", "skip_while",
     "span_dedup", "doc_commonness", "ngram_novelty", "dataset_split",
     "doc_winnowing", "dedup_winnowing", "audio_meta", "vocab_coverage",
+    "semantic_clusters",
     # — stalest green history (last driver-verified r01/r02) —
     "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q18",
     # (throttle_sample displaced by vocab_coverage — its hash-sample
@@ -69,8 +70,10 @@ _FRONT = [
     "doc_chunks", "pack_sequences", "top_terms",
     "dedup_minhash", "dedup_clusters",
     # (minhash_lsh_topk displaced by audio_meta — r03-driver-green,
-    #  ANN family stays represented by ann_topk/ann_lsh_topk/ivf_topk)
-    "embedding_cosine_dup", "ann_topk", "ann_lsh_topk", "ivf_topk",
+    #  ANN family stays represented by ann_topk/ann_lsh_topk/ivf_topk;
+    #  embedding_cosine_dup displaced by semantic_clusters, whose
+    #  oracle embeds the identical pair computation plus CC on top)
+    "ann_topk", "ann_lsh_topk", "ivf_topk",
     "multimodal_meta", "decontaminate_ngrams",
 ]
 

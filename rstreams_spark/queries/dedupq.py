@@ -230,6 +230,25 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id1", "id2", "cosine")
 
 
+def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic dedup (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): embedding-cosine near-dup pairs (cos ≥ τ inside
+    a bucket — here the label column standing in for the clustering
+    cell SemDeDup uses) → connected components → keep-one-per-cluster
+    labeling with the min vec_id as the canonical survivor. The
+    embedding-space twin of ``dedup_clusters``; same hybrid CC
+    machinery, same recursive-CTE oracle construction.
+
+    Scale shape: the pair join is bucketed (never all-pairs), CC is
+    the per-round-checkpointed hybrid (invariants 10/11).
+    """
+    vecs = t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(vecs, COSINE_TAU, bucket_col="label")
+    cc = connected_components_hybrid(pairs.select("id1", "id2"))
+    return cc.select(F.col("node").alias("vec_id"), F.col("cluster_id"))
+
+
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force baseline. Cosines are the same sequential
     JVM folds as the oracle's list_reduce — bit-identical doubles, no
@@ -668,6 +687,7 @@ QUERIES = {
     "doc_winnowing": doc_winnowing,
     "dedup_winnowing": dedup_winnowing,
     "embedding_cosine_dup": embedding_cosine_dup,
+    "semantic_clusters": semantic_clusters,
     "ann_topk": ann_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_quantize": embedding_quantize,
@@ -1208,4 +1228,27 @@ SQL_ORACLES["audio_meta"] = """
            cast(ns as bigint) as n_samples,
            cast(ns * 1000 // sample_rate as bigint) as duration_ms
     from p
+"""
+
+SQL_ORACLES["semantic_clusters"] = f"""
+    with recursive pairs as (
+      select a.vec_id as id1, b.vec_id as id2
+      from embeddings a join embeddings b
+        on a.label = b.label and a.vec_id < b.vec_id
+      where {_SQL_COS} >= {COSINE_TAU}
+    ),
+    nodes as (
+      select id1 as n from pairs union select id2 from pairs
+    ),
+    e as (
+      select id1 as a, id2 as b from pairs
+      union select id2, id1 from pairs
+    ),
+    reach(a, b) as (
+      select n, n from nodes
+      union
+      select r.a, e.b from reach r join e on r.b = e.a
+    )
+    select a as vec_id, min(b) as cluster_id
+    from reach group by a
 """
