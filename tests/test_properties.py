@@ -286,3 +286,81 @@ def test_chunk_timeout_matches_sequential_model(spark, rows, size, gap):
         pos += 1
         last = s
     assert got == expect
+
+
+# --- span_dedup vs a sequential model -------------------------------
+
+_SPAN_BLOCKS = [[f"b{b}t{i}" for i in range(16)] for b in range(4)]
+
+span_docs = st.lists(
+    st.tuples(
+        st.lists(st.integers(0, 3), min_size=1, max_size=3),  # block ids
+        st.integers(0, 5),                                    # tail length
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _span_model(docs: dict):
+    """Sequential reference: first (doc_id, idx) occurrence of each
+    span text survives; documents reassemble from kept spans."""
+    spans = []
+    for did in sorted(docs):
+        toks = docs[did]
+        for i in range(0, len(toks), 16):
+            chunk = toks[i : i + 16]
+            spans.append((did, i // 16, " ".join(chunk), len(chunk)))
+    first: dict = {}
+    for did, idx, text, _n in spans:  # (doc, idx) ascending = key order
+        first.setdefault(text, (did, idx))
+    out: dict = {}
+    for did, idx, text, n in spans:
+        kept = first[text] == (did, idx)
+        e = out.setdefault(did, [0, 0, 0, []])
+        e[0] += 1
+        if kept:
+            e[2] += n
+            e[3].append((idx, text))
+        else:
+            e[1] += 1
+    return {
+        did: (ns, nd, tk, " ".join(t for _, t in sorted(sp)))
+        for did, (ns, nd, tk, sp) in out.items()
+    }
+
+
+@given(docs=span_docs)
+@SLOW
+def test_span_dedup_matches_sequential_model(spark, docs):
+    """Cross-doc duplicate 16-token spans keep exactly their first
+    (doc_id, span_idx) occurrence; counts, kept-token totals and the
+    reassembled text match a sequential Python walk."""
+    import tempfile
+
+    import pandas as pd
+
+    from rstreams_spark.queries.textq import span_dedup
+
+    token_docs = {}
+    for did, (block_ids, tail) in enumerate(docs, start=1):
+        toks = [t for b in block_ids for t in _SPAN_BLOCKS[b]]
+        toks += [f"x{did}u{j}" for j in range(tail)]
+        token_docs[did] = toks
+    sf = tempfile.mkdtemp(prefix="spanprop")
+    pd.DataFrame(
+        {
+            "doc_id": list(token_docs),
+            "text": [" ".join(v) for v in token_docs.values()],
+            "lang": ["en"] * len(token_docs),
+            "source": ["t"] * len(token_docs),
+            "n_chars": [1] * len(token_docs),
+        }
+    ).to_parquet(f"{sf}/documents.parquet")
+    got = {
+        r["doc_id"]: (
+            r["n_spans"], r["n_dup_spans"], r["n_tokens_kept"], r["dedup_text"]
+        )
+        for r in span_dedup(spark, sf).collect()
+    }
+    assert got == _span_model(token_docs)
