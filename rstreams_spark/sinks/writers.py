@@ -9,8 +9,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 __all__ = [
-    "write_parquet", "write_bucketed", "compact_parquet", "stream_to_memory",
-    "stream_to_parquet", "stream_foreach_batch",
+    "write_parquet", "write_orc", "write_bucketed", "compact_parquet",
+    "stream_to_memory", "stream_to_parquet", "stream_foreach_batch",
 ]
 
 
@@ -48,6 +48,19 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC twin of ``write_parquet`` — same partition-pruning
+    contract on read (both in-box columnar formats are supported so
+    a consumer's existing lake layout dictates the choice)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
 
 
 def compact_parquet(

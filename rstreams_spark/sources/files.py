@@ -14,8 +14,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 __all__ = [
-    "read_parquet", "read_json", "read_csv", "stream_files", "stream_rate",
-    "register_tables", "TABLES",
+    "read_parquet", "read_json", "read_csv", "read_orc", "read_text_lines",
+    "stream_files", "stream_rate", "register_tables", "TABLES",
 ]
 
 
@@ -52,6 +52,22 @@ def read_csv(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC — the other columnar in-box format; same pushdown/pruning
+    behavior as parquet (PushedFilters in the scan node)."""
+    return spark.read.orc(path)
+
+
+def read_text_lines(
+    spark: SparkSession, path: str, line_col: str = "line"
+) -> DataFrame:
+    """Raw text, one row per line — the reference's shakespeare
+    loader shape (example/shakespeare_loader.rs reads the play as
+    lines and produces keyed records); downstream normalization/
+    wordcount is the tpipe pipeline."""
+    return spark.read.text(path).withColumnRenamed("value", line_col)
 
 
 def stream_files(

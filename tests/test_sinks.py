@@ -62,3 +62,43 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     after = len(glob.glob(f"{path}/*.parquet"))
     assert n == 1 and after == 1
     assert spark.read.parquet(path).count() == 10_000
+
+
+def test_orc_roundtrip_pushes_filters(spark, tmp_path):
+    """ORC write → read round-trip preserves rows and pushes filters
+    to the scan, same contract as parquet."""
+    from rstreams_spark.sources import files
+
+    orders = t(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out = str(tmp_path / "orders_orc")
+    writers.write_orc(orders, out)
+    back = files.read_orc(spark, out)
+    assert back.count() == orders.count()
+    filtered = back.where(F.col("o_totalprice") > 1000.0)
+    assert any(
+        "o_totalprice" in p for p in plans.pushed_filters(filtered)
+    ) or "PushedFilters" in plans.explain_str(filtered)
+    assert filtered.count() == orders.where("o_totalprice > 1000.0").count()
+
+
+def test_text_lines_source_wordcount(spark, tmp_path):
+    """Raw text source (shakespeare_loader shape): one row per line,
+    downstream wordcount equals a Python count."""
+    from collections import Counter
+
+    from rstreams_spark.sources import files
+
+    lines = ["to be or not to be", "that is the question", ""]
+    p = tmp_path / "play.txt"
+    p.write_text("\n".join(lines) + "\n")
+    df = files.read_text_lines(spark, str(p))
+    words = df.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("line")), " "), lambda x: x != F.lit(""))
+        ).alias("w")
+    )
+    got = {r["w"]: r["n"] for r in words.groupBy("w").agg(F.count("*").alias("n")).collect()}
+    want = Counter(w for line in lines for w in line.lower().split() if w)
+    assert got == dict(want)
