@@ -40,7 +40,7 @@ from rstreams_spark.functions.text import (
 )
 from rstreams_spark.queries._util import t
 from rstreams_spark.queries.textq import (
-    _SPAN_KEY_MUL, CHUNK_OVERLAP, CHUNK_SIZE, SPAN_SIZE, SPLIT_SALT,
+    CHUNK_OVERLAP, CHUNK_SIZE, SPAN_KEY_MUL, SPAN_SIZE, SPLIT_SALT,
     SPLIT_TRAIN_PCT, SPLIT_VAL_PCT,
 )
 from rstreams_spark.session import get_spark
@@ -71,12 +71,15 @@ def run(spark, sf_dir: str) -> dict:
     stats = stats.join(keep_ids, "doc_id", "left_semi").localCheckpoint(eager=False)
     n_rep = stats.count()
 
-    # exact dedup: keep the min doc_id per content fingerprint
+    # exact dedup: keep the min doc_id per content fingerprint.
+    # exact feeds the LSH shingling/signature subtree AND the
+    # survivors join below — materialize once (invariant 9)
     exact = (
         stats.groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"))
         .join(stats, ["fp", "doc_id"])
         .drop("fp")
+        .localCheckpoint(eager=False)
     )
     n_exact = exact.count()
 
@@ -114,9 +117,13 @@ def run(spark, sf_dir: str) -> dict:
         .select("shingle")
         .distinct()
     )
-    train = survivors.join(
-        full.select("doc_id", "source"), "doc_id"
-    ).where(F.col("source") != "src0")
+    # train feeds the contamination 3-gram subtree AND the clean
+    # anti-join — materialize once (invariant 9)
+    train = (
+        survivors.join(full.select("doc_id", "source"), "doc_id")
+        .where(F.col("source") != "src0")
+        .localCheckpoint(eager=False)
+    )
     contaminated = (
         doc_shingles(train, "text", 3)
         .join(eval_grams, "shingle")
@@ -145,7 +152,7 @@ def run(spark, sf_dir: str) -> dict:
         F.col("c.chunk_text").alias("span_text"),
         F.col("c.n_tokens").cast("long").alias("span_tokens"),
     ).withColumn(
-        "__key", F.col("doc_id") * _SPAN_KEY_MUL + F.col("span_idx")
+        "__key", F.col("doc_id") * SPAN_KEY_MUL + F.col("span_idx")
     ).localCheckpoint(eager=False)  # feeds first_span AND the join probe
     first_span = spans.groupBy("span_text").agg(F.min("__key").alias("__fk"))
     span_cut = (

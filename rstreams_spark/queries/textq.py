@@ -447,8 +447,11 @@ def incremental_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPAN_SIZE = 16  # tokens per dedup span (non-overlapping)
 # span_idx is bounded by len(tokens)/SPAN_SIZE — 1e6 leaves room for
-# ~16M-token documents while keeping doc_id*1e6+idx inside bigint
-_SPAN_KEY_MUL = 1_000_000
+# ~16M-token documents while keeping doc_id*1e6+idx inside bigint.
+# Public: part of the demonstrated span_dedup contract (the example
+# and downstream consumers build the same keeper key).
+SPAN_KEY_MUL = 1_000_000
+_SPAN_KEY_MUL = SPAN_KEY_MUL  # internal alias, kept for oracle text
 
 
 def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

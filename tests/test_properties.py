@@ -332,13 +332,11 @@ def _span_model(docs: dict):
 
 @given(docs=span_docs)
 @SLOW
-def test_span_dedup_matches_sequential_model(spark, docs):
+def test_span_dedup_matches_sequential_model(spark, tmp_path, docs):
     """Cross-doc duplicate 16-token spans keep exactly their first
     (doc_id, span_idx) occurrence; counts, kept-token totals and the
     reassembled text match a sequential Python walk."""
-    import tempfile
-
-    import pandas as pd
+    from test_functions import _write_docs
 
     from rstreams_spark.queries.textq import span_dedup
 
@@ -347,16 +345,9 @@ def test_span_dedup_matches_sequential_model(spark, docs):
         toks = [t for b in block_ids for t in _SPAN_BLOCKS[b]]
         toks += [f"x{did}u{j}" for j in range(tail)]
         token_docs[did] = toks
-    sf = tempfile.mkdtemp(prefix="spanprop")
-    pd.DataFrame(
-        {
-            "doc_id": list(token_docs),
-            "text": [" ".join(v) for v in token_docs.values()],
-            "lang": ["en"] * len(token_docs),
-            "source": ["t"] * len(token_docs),
-            "n_chars": [1] * len(token_docs),
-        }
-    ).to_parquet(f"{sf}/documents.parquet")
+    # tmp_path is shared across hypothesis examples (suppressed
+    # health check); each example overwrites documents.parquet
+    sf = _write_docs(tmp_path, [" ".join(v) for v in token_docs.values()])
     got = {
         r["doc_id"]: (
             r["n_spans"], r["n_dup_spans"], r["n_tokens_kept"], r["dedup_text"]

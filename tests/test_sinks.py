@@ -77,9 +77,10 @@ def test_orc_roundtrip_pushes_filters(spark, tmp_path):
     back = files.read_orc(spark, out)
     assert back.count() == orders.count()
     filtered = back.where(F.col("o_totalprice") > 1000.0)
-    assert any(
-        "o_totalprice" in p for p in plans.pushed_filters(filtered)
-    ) or "PushedFilters" in plans.explain_str(filtered)
+    # a non-empty pushed filter naming the column — the bare
+    # "PushedFilters" substring appears in every scan explain (even
+    # as "PushedFilters: []") and would make this assertion vacuous
+    assert any("o_totalprice" in p for p in plans.pushed_filters(filtered))
     assert filtered.count() == orders.where("o_totalprice > 1000.0").count()
 
 
