@@ -36,6 +36,11 @@ HEADLINERS = [
     "pack_sequences", "top_terms", "orders_rollup", "embedding_dim_stats",
     "ann_topk", "ann_lsh_topk", "text_quality", "quality_repetition",
     "span_dedup", "doc_commonness", "ngram_novelty", "dedup_winnowing",
+    "vocab_coverage", "audio_meta",
+    # semantic_clusters is deliberately NOT a headliner: its pair
+    # stage is the exact quadratic-within-bucket SemDeDup inner loop
+    # (in-plan bucket cap; same baseline status as
+    # embedding_cosine_dup, which is likewise unbenched)
 ]
 
 

@@ -72,19 +72,53 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_col: str | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs (id1<id2) with cosine ≥ threshold.
 
     With ``bucket_col`` the self-join distributes on the bucket
     (LSH/IVF cell, label, …); without it this is an explicit
-    all-pairs — correct but only for small/filtered inputs.
+    all-pairs — correct but only for small/filtered inputs. The
+    within-bucket join is inherently quadratic in bucket size (the
+    SemDeDup inner loop is exactly this), so ``max_bucket`` installs
+    an in-plan ``assert_true`` guard (cf. ``brute_topk``'s probe
+    cap): the job fails loudly when a bucket outgrows the exact
+    path, instead of silently shipping O(m²) work — the scale answer
+    is finer buckets (k-means cells sized so m stays bounded), not a
+    bigger cap.
+
+    Norms are hoisted to the vector rows BEFORE the join — one fold
+    per pair instead of three, same sqrt(Σx²) expression on the same
+    data so the cosine doubles are bit-identical to the inline form
+    (and to the oracle's per-pair computation).
     """
-    a = vecs.alias("a")
-    b = vecs.alias("b")
+    from pyspark.sql.window import Window
+
+    pre = vecs.withColumn("__n", l2_norm(F.col(vec_col)))
+    if bucket_col and max_bucket:
+        w = Window.partitionBy(bucket_col).orderBy(id_col)
+        pre = (
+            pre.withColumn("__bn", F.row_number().over(w))
+            .where(
+                F.assert_true(
+                    F.col("__bn") <= max_bucket,
+                    F.lit(
+                        f"cosine_pairs: bucket exceeds max_bucket="
+                        f"{max_bucket}; use finer cells for the exact "
+                        "within-bucket pair join"
+                    ),
+                ).isNull()
+            )
+            .drop("__bn")
+        )
+    a = pre.alias("a")
+    b = pre.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if bucket_col:
         cond = cond & (F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}"))
-    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    sim = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a.__n") * F.col("b.__n")
+    )
     return (
         a.join(b, cond)
         .select(

@@ -224,9 +224,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash32(doc_shingles(docs, "text", 2))
 
 
+# exact within-bucket pair joins are quadratic in bucket size (the
+# SemDeDup inner loop); the in-plan guard fails loudly past this
+# bound — the scale answer is finer cells, not a bigger cap
+SEMANTIC_BUCKET_CAP = 4096
+
+
 def embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = t(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs(vecs, COSINE_TAU, bucket_col="label")
+    pairs = cosine_pairs(
+        vecs, COSINE_TAU, bucket_col="label", max_bucket=SEMANTIC_BUCKET_CAP
+    )
     return pairs.select("id1", "id2", "cosine")
 
 
@@ -240,11 +248,19 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-space twin of ``dedup_clusters``; same hybrid CC
     machinery, same recursive-CTE oracle construction.
 
-    Scale shape: the pair join is bucketed (never all-pairs), CC is
-    the per-round-checkpointed hybrid (invariants 10/11).
+    Scale shape: the pair join is bucketed (never all-pairs) with
+    norms hoisted above the join (one fold per pair) and an in-plan
+    bucket-size guard (``SEMANTIC_BUCKET_CAP``) — within-bucket
+    pairing is quadratic in bucket size BY DESIGN (SemDeDup's inner
+    loop is exactly this), so at 100 TB the bucket must be a fine
+    k-means cell (the ivf machinery) sized to keep members ≤ the
+    cap; the label column stands in for the cell here. CC is the
+    per-round-checkpointed hybrid (invariants 10/11).
     """
     vecs = t(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs(vecs, COSINE_TAU, bucket_col="label")
+    pairs = cosine_pairs(
+        vecs, COSINE_TAU, bucket_col="label", max_bucket=SEMANTIC_BUCKET_CAP
+    )
     cc = connected_components_hybrid(pairs.select("id1", "id2"))
     return cc.select(F.col("node").alias("vec_id"), F.col("cluster_id"))
 
