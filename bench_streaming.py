@@ -24,32 +24,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 OFFERED_ROWS_PER_SEC = 8_000_000
 MIN_BATCHES = 4       # ≥1 cold (excluded) + ≥3 warm
 MAX_WAIT_SECONDS = 45.0
+# median-of-N: this host's noise bands swung the recorded stateful
+# number 4× across identical-code runs (996k → 326k in BENCH_r04
+# while same-session clean runs logged 1.15-1.35M) — per CLAUDE.md's
+# own confirm-across-two-runs rule, a single draw must never be the
+# round artifact
+REPEATS = 3
 
 
-def measure(spark, offered: int = OFFERED_ROWS_PER_SEC,
-            min_batches: int = MIN_BATCHES,
-            max_wait: float = MAX_WAIT_SECONDS) -> dict:
-    from pyspark.sql import functions as F
-
-    from rstreams_spark.sources.files import stream_rate
-    from rstreams_spark.streaming.windows import stream_tumbling_window
-
-    src = stream_rate(spark, offered).withColumn(
-        "key", (F.col("value") % 100).cast("long")
-    )
-    agg = stream_tumbling_window(
-        src, "key", "timestamp", "1 second",
-        F.count("*").alias("n"), F.avg("value").alias("avg_v"),
-        watermark="2 seconds",
-    )
+def _run_stream(writer_df, ckpt_prefix: str, min_batches: int,
+                max_wait: float) -> tuple[float, int, int]:
+    """Start → wait for min_batches → stop; returns (warm rows/s,
+    batches, total rows). Cold first batch excluded (codegen +
+    state-store init)."""
     import shutil
     import tempfile
 
     # fresh dir per run: a fixed/pid-keyed path could resume a stale
     # checkpoint (pid reuse) and poison the measurement
-    ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+    ckpt = tempfile.mkdtemp(prefix=ckpt_prefix)
     q = (
-        agg.writeStream.format("noop")
+        writer_df.writeStream.format("noop")
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .start()
@@ -66,23 +61,56 @@ def measure(spark, offered: int = OFFERED_ROWS_PER_SEC,
         progresses = [p for p in q.recentProgress if p is not None]
     finally:
         q.stop()
-        try:  # drain before deleting state dir (see measure_stateful)
+        try:  # drain the stream thread before deleting its state dir —
+            # rmtree under a live HDFSBackedStateStore is the abort-stack
+            # noise that drowned r02's bench JSON
             q.awaitTermination(30)
         except Exception:
             pass
         shutil.rmtree(ckpt, ignore_errors=True)
     rows = sum(p["numInputRows"] for p in progresses)
-    # skip the cold first batch: it pays codegen + state-store init
     busy_ms = sum(
         p["durationMs"]["triggerExecution"] for p in progresses[1:]
     )
     warm_rows = sum(p["numInputRows"] for p in progresses[1:])
     rate = (warm_rows / (busy_ms / 1000.0)) if busy_ms else 0.0
+    return rate, len(progresses), rows
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+def measure(spark, offered: int = OFFERED_ROWS_PER_SEC,
+            min_batches: int = MIN_BATCHES,
+            max_wait: float = MAX_WAIT_SECONDS,
+            repeats: int = REPEATS) -> dict:
+    from pyspark.sql import functions as F
+
+    from rstreams_spark.sources.files import stream_rate
+    from rstreams_spark.streaming.windows import stream_tumbling_window
+
+    src = stream_rate(spark, offered).withColumn(
+        "key", (F.col("value") % 100).cast("long")
+    )
+    agg = stream_tumbling_window(
+        src, "key", "timestamp", "1 second",
+        F.count("*").alias("n"), F.avg("value").alias("avg_v"),
+        watermark="2 seconds",
+    )
+    draws, batches, rows = [], 0, 0
+    for _ in range(repeats):
+        rate, b, r = _run_stream(agg, "bench_stream_ckpt_", min_batches, max_wait)
+        draws.append(round(rate))
+        batches, rows = b, rows + r
     return {
         "offered_rows_per_sec": offered,
-        "processed_rows_per_sec": round(rate),
+        "processed_rows_per_sec": round(_median(draws)),
+        "runs": draws,
         "total_rows": rows,
-        "batches": len(progresses),
+        "batches": batches,
     }
 
 
@@ -94,7 +122,8 @@ STATEFUL_ROWS_PER_BATCH = 2_000_000
 
 def measure_stateful(spark, rows_per_batch: int = STATEFUL_ROWS_PER_BATCH,
                      min_batches: int = MIN_BATCHES,
-                     max_wait: float = MAX_WAIT_SECONDS) -> dict:
+                     max_wait: float = MAX_WAIT_SECONDS,
+                     repeats: int = REPEATS) -> dict:
     """Throughput of the Arrow-stateful path (applyInPandasWithState
     lag buffer over 100 keys) — the honest Python-side number to set
     against the JVM windowed-agg rate. The remaining ~6× gap is
@@ -124,42 +153,18 @@ def measure_stateful(spark, rows_per_batch: int = STATEFUL_ROWS_PER_BATCH,
         src.select("key", F.col("timestamp").alias("ts"), "v"),
         "key", "ts", 2, "v",
     )
-    import shutil
-    import tempfile
-
-    ckpt = tempfile.mkdtemp(prefix="bench_stream_state_ckpt_")
-    q = (
-        out.writeStream.format("noop")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        deadline = time.perf_counter() + max_wait
-        while (
-            len([p for p in q.recentProgress if p is not None]) < min_batches
-            and time.perf_counter() < deadline
-        ):
-            time.sleep(0.25)
-        progresses = [p for p in q.recentProgress if p is not None]
-    finally:
-        q.stop()
-        try:  # drain the stream thread before deleting its state dir —
-            # rmtree under a live HDFSBackedStateStore is the abort-stack
-            # noise that drowned r02's bench JSON
-            q.awaitTermination(30)
-        except Exception:
-            pass
-        shutil.rmtree(ckpt, ignore_errors=True)
-    busy_ms = sum(
-        p["durationMs"]["triggerExecution"] for p in progresses[1:]
-    )
-    warm_rows = sum(p["numInputRows"] for p in progresses[1:])
-    rate = (warm_rows / (busy_ms / 1000.0)) if busy_ms else 0.0
+    draws, batches = [], 0
+    for _ in range(repeats):
+        rate, b, _rows = _run_stream(
+            out, "bench_stream_state_ckpt_", min_batches, max_wait
+        )
+        draws.append(round(rate))
+        batches = b
     return {
         "stateful_rows_per_batch": rows_per_batch,
-        "stateful_processed_rows_per_sec": round(rate),
-        "stateful_batches": len(progresses),
+        "stateful_processed_rows_per_sec": round(_median(draws)),
+        "stateful_runs": draws,
+        "stateful_batches": batches,
     }
 
 

@@ -151,6 +151,15 @@ def run(spark, sf_dir: str) -> dict:
         F.col("c.chunk_idx").cast("long").alias("span_idx"),
         F.col("c.chunk_text").alias("span_text"),
         F.col("c.n_tokens").cast("long").alias("span_tokens"),
+    ).where(
+        # same in-plan key-domain guard as the catalog span_dedup: a
+        # >= SPAN_KEY_MUL span index would silently collide composite
+        # keys across documents and corrupt the dup-span/token counts
+        F.assert_true(
+            F.col("span_idx") < SPAN_KEY_MUL,
+            F.lit("span_idx overflows the composite-key domain; "
+                  "raise SPAN_KEY_MUL for multi-16M-token documents"),
+        ).isNull()
     ).withColumn(
         "__key", F.col("doc_id") * SPAN_KEY_MUL + F.col("span_idx")
     ).localCheckpoint(eager=False)  # feeds first_span AND the join probe

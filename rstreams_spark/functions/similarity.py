@@ -94,6 +94,15 @@ def cosine_pairs(
     """
     from pyspark.sql.window import Window
 
+    if max_bucket and not bucket_col:
+        # the unbucketed all-pairs path is the dangerous quadratic
+        # case — a caller passing only max_bucket would get silence
+        # instead of protection
+        raise ValueError(
+            "cosine_pairs: max_bucket requires bucket_col (the cap "
+            "guards within-bucket pair counts; the all-pairs path "
+            "has no bucket to bound)"
+        )
     pre = vecs.withColumn("__n", l2_norm(F.col(vec_col)))
     if bucket_col and max_bucket:
         w = Window.partitionBy(bucket_col).orderBy(id_col)
@@ -111,6 +120,12 @@ def cosine_pairs(
             )
             .drop("__bn")
         )
+    # `pre` (norm fold + optional guard-window shuffle + any caller-
+    # side bucketing work, e.g. the IVF cell argmin) feeds BOTH sides
+    # of the self-join; per invariant 9 the per-branch-pruned subplans
+    # do not canonicalize equal, so without materialization every
+    # upstream pass runs twice. Lazy localCheckpoint, not persist().
+    pre = pre.localCheckpoint(eager=False)
     a = pre.alias("a")
     b = pre.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")

@@ -31,50 +31,34 @@ for mod in (core, tpch, textq, dedupq):
     _SQL.update(mod.SQL_ORACLES)
 
 _FRONT = [
-    # — NEVER driver-verified (r3 newcomers that landed past the
-    #   window; skip_take/cycle_take, tpch_q2/q20/q21 and the late-r4
-    #   curation block span_dedup/doc_commonness/ngram_novelty/
-    #   dataset_split new in r4) —
-    "tpch_q11", "tpch_q16", "skip_take", "cycle_take",
-    "tpch_q2", "tpch_q20", "tpch_q21", "quality_repetition", "source_mix",
-    "take_while", "skip_while",
-    "span_dedup", "doc_commonness", "ngram_novelty", "dataset_split",
-    "doc_winnowing", "dedup_winnowing", "audio_meta", "vocab_coverage",
-    "semantic_clusters",
-    # — stalest green history (last driver-verified r01/r02) —
-    "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q18",
-    # (throttle_sample displaced by vocab_coverage — its hash-sample
-    #  family stays represented by dataset_split/stratified-style
-    #  split_routes; first-time verification beats stale-refresh)
-    "candles_rollup", "distinct_count", "split_routes", "stream_table_join",
-    # — core rstreams surface (one per family; r03-green near-dups
-    #   rotated out — wordcount/funnel_3step displaced by the two r4
-    #   newcomers above; latest_per_key/tumbling_window/
-    #   session_window/interval_join displaced by the late-r4
-    #   curation newcomers: all four are r03-driver-green and their
-    #   families stay represented in-window by candles_rollup,
-    #   stream_table_join, asof_enrich and chunk_fold_timeout) —
-    "asof_enrich",
-    "salted_sum",
-    "pattern_followed_by",
-    "chunk_fold_timeout",
-    # — TPC-H representatives (agg / join+topk / wide profit rollup) —
-    "tpch_q1", "tpch_q3", "tpch_q9",
-    # — LLM-data-pipeline block (text_quality rotated out for r4
-    #   newcomer dedup_keep_best, whose oracle embeds its formula) —
-    # (dedup_exact and dedup_ngram_jaccard displaced by the two
-    #  winnowing newcomers — both r03-driver-green, and the exact/
-    #  n-gram dedup families stay represented in-window by
-    #  incremental_dedup_exact and dedup_minhash/dedup_clusters)
-    "incremental_dedup_exact", "dedup_keep_best", "lang_id",
-    "doc_chunks", "pack_sequences", "top_terms",
-    "dedup_minhash", "dedup_clusters",
-    # (minhash_lsh_topk displaced by audio_meta — r03-driver-green,
-    #  ANN family stays represented by ann_topk/ann_lsh_topk/ivf_topk;
-    #  embedding_cosine_dup displaced by semantic_clusters, whose
-    #  oracle embeds the identical pair computation plus CC on top)
-    "ann_topk", "ann_lsh_topk", "ivf_topk",
-    "multimodal_meta", "decontaminate_ngrams",
+    # — CHANGED this round, must re-verify: semantic_clusters now
+    #   buckets on learned ivf_fit Voronoi cells (not the fixture
+    #   label), so its values differ from every prior round;
+    #   ivf_topk shares the rewritten argmin machinery (values
+    #   expected identical — verifying that claim is the point) —
+    "semantic_clusters", "ivf_topk",
+    # — stalest green history: the full last-driver-green-in-r02 set —
+    "hopping_window_gapfill", "interval_join_left", "orders_rollup",
+    "throttle_sample", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q17",
+    "tpch_q19", "tpch_q22", "tpch_q4", "tpch_q8",
+    "tumbling_window_gapfill", "twap_daily", "value_histogram",
+    # — then the full last-driver-green-in-r03 set (r4's displaced
+    #   entries plus the r1-era core that r4 rotated out) —
+    "candles", "chunk_fold", "cohort_retention", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_simhash", "doc_fingerprint",
+    "embedding_cosine_dup", "embedding_dim_stats", "embedding_quantize",
+    "fold_count", "funnel_3step", "gap_detect", "hopping_window",
+    "interval_join", "lag_window", "latest_per_key", "map_filter",
+    "merge_take", "minhash_lsh_topk", "parse_json_props",
+    "range_band_count", "session_window", "strat_classify",
+    "stratified_sample", "text_quality", "text_redact", "token_count",
+    "tumbling_window", "value_percentiles", "wordcount",
+    # — two r04-green anchors to round out the ~50 window: the
+    #   flagship aggregation and the CC-machinery representative
+    #   (every other r04-green entry stays covered by the local
+    #   oracle replica; with the 46 stale entries above, after r5 no
+    #   entry's driver-green history is older than r4) —
+    "tpch_q1", "dedup_clusters",
 ]
 
 _missing = [k for k in _FRONT if k not in _ALL]

@@ -228,6 +228,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup inner loop); the in-plan guard fails loudly past this
 # bound — the scale answer is finer cells, not a bigger cap
 SEMANTIC_BUCKET_CAP = 4096
+# semantic_clusters sizes its k-means index from the corpus: cells =
+# clamp(ceil(n / TARGET), IVF_CELLS, CELL_MAX). Cells ∝ n keeps the
+# within-cell pair join linear (n · TARGET/2 pairs); the MAX bounds
+# the one-row centroid broadcast (4096 × 64 dims × 8 B ≈ 2 MB) —
+# beyond ~CELL_MAX · BUCKET_CAP vectors the design is a two-level
+# coarse→fine assignment (see ivf_fit docstring)
+SEMANTIC_CELL_TARGET = 128
+SEMANTIC_CELL_MAX = 4096
+
+
+def semantic_cell_count(n: int) -> int:
+    """Identical integer algebra to the oracle's LIMIT subquery."""
+    return max(
+        IVF_CELLS,
+        min(
+            SEMANTIC_CELL_MAX,
+            (n + SEMANTIC_CELL_TARGET - 1) // SEMANTIC_CELL_TARGET,
+        ),
+    )
 
 
 def embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,25 +260,37 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shape semantic dedup (Abbas et al. 2023, "SemDeDup:
     Data-efficient learning at web-scale through semantic
-    deduplication"): embedding-cosine near-dup pairs (cos ≥ τ inside
-    a bucket — here the label column standing in for the clustering
-    cell SemDeDup uses) → connected components → keep-one-per-cluster
-    labeling with the min vec_id as the canonical survivor. The
-    embedding-space twin of ``dedup_clusters``; same hybrid CC
-    machinery, same recursive-CTE oracle construction.
+    deduplication"): assign every embedding to its k-means cell
+    (``ivf_fit``/``ivf_assign`` — the same deterministic sampled-
+    Lloyd index the ANN path uses), find embedding-cosine near-dup
+    pairs (cos ≥ τ) WITHIN each cell, connected components over the
+    pair graph, keep-one-per-cluster labeling with the min vec_id as
+    the canonical survivor. The embedding-space twin of
+    ``dedup_clusters``; same hybrid CC machinery, same
+    recursive-CTE oracle construction.
 
-    Scale shape: the pair join is bucketed (never all-pairs) with
-    norms hoisted above the join (one fold per pair) and an in-plan
-    bucket-size guard (``SEMANTIC_BUCKET_CAP``) — within-bucket
-    pairing is quadratic in bucket size BY DESIGN (SemDeDup's inner
-    loop is exactly this), so at 100 TB the bucket must be a fine
-    k-means cell (the ivf machinery) sized to keep members ≤ the
-    cap; the label column stands in for the cell here. CC is the
-    per-round-checkpointed hybrid (invariants 10/11).
+    Scale shape: this is the real SemDeDup recipe end-to-end — the
+    pair join distributes on the learned Voronoi cell (never
+    all-pairs, never a fixture column), norms are hoisted above the
+    join (one fold per pair), and the in-plan bucket-size guard
+    (``SEMANTIC_BUCKET_CAP``) fails loudly if a cell outgrows the
+    exact inner loop — the 100 TB knob is IVF_CELLS (more/finer
+    cells keep members ≤ the cap; the centroid fit is one bounded
+    corpus pass per Lloyd round regardless of cell count). The
+    cell-assigned frame is materialized once inside ``cosine_pairs``
+    (invariant 9) so the argmin assignment runs once, not per join
+    side. CC is the per-round-checkpointed hybrid (invariants
+    10/11).
     """
-    vecs = t(spark, sf_dir, "embeddings")
+    emb = t(spark, sf_dir, "embeddings")
+    # cells ∝ corpus size keeps within-cell pair work LINEAR in n
+    # (pairs ≈ n · target/2, not n²/cells): the count() is a parquet
+    # footer metadata read, not a data scan
+    cells = semantic_cell_count(emb.count())
+    cents = ivf_fit(emb, cells)
+    vecs = ivf_assign(emb.select("vec_id", "embedding"), cents)
     pairs = cosine_pairs(
-        vecs, COSINE_TAU, bucket_col="label", max_bucket=SEMANTIC_BUCKET_CAP
+        vecs, COSINE_TAU, bucket_col="cell", max_bucket=SEMANTIC_BUCKET_CAP
     )
     cc = connected_components_hybrid(pairs.select("id1", "id2"))
     return cc.select(F.col("node").alias("vec_id"), F.col("cluster_id"))
@@ -349,86 +380,74 @@ IVF_MEAN_CAP = 512  # per-cell member sample for the mean (sorted by id)
 
 def _argmin_cell(vec_col: Column) -> Column:
     """In-plan argmin over the broadcast ``__cents`` struct array:
-    strict < keeps the earliest (= smallest cell id, the array is
-    cell-sorted) on distance ties — same tie-break as the oracle's
-    row_number ORDER BY d2, cell."""
-    return F.aggregate(
-        F.col("__cents"),
-        F.struct(F.lit(float("inf")).alias("d2"), F.lit(-1).alias("cell")),
-        lambda acc, c: F.when(
-            _l2sq(vec_col, c["centroid"]) < acc["d2"],
-            F.struct(
-                _l2sq(vec_col, c["centroid"]).alias("d2"),
-                c["cell"].alias("cell"),
-            ),
-        ).otherwise(acc),
-    )["cell"]
-
-
-def ivf_topk(
-    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
-) -> DataFrame:
-    """IVF-style ANN: an inverted index of IVF_CELLS Voronoi cells.
-    Centroids are a fully deterministic, oracle-reproducible KMeans:
-    seeds = the IVF_CELLS corpus vectors with the smallest portable
-    hash of their id (md5-derived), refined by IVF_LLOYD sampled
-    Lloyd rounds — each round reassigns cells and recomputes every
-    centroid as the mean of its first IVF_MEAN_CAP members sorted by
-    vec_id. (Replaces the r3 MLlib KMeans whose trained centroids
-    were oracle-opaque; recall at nprobe=2-3 is within a few points
-    of the trained model — see the calibrated floors in
-    tests/test_skew_similarity.py.)
-
-    Scale shape: every centroid table is 16 rows, TakeOrdered or
-    grouped from one corpus pass and localCheckpoint-ed (each feeds
-    the next Lloyd round and, at the end, both the assignment array
-    and the probe ranking — without the barrier each consumer would
-    re-run the upstream pass); assignment is a single-row broadcast
-    of the centroid array + an in-plan argmin fold per vector — the
-    corpus is never shuffled on and never collected; the Lloyd mean
-    is bounded by IVF_MEAN_CAP so no cell ever materializes an
-    unbounded member array. FP parity (CLAUDE.md invariant #2):
-    distances, cosines and means are sequential JVM folds in member
-    order sorted by vec_id, bit-identical to the oracle's
-    list_reduce; means divide the fold by the member count (exact
-    same operands both engines); argmin ties break toward the
-    smaller cell id in both engines.
+    one ``transform`` computes each cell's distance ONCE (the r4
+    ``aggregate``+``when`` fold evaluated ``_l2sq`` twice per cell —
+    condition and struct — doubling the dominant cost of the Lloyd
+    fit), then the native ``array_min`` struct ordering picks
+    (min d2, then min cell) — identical tie-break to the oracle's
+    row_number ORDER BY d2, cell (the array is cell-sorted and cell
+    ids are unique, so lexicographic struct-min ≡ the strict-< fold).
     """
-    from ..functions.similarity import dot, l2_norm
+    dists = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            _l2sq(vec_col, c["centroid"]).alias("d2"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    return F.array_min(dists)["cell"]
+
+
+def _ivf_one_row(cents: DataFrame) -> DataFrame:
+    """The whole index as ONE broadcast row: per-vector assignment
+    becomes an argmin fold over the cell-sorted struct array — no
+    corpus shuffle, no collect."""
+    return cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cell"), F.col("centroid")))
+        ).alias("__cents")
+    )
+
+
+def ivf_fit(emb: DataFrame, cells: int = IVF_CELLS) -> DataFrame:
+    """Deterministic, oracle-reproducible IVF centroids (cell,
+    centroid): seeds = the ``cells`` corpus vectors with the smallest
+    portable hash of their id (md5-derived), refined by IVF_LLOYD
+    sampled Lloyd rounds — each round reassigns cells and recomputes
+    every centroid as the sequential-fold mean of its first
+    IVF_MEAN_CAP members sorted by vec_id.
+
+    Scale shape: every centroid table is ``cells`` rows, TakeOrdered
+    or grouped from one corpus pass and localCheckpoint-ed (each
+    feeds the next Lloyd round and then every downstream consumer —
+    without the barrier each consumer would re-run the upstream
+    pass). The Lloyd mean is bounded by IVF_MEAN_CAP so no cell ever
+    materializes an unbounded member array. The one-row broadcast
+    assignment (``ivf_assign``) bounds ``cells`` at a few thousand
+    (SEMANTIC_CELL_MAX): beyond that the index itself outgrows a
+    single broadcast array and the honest design is a two-level
+    coarse→fine assignment (argmin over coarse cells, then over that
+    cell's children) — same fold, one extra broadcast tier.
+    """
     from ..functions.text import hash64
 
-    vecs = t(spark, sf_dir, "embeddings").withColumn(
-        "v_norm", l2_norm(F.col("embedding"))
-    )
     meds = (
-        t(spark, sf_dir, "embeddings")
-        .select(
+        emb.select(
             "vec_id", "embedding",
             hash64(F.col("vec_id").cast("string")).alias("__h"),
         )
         .orderBy("__h", "vec_id")
-        .limit(IVF_CELLS)
-        .localCheckpoint(eager=True)  # 16 rows; one TakeOrdered scan
+        .limit(cells)
+        .localCheckpoint(eager=True)  # `cells` rows; one TakeOrdered scan
     )
     wm = Window.orderBy("__h", "vec_id")
     cents = meds.select(
         (F.row_number().over(wm) - 1).alias("cell"),
         F.col("embedding").cast("array<double>").alias("centroid"),
     )
-
-    def one_row(c: DataFrame) -> DataFrame:
-        # the whole index as ONE broadcast row: per-vector assignment
-        # becomes an argmin fold over the 16-struct array — no corpus
-        # shuffle, no collect
-        return c.agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("cell"), F.col("centroid")))
-            ).alias("__cents")
-        )
-
     for _ in range(IVF_LLOYD):
         members = (
-            vecs.crossJoin(F.broadcast(one_row(cents)))
+            emb.crossJoin(F.broadcast(_ivf_one_row(cents)))
             .select("vec_id", "embedding", _argmin_cell(F.col("embedding")).alias("cell"))
             .groupBy("cell")
             .agg(
@@ -451,13 +470,47 @@ def ivf_topk(
                 )
                 / F.size(F.col("__sl")),
             ).alias("centroid"),
-        ).localCheckpoint(eager=True)  # 16 rows; one corpus pass
-    assigned = (
-        vecs.crossJoin(F.broadcast(one_row(cents)))
-        .select(
-            "vec_id", "embedding", "v_norm",
-            _argmin_cell(F.col("embedding")).alias("cell"),
-        )
+        ).localCheckpoint(eager=True)  # IVF_CELLS rows; one corpus pass
+    return cents
+
+
+def ivf_assign(vecs: DataFrame, cents: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Adds the argmin Voronoi ``cell`` column: a single-row
+    broadcast of the centroid array + an in-plan argmin fold per
+    vector — the corpus is never shuffled on and never collected.
+    Argmin ties break toward the smaller cell id (strict <, array is
+    cell-sorted), matching the oracle's row_number ORDER BY d2, cell.
+    """
+    return (
+        vecs.crossJoin(F.broadcast(_ivf_one_row(cents)))
+        .withColumn("cell", _argmin_cell(F.col(vec_col)))
+        .drop("__cents")
+    )
+
+
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """IVF-style ANN: an inverted index of IVF_CELLS Voronoi cells
+    (deterministic sampled-Lloyd centroids — ``ivf_fit``; replaces
+    the r3 MLlib KMeans whose trained centroids were oracle-opaque;
+    recall at nprobe=2-3 is within a few points of the trained model
+    — see the calibrated floors in tests/test_skew_similarity.py).
+
+    FP parity (CLAUDE.md invariant #2): distances, cosines and means
+    are sequential JVM folds in member order sorted by vec_id,
+    bit-identical to the oracle's list_reduce; means divide the fold
+    by the member count (exact same operands both engines); argmin
+    ties break toward the smaller cell id in both engines.
+    """
+    from ..functions.similarity import dot, l2_norm
+
+    vecs = t(spark, sf_dir, "embeddings").withColumn(
+        "v_norm", l2_norm(F.col("embedding"))
+    )
+    cents = ivf_fit(t(spark, sf_dir, "embeddings"))
+    assigned = ivf_assign(vecs, cents).select(
+        "vec_id", "embedding", "v_norm", "cell"
     )
     probes = vecs.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("probe_id"),
@@ -854,16 +907,20 @@ def _sql_ivf_lloyd() -> tuple[str, str]:
 
 _SQL_IVF_ROUNDS, _SQL_IVF_FINAL = _sql_ivf_lloyd()
 
-SQL_ORACLES = {
-    "ivf_topk": f"""
-        with hashed as (
+# shared CTE chain: deterministic centroid fit + per-vector argmin
+# cell assignment — the DuckDB twin of ivf_fit/ivf_assign, used by
+# both the ANN ranking (ivf_topk, fixed IVF_CELLS) and the SemDeDup
+# bucketer (semantic_clusters, corpus-sized cell count via a LIMIT
+# subquery mirroring semantic_cell_count's integer algebra)
+def _sql_ivf_assign(limit_expr: str) -> str:
+    return f"""hashed as (
           select vec_id, embedding, {sql_h64("vec_id::varchar")} as h
           from embeddings
         ),
         cents0 as (
           select row_number() over (order by h, vec_id) - 1 as cell,
                  list_transform(embedding, x -> x::double) as centroid
-          from (select * from hashed order by h, vec_id limit {IVF_CELLS})
+          from (select * from hashed order by h, vec_id limit {limit_expr})
         ),
         norms as (
           select vec_id, embedding, {_SQL_IVF_NORM} as v_norm from embeddings
@@ -878,7 +935,18 @@ SQL_ORACLES = {
                               m.cell asc) as rn
             from norms n cross join {_SQL_IVF_FINAL} m
           ) where rn = 1
-        ),
+        )"""
+
+
+_SQL_CELLS_ADAPTIVE = (
+    f"(select greatest({IVF_CELLS}, least({SEMANTIC_CELL_MAX}, "
+    f"(count(*) + {SEMANTIC_CELL_TARGET - 1}) // {SEMANTIC_CELL_TARGET})) "
+    "from embeddings)"
+)
+
+SQL_ORACLES = {
+    "ivf_topk": f"""
+        with {_sql_ivf_assign(str(IVF_CELLS))},
         probe_cells as (
           select probe_id, p_emb, p_norm, cell as p_cell from (
             select n.vec_id as probe_id, n.embedding as p_emb,
@@ -1247,11 +1315,12 @@ SQL_ORACLES["audio_meta"] = """
 """
 
 SQL_ORACLES["semantic_clusters"] = f"""
-    with recursive pairs as (
+    with recursive {_sql_ivf_assign(_SQL_CELLS_ADAPTIVE)},
+    pairs as (
       select a.vec_id as id1, b.vec_id as id2
-      from embeddings a join embeddings b
-        on a.label = b.label and a.vec_id < b.vec_id
-      where {_SQL_COS} >= {COSINE_TAU}
+      from assigned a join assigned b
+        on a.cell = b.cell and a.vec_id < b.vec_id
+      where {_SQL_DOT} / (a.v_norm * b.v_norm) >= {COSINE_TAU}
     ),
     nodes as (
       select id1 as n from pairs union select id2 from pairs

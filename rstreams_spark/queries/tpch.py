@@ -225,13 +225,23 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     The driver's lineitem has no commit/receipt dates, so "late" is
     ``l_shipdate > o_orderdate`` — same EXISTS(semi-join) plan shape.
     Left-semi join: the orders side never duplicates, lineitem is
-    shuffled on its join key only; no fact broadcast.
+    shuffled on its join key only; no fact broadcast. The
+    shuffle_hash hint ENFORCES that: left-semi's build side is the
+    fact table here, and the 2-column pruned lineitem sits under the
+    local broadcast threshold, so Catalyst picked
+    BroadcastHashJoin(BuildRight) — a single-threaded 6M-row hashed-
+    relation build that was the whole r4 4.7× decade step (sf1:
+    5.6 s broadcast vs 0.9 s shuffled; sf0.1: 1.1 vs 0.8 — the hint
+    wins at every SF AND is the only shape that exists at 100 TB,
+    where a fact broadcast simply OOMs).
     """
     orders = t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit(Q4_START).cast("timestamp"))
         & (F.col("o_orderdate") < F.lit(Q4_END).cast("timestamp"))
     )
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate").hint(
+        "shuffle_hash"
+    )
     return (
         orders.join(
             li,

@@ -87,8 +87,14 @@ def test_new_tpch_broadcast_discipline(spark):
     sublinear aggregates) only; every fact-fact join shuffles in the
     static plan. (q4 semi / q12 inner / q13 left-outer / q22 anti all
     join order-count-sized sides — no hint allowed.)"""
-    for key, n_hinted, n_smj in (
-        ("tpch_q4", 0, 1),   # semi-join on lineitem: shuffle only
+    for key, n_hinted, n_shuffled in (
+        # q4's semi-join shuffle is ENFORCED by a shuffle_hash hint
+        # (r5): left-semi's build side is the lineitem fact, and the
+        # 2-column pruned scan slips under the local broadcast
+        # threshold — Catalyst's BroadcastHashJoin(BuildRight) was a
+        # single-threaded 6M-row build (the whole r4 4.7× decade
+        # step) and an OOM at 100 TB
+        ("tpch_q4", 0, 1),   # semi-join on lineitem: shuffled-hash
         ("tpch_q12", 0, 1),  # orders join: shuffle only
         ("tpch_q13", 0, 1),  # left-outer on orders: shuffle only
         # part-dim hint appears in BOTH branches (threshold side and
@@ -99,7 +105,7 @@ def test_new_tpch_broadcast_discipline(spark):
         with _conf(spark, NO_AUTO_BHJ):
             df = REGISTRY[key](spark, SF_SMOKE)
             assert plans.count_broadcast_joins(df) == n_hinted, key
-            assert plans.count_sortmerge_joins(df) >= n_smj, key
+            assert plans.count_shuffled_joins(df) >= n_shuffled, key
 
 
 def test_r4_tpch_broadcast_discipline(spark):

