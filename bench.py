@@ -37,10 +37,16 @@ HEADLINERS = [
     "ann_topk", "ann_lsh_topk", "text_quality", "quality_repetition",
     "span_dedup", "doc_commonness", "ngram_novelty", "dedup_winnowing",
     "vocab_coverage", "audio_meta",
-    # semantic_clusters is deliberately NOT a headliner: its pair
-    # stage is the exact quadratic-within-bucket SemDeDup inner loop
-    # (in-plan bucket cap; same baseline status as
-    # embedding_cosine_dup, which is likewise unbenched)
+    # promoted r5: semantic_clusters now buckets on corpus-sized
+    # learned k-means cells (linear pair work, 3.0x on the sf1
+    # decade step), so it is a scale path, not the exact baseline it
+    # was when excluded; ivf_topk rides along as the ANN index whose
+    # fit machinery it shares. embedding_cosine_dup (fixed-bucket
+    # exact baseline) stays unbenched by design.
+    "semantic_clusters", "ivf_topk",
+    # r5: fuzzy minhash-LSH train/eval decontamination (bipartite
+    # band join + exact verify on candidates)
+    "decontaminate_fuzzy",
 ]
 
 

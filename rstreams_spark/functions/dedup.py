@@ -25,7 +25,7 @@ from .text import hash64, tokens
 
 __all__ = [
     "grams", "shingles", "doc_shingles", "minhash_signature",
-    "lsh_band_pairs", "simhash32", "P61", "perm_coeffs",
+    "lsh_band_rows", "lsh_band_pairs", "simhash32", "P61", "perm_coeffs",
     "connected_components", "connected_components_star",
     "connected_components_hybrid", "incremental_dedup_exact",
 ]
@@ -170,6 +170,33 @@ def minhash_signature(
     return with_h.groupBy(id_col).agg(*aggs)
 
 
+def lsh_band_rows(
+    sig: DataFrame, num_perm: int, bands: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band_idx, band_key) rows from a minhash signature frame —
+    the shared banding step behind both the self-join candidate
+    pairing (``lsh_band_pairs``) and bipartite probes (train-vs-eval
+    decontamination). Band key = xxhash64 of the band's
+    r=num_perm/bands signature slots — native JVM hash, 8-byte
+    shuffle keys, EQUALITY semantics only (the DuckDB oracle's md5
+    keys bucket identically; CLAUDE.md invariant 12)."""
+    r = num_perm // bands
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.xxhash64(
+                        *[F.col(f"h{b * r + k}") for k in range(r)]
+                    ).alias("band_key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+
+
 def lsh_band_pairs(
     sig: DataFrame,
     num_perm: int,
@@ -199,21 +226,7 @@ def lsh_band_pairs(
     buckets that grow that large are boilerplate/templated content
     (the same defense as the n-gram DF cap). None = uncapped.
     """
-    r = num_perm // bands
-    band_rows = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    F.xxhash64(
-                        *[F.col(f"h{b * r + k}") for k in range(r)]
-                    ).alias("band_key"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_key")
+    band_rows = lsh_band_rows(sig, num_perm, bands, id_col)
     buckets = (
         band_rows.groupBy("band_idx", "band_key")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))

