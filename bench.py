@@ -45,8 +45,8 @@ HEADLINERS = [
     # exact baseline) stays unbenched by design.
     "semantic_clusters", "ivf_topk",
     # r5: fuzzy minhash-LSH train/eval decontamination (bipartite
-    # band join + exact verify on candidates)
-    "decontaminate_fuzzy",
+    # band join + exact verify on candidates); MP4/AVI metadata probe
+    "decontaminate_fuzzy", "video_meta",
 ]
 
 

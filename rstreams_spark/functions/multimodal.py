@@ -37,6 +37,7 @@ except ImportError:  # pragma: no cover - exercised implicitly here
 __all__ = [
     "with_binary_payload", "extract_meta", "decode_image", "sample_frames",
     "resize_images", "with_audio_payload", "extract_audio_meta",
+    "with_video_payload", "extract_video_meta",
 ]
 
 META_SCHEMA = (
@@ -260,3 +261,74 @@ def extract_audio_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(run, AUDIO_META_SCHEMA)
+
+
+VIDEO_META_SCHEMA = (
+    "doc_id bigint, n_bytes int, format string, width int, height int, "
+    "n_frames bigint, duration_ms bigint"
+)
+
+
+def with_video_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic REAL video containers for the synthetic corpus:
+    parameters derive from the content digest (format = mp4/avi by
+    d₀ mod 2, width = 160 + 16·(d₁ mod 8), height = 120 + 16·(d₂ mod
+    8), fps = 10 + d₃ mod 21, frames = 8 + d₄ mod 64 where dᵢ are
+    sha256(text) bytes) and ``videohdr.build_mp4``/``build_avi``
+    write genuine ISO BMFF / RIFF AVI headers — the downstream probe
+    exercises REAL box/chunk walking while every parameter stays
+    SQL-derivable for the DuckDB oracle (the audio/image trick)."""
+    from .videohdr import build_avi, build_mp4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for txt in pdf[text_col]:
+                d = hashlib.sha256(str(txt).encode("utf-8")).digest()
+                w = 160 + 16 * (d[1] % 8)
+                h = 120 + 16 * (d[2] % 8)
+                fps = 10 + d[3] % 21
+                nf = 8 + d[4] % 64
+                if d[0] % 2 == 0:
+                    # timescale = fps, duration = frames: one unit
+                    # per frame, duration_ms = nf*1000//fps
+                    payloads.append(build_mp4(w, h, fps, nf, nf))
+                else:
+                    payloads.append(build_avi(w, h, 1_000_000 // fps, nf))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id", text_col).mapInPandas(
+        run, "doc_id bigint, payload binary"
+    )
+
+
+def extract_video_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched video metadata extraction over binary payloads —
+    the video analog of ``extract_meta``/``extract_audio_meta``: real
+    MP4/AVI container probe (``videohdr.probe_video``), NULL format
+    for unrecognized bytes. duration_ms is uniformly
+    ``duration_units * 1000 // timescale`` (AVI reports a
+    microsecond timescale, so the same integer algebra covers both).
+    Stateless mapInPandas: pipelines with the scan, no shuffle."""
+    from .videohdr import probe_video
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            probed = [probe_video(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": [len(p) for p in payloads],
+                    "format": [t[0] if t else None for t in probed],
+                    "width": [t[1] if t else 0 for t in probed],
+                    "height": [t[2] if t else 0 for t in probed],
+                    "n_frames": [t[5] if t else 0 for t in probed],
+                    "duration_ms": [
+                        t[4] * 1000 // t[3] if t and t[3] else 0
+                        for t in probed
+                    ],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, VIDEO_META_SCHEMA)

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import multimodal
+from ..functions.videohdr import AVI_FIXED_BYTES, MP4_FIXED_BYTES
 from ..functions.dedup import (
     P61, connected_components_hybrid, doc_shingles, lsh_band_pairs,
     lsh_band_rows, minhash_signature, perm_coeffs, simhash32,
@@ -686,6 +687,24 @@ def audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_audio_meta(multimodal.with_audio_payload(docs))
 
 
+def video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-payload metadata pass: deterministic REAL ISO BMFF (MP4)
+    and RIFF/AVI containers are built per document (dimensions, fps
+    and frame counts derived from sha256(text) —
+    functions/multimodal.py::with_video_payload) and parsed back by
+    the pure-Python box/chunk-walking probe
+    (functions/videohdr.py). The oracle recomputes every parameter
+    from the digest in SQL (container byte length is a closed form
+    of the parameters: MP4_FIXED_BYTES + 4·frames for the stsz entry
+    table; AVI_FIXED_BYTES header-only), so a build→parse round-trip
+    failure anywhere in the writer or prober breaks the hash match;
+    hand-crafted spec fixtures are byte-tested in
+    tests/test_functions.py. Two stateless mapInPandas stages —
+    pipelines with the scan, no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    return multimodal.extract_video_meta(multimodal.with_video_payload(docs))
+
+
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label per-dimension embedding statistics — the centroid /
     distribution-profiling primitive behind IVF seeding, drift
@@ -836,6 +855,7 @@ QUERIES = {
     "minhash_lsh_topk": minhash_lsh_topk,
     "multimodal_meta": multimodal_meta,
     "audio_meta": audio_meta,
+    "video_meta": video_meta,
     "decontaminate_ngrams": decontaminate_ngrams,
     "decontaminate_fuzzy": decontaminate_fuzzy,
     "embedding_dim_stats": embedding_dim_stats,
@@ -1425,6 +1445,40 @@ SQL_ORACLES["audio_meta"] = """
            cast(16 as int) as bits,
            cast(ns as bigint) as n_samples,
            cast(ns * 1000 // sample_rate as bigint) as duration_ms
+    from p
+"""
+
+SQL_ORACLES["video_meta"] = f"""
+    with d as (
+      select doc_id,
+             cast(('0x' || substr(sha256(text), 1, 2)) as int) as d0,
+             cast(('0x' || substr(sha256(text), 3, 2)) as int) as d1,
+             cast(('0x' || substr(sha256(text), 5, 2)) as int) as d2,
+             cast(('0x' || substr(sha256(text), 7, 2)) as int) as d3,
+             cast(('0x' || substr(sha256(text), 9, 2)) as int) as d4
+      from documents
+    ),
+    p as (
+      select doc_id,
+             d0 % 2 as is_avi,
+             160 + 16 * (d1 % 8) as w,
+             120 + 16 * (d2 % 8) as h,
+             10 + (d3 % 21) as fps,
+             8 + (d4 % 64) as nf
+      from d
+    )
+    select doc_id,
+           cast(case when is_avi = 0
+                then {MP4_FIXED_BYTES} + 4 * nf
+                else {AVI_FIXED_BYTES} end as int) as n_bytes,
+           case when is_avi = 0 then 'mp4' else 'avi' end as format,
+           cast(w as int) as width,
+           cast(h as int) as height,
+           cast(nf as bigint) as n_frames,
+           cast(case when is_avi = 0
+                then nf * 1000 // fps
+                else (cast(1000000 // fps as bigint) * nf * 1000) // 1000000
+                end as bigint) as duration_ms
     from p
 """
 

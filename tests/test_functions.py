@@ -670,3 +670,44 @@ def test_resize_images_plumbing(spark):
         multimodal.with_binary_payload(docs), 2, 2
     ).collect()[0]
     assert bytes(again["thumb"]) == bytes(got["thumb"])
+
+
+def test_video_probe_parses_mp4_and_avi():
+    """Container probe against the spec, three ways: build_mp4/avi
+    round-trips, a hand-packed version-1 mvhd (64-bit duration — a
+    path the builder never emits), and garbage."""
+    import struct
+
+    from rstreams_spark.functions.videohdr import (
+        AVI_FIXED_BYTES, MP4_FIXED_BYTES, build_avi, build_mp4, probe_video,
+    )
+
+    assert probe_video(build_mp4(320, 240, 25, 100, 12)) == (
+        "mp4", 320, 240, 25, 100, 12
+    )
+    assert len(build_mp4(320, 240, 25, 100, 12)) == MP4_FIXED_BYTES + 4 * 12
+    assert probe_video(build_avi(640, 480, 40000, 30)) == (
+        "avi", 640, 480, 1_000_000, 40000 * 30, 30
+    )
+    assert len(build_avi(640, 480, 40000, 30)) == AVI_FIXED_BYTES
+
+    # hand-packed ISO BMFF with a version-1 mvhd: 64-bit times,
+    # 32-bit timescale at payload offset 20, 64-bit duration at 24
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    mvhd_v1 = box(
+        b"mvhd",
+        struct.pack(">B3x", 1)
+        + struct.pack(">QQ", 0, 0)          # creation/mod (64-bit)
+        + struct.pack(">I", 90000)          # timescale
+        + struct.pack(">Q", 4500000),       # duration (64-bit)
+    )
+    p = box(b"ftyp", b"isom") + box(b"moov", mvhd_v1)
+    got = probe_video(p)
+    assert got is not None
+    assert (got[0], got[3], got[4]) == ("mp4", 90000, 4500000)
+
+    assert probe_video(b"definitely not a video") is None
+    # truncated/malformed box sizes must not crash or loop
+    assert probe_video(box(b"ftyp", b"isom")[:10]) is None
