@@ -46,7 +46,7 @@ HEADLINERS = [
     "semantic_clusters", "ivf_topk",
     # r5: fuzzy minhash-LSH train/eval decontamination (bipartite
     # band join + exact verify on candidates); MP4/AVI metadata probe
-    "decontaminate_fuzzy", "video_meta",
+    "decontaminate_fuzzy", "video_meta", "budget_sample",
 ]
 
 

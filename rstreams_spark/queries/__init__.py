@@ -32,8 +32,9 @@ for mod in (core, tpch, textq, dedupq):
 
 _FRONT = [
     # — NEW in r5 (never driver-verified): fuzzy minhash-LSH
-    #   train/eval decontamination; MP4/AVI container metadata —
-    "decontaminate_fuzzy", "video_meta",
+    #   train/eval decontamination; MP4/AVI container metadata;
+    #   per-source token-budget sampling —
+    "decontaminate_fuzzy", "video_meta", "budget_sample",
     # — CHANGED this round, must re-verify: semantic_clusters now
     #   buckets on learned ivf_fit Voronoi cells (not the fixture
     #   label), so its values differ from every prior round;

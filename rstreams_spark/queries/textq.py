@@ -676,6 +676,50 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKEN_BUDGET = 600   # per-source whitespace-token budget
+BUDGET_SALT = 11     # distinct hash domain from dataset_split
+
+
+def budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget sampling — the mixing step that turns
+    source_mix's weights into an actual training subset (Pile/Dolma-
+    style: each source contributes up to a token budget). Documents
+    within a source are ordered by portable content hash
+    (retry-stable, CLAUDE.md invariant 8 — never random() or
+    positional ids, so the subset is identical across re-runs,
+    engines and task retries) and the greedy prefix whose PRIOR
+    cumulative token count is under the budget survives — every
+    source keeps ≥1 doc, the budget may be exceeded only by the last
+    doc's tail (the standard greedy-prefix contract).
+
+    Exactness: integer token counts, integer cumulative sums — no FP
+    anywhere. Scale shape: stateless hash + ONE per-source window
+    cumsum (the pack_sequences discipline; a hot source shards the
+    same way pack_sequences' range shards do). The filter is on the
+    PRIOR sum so the plan stays a single window pass — no join-back,
+    no second scan.
+    """
+    from ..functions.text import hash64
+
+    docs = t(spark, sf_dir, "documents")
+    ws = F.size(_ws_tokens()).cast("long")
+    base = docs.select(
+        "doc_id", "source", ws.alias("n_tokens"),
+        hash64(F.col("doc_id").cast("string"), salt=BUDGET_SALT).alias("__h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        base.withColumn("cum_before", cum_before)
+        .where(F.col("cum_before") < TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_before")
+    )
+
+
 VOCAB_K = 32
 
 
@@ -745,6 +789,7 @@ QUERIES = {
     "doc_commonness": doc_commonness,
     "ngram_novelty": ngram_novelty,
     "dataset_split": dataset_split,
+    "budget_sample": budget_sample,
     "vocab_coverage": vocab_coverage,
 }
 
@@ -1031,6 +1076,26 @@ SQL_ORACLES = {
         select doc_id, n_distinct_grams, n_novel_grams,
                n_novel_grams / n_distinct_grams as novelty_frac
         from agg
+    """,
+    "budget_sample": f"""
+        with b as (
+          select doc_id, source,
+                 len(list_filter(string_split_regex(text, '{WS_PATTERN}'),
+                     x -> x != '')) as n_tokens,
+                 {sql_h64("cast(doc_id as varchar)", salt=BUDGET_SALT)} as h
+          from documents
+        ),
+        c as (
+          select doc_id, source, cast(n_tokens as bigint) as n_tokens,
+                 coalesce(sum(n_tokens) over (
+                   partition by source order by h, doc_id
+                   rows between unbounded preceding and 1 preceding), 0)
+                   as cum_before
+          from b
+        )
+        select doc_id, source, n_tokens,
+               cast(cum_before as bigint) as cum_before
+        from c where cum_before < {TOKEN_BUDGET}
     """,
     "dataset_split": f"""
         with d as (

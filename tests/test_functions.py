@@ -711,3 +711,43 @@ def test_video_probe_parses_mp4_and_avi():
     assert probe_video(b"definitely not a video") is None
     # truncated/malformed box sizes must not crash or loop
     assert probe_video(box(b"ftyp", b"isom")[:10]) is None
+
+
+def test_budget_sample_greedy_prefix_contract(spark):
+    """budget_sample equals a sequential greedy model: per source,
+    walk docs in (hash, doc_id) order keeping while the running
+    total is under the budget — every source keeps >= 1 doc, and the
+    kept set is exactly the model's."""
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+    from rstreams_spark.functions.text import hash64
+    from rstreams_spark.queries._util import t
+    from rstreams_spark.queries.textq import (
+        BUDGET_SALT, TOKEN_BUDGET, _ws_tokens, budget_sample,
+    )
+
+    got = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["cum_before"])
+        for r in budget_sample(spark, SF_SMOKE).collect()
+    }
+    base = (
+        t(spark, SF_SMOKE, "documents")
+        .select(
+            "doc_id", "source",
+            F.size(_ws_tokens()).cast("long").alias("n_tokens"),
+            hash64(F.col("doc_id").cast("string"), salt=BUDGET_SALT).alias("h"),
+        )
+        .collect()
+    )
+    by_src: dict = {}
+    for r in base:
+        by_src.setdefault(r["source"], []).append(r)
+    want = {}
+    for src, rows in by_src.items():
+        cum = 0
+        for r in sorted(rows, key=lambda x: (x["h"], x["doc_id"])):
+            if cum < TOKEN_BUDGET:
+                want[r["doc_id"]] = (src, r["n_tokens"], cum)
+            cum += r["n_tokens"]
+    assert got == want
+    assert {v[0] for v in got.values()} == set(by_src)  # every source kept
