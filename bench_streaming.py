@@ -77,10 +77,13 @@ def _run_stream(writer_df, ckpt_prefix: str, min_batches: int,
     return rate, len(progresses), rows
 
 
-def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+def _median_run(results: list[tuple[float, int, int]]) -> tuple[float, int, int]:
+    """The actual run with the median rate (lower-middle for even
+    counts) — every reported field then describes ONE run, keeping
+    total_rows/batches comparable with pre-r5 single-run history
+    entries (summing rows across repeats next to a last-run batch
+    count mixed accounting bases)."""
+    return sorted(results, key=lambda r: r[0])[(len(results) - 1) // 2]
 
 
 def measure(spark, offered: int = OFFERED_ROWS_PER_SEC,
@@ -100,17 +103,18 @@ def measure(spark, offered: int = OFFERED_ROWS_PER_SEC,
         F.count("*").alias("n"), F.avg("value").alias("avg_v"),
         watermark="2 seconds",
     )
-    draws, batches, rows = [], 0, 0
-    for _ in range(repeats):
-        rate, b, r = _run_stream(agg, "bench_stream_ckpt_", min_batches, max_wait)
-        draws.append(round(rate))
-        batches, rows = b, rows + r
+    results = [
+        _run_stream(agg, "bench_stream_ckpt_", min_batches, max_wait)
+        for _ in range(repeats)
+    ]
+    med = _median_run(results)
     return {
         "offered_rows_per_sec": offered,
-        "processed_rows_per_sec": round(_median(draws)),
-        "runs": draws,
-        "total_rows": rows,
-        "batches": batches,
+        "processed_rows_per_sec": round(med[0]),
+        "runs": [round(r[0]) for r in results],
+        "run_batches": [r[1] for r in results],
+        "total_rows": med[2],
+        "batches": med[1],
     }
 
 
@@ -153,18 +157,17 @@ def measure_stateful(spark, rows_per_batch: int = STATEFUL_ROWS_PER_BATCH,
         src.select("key", F.col("timestamp").alias("ts"), "v"),
         "key", "ts", 2, "v",
     )
-    draws, batches = [], 0
-    for _ in range(repeats):
-        rate, b, _rows = _run_stream(
-            out, "bench_stream_state_ckpt_", min_batches, max_wait
-        )
-        draws.append(round(rate))
-        batches = b
+    results = [
+        _run_stream(out, "bench_stream_state_ckpt_", min_batches, max_wait)
+        for _ in range(repeats)
+    ]
+    med = _median_run(results)
     return {
         "stateful_rows_per_batch": rows_per_batch,
-        "stateful_processed_rows_per_sec": round(_median(draws)),
-        "stateful_runs": draws,
-        "stateful_batches": batches,
+        "stateful_processed_rows_per_sec": round(med[0]),
+        "stateful_runs": [round(r[0]) for r in results],
+        "stateful_run_batches": [r[1] for r in results],
+        "stateful_batches": med[1],
     }
 
 

@@ -80,9 +80,14 @@ def _probe_mp4(p: bytes) -> tuple[str, int, int, int, int, int] | None:
                 walk(ps, pe)
             elif btype == b"mvhd" and pe - ps >= 20:
                 ver = p[ps]
-                if ver == 1 and pe - ps >= 28:
-                    timescale = struct.unpack(">I", p[ps + 20 : ps + 24])[0]
-                    duration = struct.unpack(">Q", p[ps + 24 : ps + 32])[0]
+                if ver == 1:
+                    # v1 layout: 64-bit times at 4, timescale at 20,
+                    # 64-bit duration at 24 — needs 32 payload bytes;
+                    # a truncated v1 box yields nothing rather than a
+                    # crash or a v0 misparse of its 64-bit fields
+                    if pe - ps >= 32:
+                        timescale = struct.unpack(">I", p[ps + 20 : ps + 24])[0]
+                        duration = struct.unpack(">Q", p[ps + 24 : ps + 32])[0]
                 else:
                     timescale, duration = struct.unpack(
                         ">II", p[ps + 12 : ps + 20]

@@ -711,6 +711,15 @@ def test_video_probe_parses_mp4_and_avi():
     assert probe_video(b"definitely not a video") is None
     # truncated/malformed box sizes must not crash or loop
     assert probe_video(box(b"ftyp", b"isom")[:10]) is None
+    # truncated VERSION-1 mvhd (28 payload bytes — 4 short of the
+    # 64-bit duration read): must return None, not raise or misparse
+    # the 64-bit fields through the version-0 branch
+    short_v1 = box(
+        b"mvhd",
+        struct.pack(">B3x", 1) + struct.pack(">QQ", 0, 0)
+        + struct.pack(">I", 90000),
+    )
+    assert probe_video(box(b"ftyp", b"isom") + box(b"moov", short_v1)) is None
 
 
 def test_budget_sample_greedy_prefix_contract(spark):

@@ -85,8 +85,9 @@ def test_q7_q10_q18_fact_broadcasts_are_dynamic_only(spark):
 def test_new_tpch_broadcast_discipline(spark):
     """Round-2 TPC-H additions: hinted broadcasts == genuine dims (or
     sublinear aggregates) only; every fact-fact join shuffles in the
-    static plan. (q4 semi / q12 inner / q13 left-outer / q22 anti all
-    join order-count-sized sides — no hint allowed.)"""
+    static plan. (q12 inner / q13 left-outer / q22 anti join
+    order-count-sized sides — no broadcast hint allowed; q4's
+    shuffle_hash hint is a SHUFFLE-strategy pin, not a broadcast.)"""
     for key, n_hinted, n_shuffled in (
         # q4's semi-join shuffle is ENFORCED by a shuffle_hash hint
         # (r5): left-semi's build side is the lineitem fact, and the
@@ -106,6 +107,23 @@ def test_new_tpch_broadcast_discipline(spark):
             df = REGISTRY[key](spark, SF_SMOKE)
             assert plans.count_broadcast_joins(df) == n_hinted, key
             assert plans.count_shuffled_joins(df) >= n_shuffled, key
+
+
+def test_q4_semi_join_never_broadcasts_the_fact(spark):
+    """Pins the r5 shuffle_hash hint under the DEFAULT conf (the
+    NO_AUTO_BHJ loop above passes even without the hint, since
+    disabling auto-broadcast forces a shuffle anyway): with
+    auto-broadcast at its normal threshold the 2-column pruned
+    lineitem slips under the limit and Catalyst builds a
+    BroadcastHashJoin on the FACT side of the left-semi — the exact
+    single-threaded-build/100 TB-OOM shape the hint exists to
+    forbid. Deleting the hint fails THIS test."""
+    import re
+
+    df = REGISTRY["tpch_q4"](spark, SF_SMOKE)
+    txt = plans.explain_str(df)
+    assert len(re.findall(r"\(\d+\) ShuffledHashJoin", txt)) >= 1
+    assert plans.count_broadcast_joins(df) == 0
 
 
 def test_r4_tpch_broadcast_discipline(spark):

@@ -201,14 +201,19 @@ def test_semantic_clusters_buckets_on_learned_cells(spark):
     direct argmin against ivf_fit centroids."""
     from conftest import SF_SMOKE
     from rstreams_spark.queries.dedupq import (
-        IVF_CELLS, ivf_assign, ivf_fit, semantic_clusters,
+        ivf_assign, ivf_fit, semantic_cell_count, semantic_clusters,
     )
     from rstreams_spark.queries._util import t
 
     emb = t(spark, SF_SMOKE, "embeddings")
-    cells = ivf_assign(emb.select("vec_id", "embedding"), ivf_fit(emb))
+    # the SAME cell count the query fits — a fixed IVF_CELLS here
+    # would silently diverge once the corpus exceeds the clamp knee
+    n_cells = semantic_cell_count(emb.count())
+    cells = ivf_assign(
+        emb.select("vec_id", "embedding"), ivf_fit(emb, n_cells)
+    )
     cmap = {r["vec_id"]: r["cell"] for r in cells.select("vec_id", "cell").collect()}
-    assert set(cmap.values()) <= set(range(IVF_CELLS))
+    assert set(cmap.values()) <= set(range(n_cells))
     assert len(set(cmap.values())) > 1  # a real partition, not one mega-cell
 
     out = semantic_clusters(spark, SF_SMOKE).collect()
