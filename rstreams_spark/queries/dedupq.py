@@ -287,10 +287,15 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     # cells ∝ corpus size keeps within-cell pair work LINEAR in n
     # (pairs ≈ n · target/2, not n²/cells): the count() is a parquet
-    # footer metadata read, not a data scan
+    # footer metadata read, not a data scan. The fit and assignment
+    # route through the ⌈√cells⌉ coarse tier (ivf_fit2/ivf_assign2)
+    # so per-vector distance work is O(√cells), not O(cells) — the
+    # r5 probe showed the flat fit's O(n·cells) passes dominating
+    # the decade step once cells grew with n.
     cells = semantic_cell_count(emb.count())
-    cents = ivf_fit(emb, cells)
-    vecs = ivf_assign(emb.select("vec_id", "embedding"), cents)
+    cents = ivf_fit2(emb, cells)
+    cents_g, coarse_one = ivf_coarse_groups(cents, _n_coarse(cells))
+    vecs = ivf_assign2(emb.select("vec_id", "embedding"), cents_g, coarse_one)
     pairs = cosine_pairs(
         vecs, COSINE_TAU, bucket_col="cell", max_bucket=SEMANTIC_BUCKET_CAP
     )
@@ -488,6 +493,176 @@ def ivf_assign(vecs: DataFrame, cents: DataFrame, vec_col: str = "embedding") ->
         .withColumn("cell", _argmin_cell(F.col(vec_col)))
         .drop("__cents")
     )
+
+
+def _n_coarse(cells: int) -> int:
+    """Coarse-tier size ⌈√cells⌉ — identical float algebra to the
+    oracle's ceil(sqrt(x)) (IEEE sqrt is exactly rounded, so both
+    engines see the same double for any integer ≤ 2^52)."""
+    import math
+
+    return max(2, math.ceil(math.sqrt(cells)))
+
+
+def ivf_coarse_groups(
+    cents: DataFrame, n_coarse: int
+) -> tuple[DataFrame, DataFrame]:
+    """Two-level routing tier over a fitted centroid table: coarse
+    centroids are the ``n_coarse`` cells with the smallest portable
+    hash of their id (seeds only — no coarse Lloyd: the coarse tier
+    only ROUTES the fine argmin, and a seed cell always lands in its
+    own group, so every group is non-empty by construction), and
+    every cell is assigned to its nearest coarse centroid. Returns
+    (cents + ``g`` column, one-row broadcast frame with the
+    ``__coarse`` struct array)."""
+    from ..functions.text import hash64
+
+    wg = Window.orderBy("__ch", "cell")
+    coarse = (
+        cents.select(
+            "cell", "centroid",
+            hash64(F.col("cell").cast("string")).alias("__ch"),
+        )
+        .orderBy("__ch", "cell")
+        .limit(n_coarse)
+        .select(
+            (F.row_number().over(wg) - 1).alias("g"),
+            F.col("centroid").alias("gcentroid"),
+        )
+    )
+    coarse_one = coarse.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("g"), F.col("gcentroid").alias("centroid"))
+            )
+        ).alias("__coarse")
+    )
+    dists = F.transform(
+        F.col("__coarse"),
+        lambda c: F.struct(
+            _l2sq(F.col("centroid"), c["centroid"]).alias("d2"),
+            c["g"].alias("g"),
+        ),
+    )
+    cents_g = (
+        cents.crossJoin(F.broadcast(coarse_one))
+        .withColumn("g", F.array_min(dists)["g"])
+        .drop("__coarse")
+    )
+    return cents_g, coarse_one
+
+
+def ivf_assign2(
+    vecs: DataFrame,
+    cents_g: DataFrame,
+    coarse_one: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level Voronoi assignment: argmin over the ⌈√cells⌉ coarse
+    centroids picks a group, then argmin over that group's cells —
+    O(2√cells) distance folds per vector instead of O(cells), the
+    standard hierarchical-index shape (IVF coarse quantizer /
+    hierarchical k-means). Greedy, not exact — a vector near a group
+    boundary may land in a neighboring group's cell — which SemDeDup
+    tolerates by design (any deterministic partition works; the
+    oracle mirrors the identical two-step argmin). The coarse pick
+    g* is LET-BOUND via a one-element ``transform`` so it evaluates
+    exactly once per row: a ``withColumn("__g", …)`` would be
+    projection-collapsed into the fine filter's lambda and re-run
+    the coarse argmin per filtered ELEMENT (CLAUDE.md invariant 5 —
+    measured 5× slower before the binding)."""
+    cells_one = cents_g.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cell"), F.col("centroid"), F.col("g")))
+        ).alias("__cells")
+    )
+    gdists = F.transform(
+        F.col("__coarse"),
+        lambda c: F.struct(
+            _l2sq(F.col(vec_col), c["centroid"]).alias("d2"),
+            c["g"].alias("g"),
+        ),
+    )
+    gstar = F.array_min(gdists)["g"]
+    # let-binding: transform over a 1-element array binds g* to a
+    # lambda VARIABLE (evaluated once), which the nested filter
+    # references as a bound value, not an expression to re-evaluate
+    cell = F.element_at(
+        F.transform(
+            F.array(gstar),
+            lambda g: F.array_min(
+                F.transform(
+                    F.filter(F.col("__cells"), lambda c: c["g"] == g),
+                    lambda c: F.struct(
+                        _l2sq(F.col(vec_col), c["centroid"]).alias("d2"),
+                        c["cell"].alias("cell"),
+                    ),
+                )
+            )["cell"],
+        ),
+        1,
+    )
+    return (
+        vecs.crossJoin(F.broadcast(coarse_one))
+        .crossJoin(F.broadcast(cells_one))
+        .withColumn("cell", cell)
+        .drop("__coarse", "__cells")
+    )
+
+
+def ivf_fit2(emb: DataFrame, cells: int) -> DataFrame:
+    """``ivf_fit`` with two-level Lloyd assignment: identical seeds
+    and identical bounded means, but every corpus pass (each Lloyd
+    round AND the caller's final assignment) routes through the
+    ⌈√cells⌉ coarse tier — O(n·√cells) total distance work instead
+    of O(n·cells). With cells ∝ n (semantic_cell_count) that turns
+    the fit from ~quadratic to O(n^1.5) locally and O(n) once the
+    SEMANTIC_CELL_MAX clamp binds; this is what makes
+    corpus-proportional SemDeDup cells viable at 100 TB."""
+    from ..functions.text import hash64
+
+    nc = _n_coarse(cells)
+    meds = (
+        emb.select(
+            "vec_id", "embedding",
+            hash64(F.col("vec_id").cast("string")).alias("__h"),
+        )
+        .orderBy("__h", "vec_id")
+        .limit(cells)
+        .localCheckpoint(eager=True)  # `cells` rows; one TakeOrdered scan
+    )
+    wm = Window.orderBy("__h", "vec_id")
+    cents = meds.select(
+        (F.row_number().over(wm) - 1).alias("cell"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    for _ in range(IVF_LLOYD):
+        cents_g, coarse_one = ivf_coarse_groups(cents, nc)
+        members = (
+            ivf_assign2(emb.select("vec_id", "embedding"), cents_g, coarse_one)
+            .groupBy("cell")
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("vec_id"), F.col("embedding")))
+                    ),
+                    1, IVF_MEAN_CAP,
+                ).alias("__sl")
+            )
+        )
+        cents = members.select(
+            "cell",
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("__sl")[0]["embedding"])),
+                lambda d: F.aggregate(
+                    F.col("__sl"),
+                    F.lit(0.0),
+                    lambda acc, m: acc + F.element_at(m["embedding"], d).cast("double"),
+                )
+                / F.size(F.col("__sl")),
+            ).alias("centroid"),
+        ).localCheckpoint(eager=True)  # `cells` rows; one corpus pass
+    return cents
 
 
 def ivf_topk(
@@ -1031,10 +1206,133 @@ def _sql_ivf_assign(limit_expr: str) -> str:
         )"""
 
 
+def _sql_ivf_lloyd2(nc_expr: str) -> tuple[str, str]:
+    """CTE chain for the TWO-LEVEL Lloyd rounds — the DuckDB twin of
+    ivf_fit2: per round, coarse seeds (smallest-hash cells), cell→
+    coarse assignment, per-vector coarse pick, fine argmin among the
+    picked group's cells, then the same bounded sequential-fold
+    mean. Every argmin is a row_number over (d2, id) — identical
+    tie-breaks to Spark's struct array_min."""
+    parts = []
+    prev = "cents0"
+    for i in range(IVF_LLOYD):
+        nxt = f"cents{i + 1}"
+        parts.append(f"""
+        gseed{i} as materialized (
+          select row_number() over (order by ch, cell) - 1 as g,
+                 centroid as gcentroid
+          from (select cell, centroid,
+                       {sql_h64("cast(cell as varchar)")} as ch
+                from {prev} order by ch, cell limit {nc_expr})
+        ),
+        c2g{i} as materialized (
+          select cell, centroid, g from (
+            select c.cell, c.centroid, s.g,
+                   row_number() over (partition by c.cell
+                     order by {_sql_d2("c.centroid", "s.gcentroid")} asc,
+                              s.g asc) as rn
+            from {prev} c cross join gseed{i} s
+          ) where rn = 1
+        ),
+        gpick{i} as materialized (
+          select vec_id, g from (
+            select n.vec_id, s.g,
+                   row_number() over (partition by n.vec_id
+                     order by {_sql_d2("n.embedding", "s.gcentroid")} asc,
+                              s.g asc) as rn
+            from norms n cross join gseed{i} s
+          ) where rn = 1
+        ),
+        asg{i} as materialized (
+          select vec_id, embedding, cell from (
+            select n.vec_id, n.embedding, m.cell,
+                   row_number() over (partition by n.vec_id
+                     order by {_sql_d2("n.embedding", "m.centroid")} asc,
+                              m.cell asc) as rn
+            from norms n join gpick{i} p on n.vec_id = p.vec_id
+                         join c2g{i} m on m.g = p.g
+          ) where rn = 1
+        ),
+        {nxt} as materialized (
+          select cell,
+                 list_transform(range(1, len(sl[1]) + 1),
+                   d -> list_reduce(list_transform(sl, e -> e[d]::double),
+                                    (x, y) -> x + y) / len(sl)) as centroid
+          from (
+            select cell,
+                   (list(embedding order by vec_id))[1:{IVF_MEAN_CAP}] as sl
+            from asg{i} group by cell
+          )
+        )""")
+        prev = nxt
+    return ",".join(parts), prev
+
+
+def _sql_ivf_assign2(cells_expr: str, nc_expr: str) -> str:
+    """Two-level twin of _sql_ivf_assign — identical seeds and means,
+    hierarchical routing for every corpus pass (the ivf_fit2 /
+    ivf_assign2 shape)."""
+    rounds, final = _sql_ivf_lloyd2(nc_expr)
+    return f"""hashed as (
+          select vec_id, embedding, {sql_h64("vec_id::varchar")} as h
+          from embeddings
+        ),
+        cents0 as materialized (
+          select row_number() over (order by h, vec_id) - 1 as cell,
+                 list_transform(embedding, x -> x::double) as centroid
+          from (select * from hashed order by h, vec_id limit {cells_expr})
+        ),
+        norms as materialized (
+          select vec_id, embedding, {_SQL_IVF_NORM} as v_norm from embeddings
+        ),
+        {rounds},
+        gseedF as materialized (
+          select row_number() over (order by ch, cell) - 1 as g,
+                 centroid as gcentroid
+          from (select cell, centroid,
+                       {sql_h64("cast(cell as varchar)")} as ch
+                from {final} order by ch, cell limit {nc_expr})
+        ),
+        c2gF as materialized (
+          select cell, centroid, g from (
+            select c.cell, c.centroid, s.g,
+                   row_number() over (partition by c.cell
+                     order by {_sql_d2("c.centroid", "s.gcentroid")} asc,
+                              s.g asc) as rn
+            from {final} c cross join gseedF s
+          ) where rn = 1
+        ),
+        gpickF as materialized (
+          select vec_id, g from (
+            select n.vec_id, s.g,
+                   row_number() over (partition by n.vec_id
+                     order by {_sql_d2("n.embedding", "s.gcentroid")} asc,
+                              s.g asc) as rn
+            from norms n cross join gseedF s
+          ) where rn = 1
+        ),
+        assigned as materialized (
+          select vec_id, embedding, v_norm, cell from (
+            select n.vec_id, n.embedding, n.v_norm, m.cell,
+                   row_number() over (partition by n.vec_id
+                     order by {_sql_d2("n.embedding", "m.centroid")} asc,
+                              m.cell asc) as rn
+            from norms n join gpickF p on n.vec_id = p.vec_id
+                         join c2gF m on m.g = p.g
+          ) where rn = 1
+        )"""
+
+
 _SQL_CELLS_ADAPTIVE = (
     f"(select greatest({IVF_CELLS}, least({SEMANTIC_CELL_MAX}, "
     f"(count(*) + {SEMANTIC_CELL_TARGET - 1}) // {SEMANTIC_CELL_TARGET})) "
     "from embeddings)"
+)
+
+_SQL_NC_ADAPTIVE = (
+    f"(select greatest(2, cast(ceil(sqrt(greatest({IVF_CELLS}, "
+    f"least({SEMANTIC_CELL_MAX}, (count(*) + {SEMANTIC_CELL_TARGET - 1}) "
+    f"// {SEMANTIC_CELL_TARGET})))) as bigint)) from embeddings)"
 )
 
 SQL_ORACLES = {
@@ -1483,7 +1781,7 @@ SQL_ORACLES["video_meta"] = f"""
 """
 
 SQL_ORACLES["semantic_clusters"] = f"""
-    with recursive {_sql_ivf_assign(_SQL_CELLS_ADAPTIVE)},
+    with recursive {_sql_ivf_assign2(_SQL_CELLS_ADAPTIVE, _SQL_NC_ADAPTIVE)},
     pairs as (
       select a.vec_id as id1, b.vec_id as id2
       from assigned a join assigned b

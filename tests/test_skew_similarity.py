@@ -201,16 +201,21 @@ def test_semantic_clusters_buckets_on_learned_cells(spark):
     direct argmin against ivf_fit centroids."""
     from conftest import SF_SMOKE
     from rstreams_spark.queries.dedupq import (
-        ivf_assign, ivf_fit, semantic_cell_count, semantic_clusters,
+        _n_coarse, ivf_assign2, ivf_coarse_groups, ivf_fit2,
+        semantic_cell_count, semantic_clusters,
     )
     from rstreams_spark.queries._util import t
 
     emb = t(spark, SF_SMOKE, "embeddings")
-    # the SAME cell count the query fits — a fixed IVF_CELLS here
-    # would silently diverge once the corpus exceeds the clamp knee
+    # the SAME cell count AND the same two-level fit/assign path the
+    # query uses — a fixed IVF_CELLS or the flat ivf_fit here would
+    # silently diverge from the query's actual cells
     n_cells = semantic_cell_count(emb.count())
-    cells = ivf_assign(
-        emb.select("vec_id", "embedding"), ivf_fit(emb, n_cells)
+    cents_g, coarse_one = ivf_coarse_groups(
+        ivf_fit2(emb, n_cells), _n_coarse(n_cells)
+    )
+    cells = ivf_assign2(
+        emb.select("vec_id", "embedding"), cents_g, coarse_one
     )
     cmap = {r["vec_id"]: r["cell"] for r in cells.select("vec_id", "cell").collect()}
     assert set(cmap.values()) <= set(range(n_cells))
