@@ -39,9 +39,10 @@ from rstreams_spark.functions.text import (
     hash64, md5_fingerprint, token_chunks, tokens,
 )
 from rstreams_spark.queries._util import t
+from rstreams_spark.queries.dedupq import decontaminate_fuzzy
 from rstreams_spark.queries.textq import (
-    CHUNK_OVERLAP, CHUNK_SIZE, SPAN_KEY_MUL, SPAN_SIZE, SPLIT_SALT,
-    SPLIT_TRAIN_PCT, SPLIT_VAL_PCT,
+    BUDGET_SALT, CHUNK_OVERLAP, CHUNK_SIZE, SPAN_KEY_MUL, SPAN_SIZE,
+    SPLIT_SALT, SPLIT_TRAIN_PCT, SPLIT_VAL_PCT, TOKEN_BUDGET,
 )
 from rstreams_spark.session import get_spark
 
@@ -130,6 +131,13 @@ def run(spark, sf_dir: str) -> dict:
         .select("doc_id")
         .distinct()
     )
+    # fuzzy decontamination: near-DUPLICATES of eval docs that exact
+    # n-gram overlap misses (paraphrased/lightly-edited contamination)
+    # — the catalog operator slots straight into the funnel; its
+    # flagged ids union with the exact-overlap set before the
+    # anti-join (one pass, no extra scan of the survivors)
+    fuzzy_flagged = decontaminate_fuzzy(spark, sf_dir).select("doc_id")
+    contaminated = contaminated.unionByName(fuzzy_flagged).distinct()
     # clean feeds four downstream actions (span stats, packing,
     # chunking, split counts) — materialize once or each action
     # re-runs the whole dedup/decontamination pipeline (invariant 9;
@@ -209,6 +217,24 @@ def run(spark, sf_dir: str) -> dict:
         for r in mix.orderBy(F.desc("w"), "source").limit(3).collect()
     ]
 
+    # per-source token-budget sampling over the final corpus: the
+    # mixing step that turns weights into an actual training subset
+    # (hash-ordered greedy prefix per source — retry-stable, the
+    # catalog budget_sample shape on the pipeline's own frame)
+    wbud = (
+        Window.partitionBy("source")
+        .orderBy(F.col("__bh"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budgeted = (
+        clean.withColumn(
+            "__bh", hash64(F.col("doc_id").cast("string"), salt=BUDGET_SALT)
+        )
+        .withColumn("__cb", F.coalesce(F.sum("n_tokens").over(wbud), F.lit(0)))
+        .where(F.col("__cb") < TOKEN_BUDGET)
+    )
+    n_budget = budgeted.count()
+
     # deterministic train/val/test split over the final corpus — the
     # pre-training sanity gate (stable under retries: content hash,
     # never random())
@@ -228,6 +254,7 @@ def run(spark, sf_dir: str) -> dict:
     return {
         "raw": n_raw, "after_repetition": n_rep, "after_exact": n_exact,
         "after_near_dup": n_near, "after_decontam": n_clean,
+        "budget_sampled": n_budget,
         "dup_spans": span_cut["dup_spans"], "dup_tokens": span_cut["dup_tokens"],
         "bins": n_bins, "chunks": n_chunks, "top_mix": top_mix,
         "splits": splits,
@@ -243,7 +270,8 @@ def main() -> None:
         f"docs: {c['raw']} raw -> {c['after_repetition']} after repetition cut "
         f"-> {c['after_exact']} after exact dedup "
         f"-> {c['after_near_dup']} after near-dup clustering "
-        f"-> {c['after_decontam']} after decontamination "
+        f"-> {c['after_decontam']} after decontamination (exact+fuzzy) "
+        f"-> {c['budget_sampled']} in the per-source token budget "
         f"-> {c['bins']} packed bins, {c['chunks']} training chunks; "
         f"span dedup reclaims {c['dup_tokens']} tokens "
         f"({c['dup_spans']} duplicate spans); "

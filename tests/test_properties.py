@@ -355,3 +355,86 @@ def test_span_dedup_matches_sequential_model(spark, tmp_path, docs):
         for r in span_dedup(spark, sf).collect()
     }
     assert got == _span_model(token_docs)
+
+
+@given(
+    w=st.integers(min_value=0, max_value=4000),
+    h=st.integers(min_value=0, max_value=4000),
+    ts=st.integers(min_value=1, max_value=1_000_000),
+    dur=st.integers(min_value=0, max_value=10_000_000),
+    nf=st.integers(min_value=0, max_value=500),
+)
+@settings(max_examples=40, deadline=None)
+def test_video_container_roundtrip(w, h, ts, dur, nf):
+    """build→probe is the identity on every parameter combination,
+    and the closed-form byte sizes the DuckDB oracle relies on hold
+    exactly (no Spark session needed — pure container logic)."""
+    from rstreams_spark.functions.videohdr import (
+        AVI_FIXED_BYTES, MP4_FIXED_BYTES, build_avi, build_mp4, probe_video,
+    )
+
+    p = build_mp4(w, h, ts, dur, nf)
+    assert probe_video(p) == ("mp4", w, h, ts, dur, nf)
+    assert len(p) == MP4_FIXED_BYTES + 4 * nf
+    # truncating anywhere must never raise (malformed-input contract)
+    for cut in (0, 7, 8, len(p) // 2, len(p) - 1):
+        probe_video(p[:cut])
+
+    us = max(1, dur)
+    a = build_avi(w, h, us, nf)
+    assert probe_video(a) == ("avi", w, h, 1_000_000, us * nf, nf)
+    assert len(a) == AVI_FIXED_BYTES
+    for cut in (0, 11, 12, len(a) // 2, len(a) - 1):
+        probe_video(a[:cut])
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=50),  # doc_id base
+                  st.sampled_from(["a", "b", "c"]),        # source
+                  st.integers(min_value=0, max_value=40)), # n_tokens
+        min_size=1, max_size=30, unique_by=lambda t: t[0],
+    ),
+    budget=st.integers(min_value=1, max_value=200),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_budget_sample_model_on_random_corpora(spark, docs, budget):
+    """The greedy-prefix window formulation equals a sequential model
+    on arbitrary corpora — including zero-token docs (which never
+    consume budget but survive while budget remains) and sources far
+    under/over budget."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from rstreams_spark.functions.text import hash64
+    from rstreams_spark.queries.textq import BUDGET_SALT
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=s, n_tokens=n) for i, s, n in docs]
+    ).withColumn(
+        "__h", hash64(F.col("doc_id").cast("string"), salt=BUDGET_SALT)
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    got = {
+        r["doc_id"]: r["cb"]
+        for r in df.withColumn(
+            "cb", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        ).where(F.col("cb") < budget).collect()
+    }
+    hashes = {r["doc_id"]: r["__h"] for r in df.select("doc_id", "__h").collect()}
+    want = {}
+    per_src: dict = {}
+    for i, s, n in docs:
+        per_src.setdefault(s, []).append((i, n))
+    for s, rows in per_src.items():
+        cum = 0
+        for i, n in sorted(rows, key=lambda x: (hashes[x[0]], x[0])):
+            if cum < budget:
+                want[i] = cum
+            cum += n
+    assert got == want
