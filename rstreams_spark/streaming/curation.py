@@ -29,7 +29,7 @@ from ..queries.textq import (
     REP_DUP3_DEN, REP_DUP3_NUM, REP_TOP2_DEN, REP_TOP2_NUM,
 )
 
-__all__ = ["stream_quality_repetition", "stream_source_mix"]
+__all__ = ["stream_quality_repetition", "stream_source_mix", "stream_budget_sample"]
 
 _NORM_RE = re.compile(r"[^a-z0-9]+")
 
@@ -115,5 +115,76 @@ def stream_source_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.size(tokens(F.col(text_col))).cast("long")).alias("n_tokens"),
+        )
+    )
+
+
+def stream_budget_sample(
+    df: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Live per-source token-budget admission — the streaming
+    counterpart of ``queries.textq.budget_sample``: each source
+    admits documents while its cumulative admitted token count is
+    under ``budget`` (prior-sum semantics: a doc is admitted when
+    the running total BEFORE it is < budget, so every source admits
+    ≥1 doc and only the last admitted doc can overflow). Once a
+    source's budget is exhausted every later doc is dropped — the
+    ingest-time mixing gate.
+
+    Arrival order is the admission order (on a live firehose "first
+    seen" IS the order — cf. ``stream_span_dedup``); within a
+    microbatch rows are processed in global (ts, id) order across
+    Arrow chunks (CLAUDE.md invariant 7: chunks concatenate BEFORE
+    the sort), so a bounded replay is deterministic. The batch twin
+    orders by content hash instead — replaying events in hash order
+    reproduces the batch keeper set exactly (parity-tested). State
+    is ONE long per source; output mode append.
+    """
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = (
+        f"{source_col} string, {id_col} {id_type}, "
+        f"{tokens_col} bigint, cum_before bigint"
+    )
+
+    def fn(group_key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        cum = state.get[0] if state.exists else 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        whole = (
+            pd.concat(chunks).sort_values([ts_col, id_col])
+            if chunks
+            else pd.DataFrame()
+        )
+        ids, toks, cbs = [], [], []
+        if len(whole):
+            for i, n in zip(whole[id_col], whole[tokens_col]):
+                if cum < budget:
+                    ids.append(i)
+                    toks.append(int(n))
+                    cbs.append(cum)
+                cum += int(n)
+        state.update((cum,))
+        yield pd.DataFrame(
+            {
+                source_col: [group_key[0]] * len(ids),
+                id_col: ids,
+                tokens_col: toks,
+                "cum_before": cbs,
+            }
+        )
+
+    return (
+        df.select(source_col, id_col, ts_col, tokens_col)
+        .groupBy(source_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="cum long",
+            outputMode="append",
+            timeoutConf="NoTimeout",
         )
     )

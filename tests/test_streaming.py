@@ -1075,3 +1075,62 @@ def test_tws_gap_detect_matches_applyinpandas(spark, tmp_path):
         for r in spark.sql("select * from tws_gap").collect()
     }
     assert got == {("b", 1)}
+
+
+def test_stream_budget_sample_matches_batch_on_hash_order_replay(spark, tmp_path):
+    """Replaying the corpus in the batch twin's (hash, doc_id) order
+    makes the live per-source budget gate admit EXACTLY the batch
+    budget_sample keeper set with identical cum_before values — and
+    state carries across microbatches (the second batch's docs see
+    the first batch's accumulated budget)."""
+    import json as _json
+
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+    from rstreams_spark.functions.text import hash64
+    from rstreams_spark.queries._util import t
+    from rstreams_spark.queries.textq import (
+        BUDGET_SALT, TOKEN_BUDGET, _ws_tokens, budget_sample,
+    )
+    from rstreams_spark.streaming.curation import stream_budget_sample
+
+    base = t(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source",
+        F.size(_ws_tokens()).cast("long").alias("n_tokens"),
+        hash64(F.col("doc_id").cast("string"), salt=BUDGET_SALT).alias("h"),
+    )
+    rows = sorted(base.collect(), key=lambda r: (r["h"], r["doc_id"]))
+    # hash order becomes event-time order; split into two microbatch
+    # files so the budget state must survive a batch boundary
+    src = tmp_path / "budget_src"
+    src.mkdir()
+    half = len(rows) // 2
+    for bi, part in enumerate((rows[:half], rows[half:])):
+        with open(src / f"b{bi}.json", "w") as f:
+            for i, r in enumerate(part):
+                f.write(_json.dumps({
+                    "doc_id": r["doc_id"], "source": r["source"],
+                    "n_tokens": r["n_tokens"],
+                    "ts": (bi * len(rows) + i) * 1000,
+                }) + "\n")
+    stream = spark.readStream.schema(
+        "doc_id bigint, source string, n_tokens bigint, ts bigint"
+    ).option("maxFilesPerTrigger", 1).json(str(src))
+    q = (
+        stream_budget_sample(stream, TOKEN_BUDGET)
+        .writeStream.format("memory").queryName("budget_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "budget_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    live = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["cum_before"])
+        for r in spark.sql("select * from budget_out").collect()
+    }
+    batch = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["cum_before"])
+        for r in budget_sample(spark, SF_SMOKE).collect()
+    }
+    assert live == batch
