@@ -29,7 +29,11 @@ from ..queries.textq import (
     REP_DUP3_DEN, REP_DUP3_NUM, REP_TOP2_DEN, REP_TOP2_NUM,
 )
 
-__all__ = ["stream_quality_repetition", "stream_source_mix", "stream_budget_sample"]
+__all__ = [
+    "stream_quality_repetition", "stream_source_mix",
+    "stream_budget_sample", "eval_gram_broadcast",
+    "stream_decontaminate_ngrams",
+]
 
 _NORM_RE = re.compile(r"[^a-z0-9]+")
 
@@ -188,3 +192,63 @@ def stream_budget_sample(
             timeoutConf="NoTimeout",
         )
     )
+
+
+def eval_gram_broadcast(spark, eval_docs: DataFrame, text_col: str = "text",
+                        n: int = 3):
+    """Broadcast the distinct word n-grams of a (bounded, static)
+    eval/benchmark shard as a frozenset — the exact-set version of
+    the ingest-time contamination filter. Eval sets are benchmark-
+    sized by contract (≪ corpus); at the point the exact set no
+    longer fits an executor, the same grams feed a Bloom filter
+    instead (identical call shape, probabilistic drop) — the exact
+    set is also the oracle for that Bloom variant."""
+    from ..functions.dedup import doc_shingles
+
+    grams = (
+        doc_shingles(eval_docs, text_col, n)
+        .select("shingle")
+        .distinct()
+        .collect()
+    )
+    return spark.sparkContext.broadcast(frozenset(r["shingle"] for r in grams))
+
+
+def _py_shingles(text: str, n: int) -> set:
+    """Python mirror of functions.text.tokens + shingles: lowercase,
+    non-alphanumeric runs → one space, whitespace split, space-joined
+    n-grams. Must stay normalization-identical to the batch path or
+    the stream gate diverges from the oracle-verified flagging."""
+    toks = _NORM_RE.sub(" ", text.lower()).strip().split()
+    return {
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    }
+
+
+def stream_decontaminate_ngrams(
+    df: DataFrame,
+    eval_grams,  # broadcast from eval_gram_broadcast
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Live train/eval decontamination — the streaming counterpart of
+    ``queries.dedupq.decontaminate_ngrams`` as an INGEST-TIME gate:
+    any document sharing a word ``n``-gram with the broadcast eval
+    set is dropped before it ever lands in the corpus. Stateless
+    Arrow ``mapInPandas`` (append-safe, no watermark, no shuffle, no
+    state store): each task checks its own batch against the
+    broadcast set — the embarrassingly-parallel 100 TB ingest shape,
+    and the first gram hit short-circuits the scan of a document's
+    gram set."""
+    schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ev = eval_grams.value
+        for pdf in batches:
+            keep = [
+                not any(g in ev for g in _py_shingles(txt, n))
+                for txt in pdf[text_col]
+            ]
+            yield pdf[keep]
+
+    return df.mapInPandas(run, schema)

@@ -1134,3 +1134,45 @@ def test_stream_budget_sample_matches_batch_on_hash_order_replay(spark, tmp_path
         for r in budget_sample(spark, SF_SMOKE).collect()
     }
     assert live == batch
+
+
+def test_stream_decontaminate_ngrams_matches_batch(spark, tmp_path):
+    """The live ingest gate keeps exactly the documents the batch
+    decontaminate_ngrams query does NOT flag (same n, same train
+    side), proving the Python gram mirror is normalization-identical
+    to the oracle-verified Spark path."""
+    import json as _json
+
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+    from rstreams_spark.queries._util import t
+    from rstreams_spark.queries.dedupq import (
+        DECON_EVAL_SOURCE, DECON_N, decontaminate_ngrams,
+    )
+    from rstreams_spark.streaming.curation import (
+        eval_gram_broadcast, stream_decontaminate_ngrams,
+    )
+
+    docs = t(spark, SF_SMOKE, "documents")
+    ev = docs.where(F.col("source") == DECON_EVAL_SOURCE)
+    bc = eval_gram_broadcast(spark, ev, n=DECON_N)
+
+    train = docs.where(F.col("source") != DECON_EVAL_SOURCE)
+    src = tmp_path / "decon_src"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for r in train.select("doc_id", "text").collect():
+            f.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+    stream = spark.readStream.schema("doc_id bigint, text string").json(str(src))
+    q = (
+        stream_decontaminate_ngrams(stream, bc, n=DECON_N)
+        .writeStream.format("memory").queryName("decon_out")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    live_kept = {r["doc_id"] for r in spark.sql("select doc_id from decon_out").collect()}
+    flagged = {r["doc_id"] for r in decontaminate_ngrams(spark, SF_SMOKE).collect()}
+    all_train = {r["doc_id"] for r in train.select("doc_id").collect()}
+    assert live_kept == all_train - flagged
+    assert flagged  # non-vacuous: the corpus really has contamination
