@@ -39,10 +39,10 @@ from rstreams_spark.functions.text import (
     hash64, md5_fingerprint, token_chunks, tokens,
 )
 from rstreams_spark.queries._util import t
-from rstreams_spark.queries.dedupq import decontaminate_fuzzy
+from rstreams_spark.queries.dedupq import fuzzy_contaminated
 from rstreams_spark.queries.textq import (
-    BUDGET_SALT, CHUNK_OVERLAP, CHUNK_SIZE, SPAN_KEY_MUL, SPAN_SIZE,
-    SPLIT_SALT, SPLIT_TRAIN_PCT, SPLIT_VAL_PCT, TOKEN_BUDGET,
+    CHUNK_OVERLAP, CHUNK_SIZE, SPAN_KEY_MUL, SPAN_SIZE, SPLIT_SALT,
+    SPLIT_TRAIN_PCT, SPLIT_VAL_PCT, TOKEN_BUDGET, budget_prefix,
 )
 from rstreams_spark.session import get_spark
 
@@ -132,11 +132,19 @@ def run(spark, sf_dir: str) -> dict:
         .distinct()
     )
     # fuzzy decontamination: near-DUPLICATES of eval docs that exact
-    # n-gram overlap misses (paraphrased/lightly-edited contamination)
-    # — the catalog operator slots straight into the funnel; its
+    # n-gram overlap misses (paraphrased/lightly-edited
+    # contamination). The frame-parameterized operator runs on
+    # exactly (train survivors ∪ eval shard) — the signature pass
+    # never re-scans docs the earlier funnel stages already dropped
+    # (at 100 TB a full-corpus re-shingle would dominate the stage);
     # flagged ids union with the exact-overlap set before the
-    # anti-join (one pass, no extra scan of the survivors)
-    fuzzy_flagged = decontaminate_fuzzy(spark, sf_dir).select("doc_id")
+    # anti-join
+    corpus = train.select("doc_id", "text").unionByName(
+        full.where(F.col("source") == "src0").select("doc_id", "text")
+    )
+    fuzzy_flagged = fuzzy_contaminated(
+        corpus, full.where(F.col("source") == "src0").select("doc_id")
+    ).select("doc_id")
     contaminated = contaminated.unionByName(fuzzy_flagged).distinct()
     # clean feeds four downstream actions (span stats, packing,
     # chunking, split counts) — materialize once or each action
@@ -219,20 +227,10 @@ def run(spark, sf_dir: str) -> dict:
 
     # per-source token-budget sampling over the final corpus: the
     # mixing step that turns weights into an actual training subset
-    # (hash-ordered greedy prefix per source — retry-stable, the
-    # catalog budget_sample shape on the pipeline's own frame)
-    wbud = (
-        Window.partitionBy("source")
-        .orderBy(F.col("__bh"), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    budgeted = (
-        clean.withColumn(
-            "__bh", hash64(F.col("doc_id").cast("string"), salt=BUDGET_SALT)
-        )
-        .withColumn("__cb", F.coalesce(F.sum("n_tokens").over(wbud), F.lit(0)))
-        .where(F.col("__cb") < TOKEN_BUDGET)
-    )
+    # (hash-ordered greedy prefix per source — retry-stable; the ONE
+    # shared formulation, budget_prefix, applied to the pipeline's
+    # own frame)
+    budgeted = budget_prefix(clean, TOKEN_BUDGET)
     n_budget = budgeted.count()
 
     # deterministic train/val/test split over the final corpus — the

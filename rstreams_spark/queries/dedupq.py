@@ -262,9 +262,12 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shape semantic dedup (Abbas et al. 2023, "SemDeDup:
     Data-efficient learning at web-scale through semantic
-    deduplication"): assign every embedding to its k-means cell
-    (``ivf_fit``/``ivf_assign`` — the same deterministic sampled-
-    Lloyd index the ANN path uses), find embedding-cosine near-dup
+    deduplication"): assign every embedding to its k-means cell via
+    the HIERARCHICAL index (``ivf_fit2``/``ivf_assign2`` — same
+    deterministic seeds and bounded means as the ANN path's flat
+    ``ivf_fit``, but every corpus pass routes through a ⌈√cells⌉
+    coarse tier, and the assignment is the greedy two-step argmin,
+    not the exact nearest cell), find embedding-cosine near-dup
     pairs (cos ≥ τ) WITHIN each cell, connected components over the
     pair graph, keep-one-per-cluster labeling with the min vec_id as
     the canonical survivor. The embedding-space twin of
@@ -968,48 +971,67 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (no rounding involved, CLAUDE.md invariant 2).
     """
     docs = t(spark, sf_dir, "documents")
-    sh = doc_shingles(docs, "text", 2)
-    sig = minhash_signature(sh, NUM_PERM, with_hash_set=True).localCheckpoint(False)
     ev_ids = docs.where(F.col("source") == DECON_EVAL_SOURCE).select("doc_id")
-    bands = lsh_band_rows(sig, NUM_PERM, BANDS)
+    return fuzzy_contaminated(docs, ev_ids)
+
+
+def fuzzy_contaminated(
+    corpus: DataFrame,
+    ev_ids: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau: float = DECON_FUZZY_TAU,
+) -> DataFrame:
+    """Frame-parameterized body of ``decontaminate_fuzzy``: corpus =
+    train docs ∪ eval docs (ids distinct across sides), ``ev_ids``
+    marks the eval side. A pipeline that has already filtered its
+    training survivors passes exactly (survivors ∪ eval shard) — the
+    signature pass then touches only those documents, never the raw
+    corpus (the catalog query passes the whole table because its
+    contract is table-level)."""
+    sh = doc_shingles(corpus, text_col, 2, id_col=id_col)
+    sig = minhash_signature(
+        sh, NUM_PERM, id_col=id_col, with_hash_set=True
+    ).localCheckpoint(False)
+    bands = lsh_band_rows(sig, NUM_PERM, BANDS, id_col=id_col)
     wb = Window.partitionBy("band_idx", "band_key")
     ev_bands = (
-        bands.join(ev_ids, "doc_id")
-        .select(F.col("doc_id").alias("eval_id"), "band_idx", "band_key")
+        bands.join(ev_ids, id_col)
+        .select(F.col(id_col).alias("eval_id"), "band_idx", "band_key")
         .withColumn("__m", F.count("*").over(wb))
         .where(F.col("__m") <= LSH_BUCKET_CAP)
         .drop("__m")
     )
-    tr_bands = bands.join(ev_ids, "doc_id", "left_anti")
+    tr_bands = bands.join(ev_ids, id_col, "left_anti")
     cands = (
         tr_bands.join(ev_bands, ["band_idx", "band_key"])
-        .select("doc_id", "eval_id")
+        .select(id_col, "eval_id")
         .distinct()
     )
     sets = sig.select(
-        "doc_id",
+        id_col,
         F.col("__shset").alias("shset"),
         F.size("__shset").cast("long").alias("n"),
     )
-    s1 = sets.select("doc_id", F.col("shset").alias("s1"), F.col("n").alias("n1"))
+    s1 = sets.select(id_col, F.col("shset").alias("s1"), F.col("n").alias("n1"))
     s2 = sets.select(
-        F.col("doc_id").alias("eval_id"),
+        F.col(id_col).alias("eval_id"),
         F.col("shset").alias("s2"),
         F.col("n").alias("n2"),
     )
     inter = F.size(F.array_intersect(F.col("s1"), F.col("s2")))
     jac = inter / (F.col("n1") + F.col("n2") - inter)
     verified = (
-        cands.join(s1, "doc_id")
+        cands.join(s1, id_col)
         .join(s2, "eval_id")
-        .select("doc_id", "eval_id", jac.alias("jac"))
-        .where(F.col("jac") >= DECON_FUZZY_TAU)
+        .select(id_col, "eval_id", jac.alias("jac"))
+        .where(F.col("jac") >= tau)
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("jac").desc(), F.col("eval_id"))
+    w = Window.partitionBy(id_col).orderBy(F.col("jac").desc(), F.col("eval_id"))
     return (
         verified.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .select("doc_id", "eval_id", F.col("jac").alias("jaccard"))
+        .select(id_col, "eval_id", F.col("jac").alias("jaccard"))
     )
 
 

@@ -680,6 +680,40 @@ TOKEN_BUDGET = 600   # per-source whitespace-token budget
 BUDGET_SALT = 11     # distinct hash domain from dataset_split
 
 
+def budget_prefix(
+    df: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    salt: int = BUDGET_SALT,
+) -> DataFrame:
+    """Frame-level greedy-prefix budget gate — THE formulation (one
+    per-source window cumsum over hash order, filtered on the PRIOR
+    sum) shared by the catalog query, the example pipeline and the
+    property test, so the three can never drift apart. Input needs
+    (source, id, token-count) columns; output keeps every input
+    column plus ``cum_before``."""
+    from ..functions.text import hash64
+
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("__bh", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn(
+            "__bh", hash64(F.col(id_col).cast("string"), salt=salt)
+        )
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.sum(tokens_col).over(w), F.lit(0)),
+        )
+        .where(F.col("cum_before") < budget)
+        .drop("__bh")
+    )
+
+
 def budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget sampling — the mixing step that turns
     source_mix's weights into an actual training subset (Pile/Dolma-
@@ -699,24 +733,11 @@ def budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     PRIOR sum so the plan stays a single window pass — no join-back,
     no second scan.
     """
-    from ..functions.text import hash64
-
     docs = t(spark, sf_dir, "documents")
     ws = F.size(_ws_tokens()).cast("long")
-    base = docs.select(
-        "doc_id", "source", ws.alias("n_tokens"),
-        hash64(F.col("doc_id").cast("string"), salt=BUDGET_SALT).alias("__h"),
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("__h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return (
-        base.withColumn("cum_before", cum_before)
-        .where(F.col("cum_before") < TOKEN_BUDGET)
-        .select("doc_id", "source", "n_tokens", "cum_before")
+    base = docs.select("doc_id", "source", ws.alias("n_tokens"))
+    return budget_prefix(base, TOKEN_BUDGET).select(
+        "doc_id", "source", "n_tokens", "cum_before"
     )
 
 

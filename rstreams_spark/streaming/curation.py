@@ -158,19 +158,28 @@ def stream_budget_sample(
     def fn(group_key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         cum = state.get[0] if state.exists else 0
         chunks = [pdf for pdf in pdfs if len(pdf)]
+        # NULL-robust: a record missing ts sorts FIRST (deterministic,
+        # never NaN-last-by-accident), a missing token count consumes
+        # no budget but may be admitted — the batch twin computes
+        # n_tokens itself and can never see null, so the live gate
+        # must not die on a malformed record (pd.isna covers the
+        # None→NaN coercion Arrow applies to nullable numerics)
         whole = (
-            pd.concat(chunks).sort_values([ts_col, id_col])
+            pd.concat(chunks).sort_values(
+                [ts_col, id_col], na_position="first"
+            )
             if chunks
             else pd.DataFrame()
         )
         ids, toks, cbs = [], [], []
         if len(whole):
             for i, n in zip(whole[id_col], whole[tokens_col]):
+                n = 0 if pd.isna(n) else int(n)
                 if cum < budget:
                     ids.append(i)
-                    toks.append(int(n))
+                    toks.append(n)
                     cbs.append(cum)
-                cum += int(n)
+                cum += n
         state.update((cum,))
         yield pd.DataFrame(
             {
@@ -197,8 +206,11 @@ def stream_budget_sample(
 def eval_gram_broadcast(spark, eval_docs: DataFrame, text_col: str = "text",
                         n: int = 3):
     """Broadcast the distinct word n-grams of a (bounded, static)
-    eval/benchmark shard as a frozenset — the exact-set version of
-    the ingest-time contamination filter. Eval sets are benchmark-
+    eval/benchmark shard as ``(n, frozenset)`` — the exact-set
+    version of the ingest-time contamination filter. ``n`` rides
+    INSIDE the payload so the consuming gate can never check k-grams
+    against a j-gram set (a mismatch would silently disable the gate
+    — zero strings match, zero docs drop). Eval sets are benchmark-
     sized by contract (≪ corpus); at the point the exact set no
     longer fits an executor, the same grams feed a Bloom filter
     instead (identical call shape, probabilistic drop) — the exact
@@ -211,42 +223,49 @@ def eval_gram_broadcast(spark, eval_docs: DataFrame, text_col: str = "text",
         .distinct()
         .collect()
     )
-    return spark.sparkContext.broadcast(frozenset(r["shingle"] for r in grams))
+    return spark.sparkContext.broadcast(
+        (n, frozenset(r["shingle"] for r in grams))
+    )
 
 
-def _py_shingles(text: str, n: int) -> set:
-    """Python mirror of functions.text.tokens + shingles: lowercase,
-    non-alphanumeric runs → one space, whitespace split, space-joined
-    n-grams. Must stay normalization-identical to the batch path or
-    the stream gate diverges from the oracle-verified flagging."""
+def _iter_shingles(text, n: int):
+    """Python mirror of functions.text.tokens + shingles, as a
+    GENERATOR: lowercase, non-alphanumeric runs → one space,
+    whitespace split, space-joined n-grams, yielded lazily so a
+    membership ``any()`` genuinely stops at the first contaminated
+    gram (the hot drop path of the ingest gate never builds the full
+    set). Must stay normalization-identical to the batch path or the
+    stream gate diverges from the oracle-verified flagging. Non-str
+    payloads (NULL text → None/NaN) yield nothing — the batch twin's
+    tokens(null) likewise produces no shingles, so such docs pass."""
+    if not isinstance(text, str):
+        return
     toks = _NORM_RE.sub(" ", text.lower()).strip().split()
-    return {
-        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
-    }
+    for i in range(len(toks) - n + 1):
+        yield " ".join(toks[i : i + n])
 
 
 def stream_decontaminate_ngrams(
     df: DataFrame,
     eval_grams,  # broadcast from eval_gram_broadcast
-    n: int = 3,
     text_col: str = "text",
 ) -> DataFrame:
     """Live train/eval decontamination — the streaming counterpart of
     ``queries.dedupq.decontaminate_ngrams`` as an INGEST-TIME gate:
-    any document sharing a word ``n``-gram with the broadcast eval
-    set is dropped before it ever lands in the corpus. Stateless
-    Arrow ``mapInPandas`` (append-safe, no watermark, no shuffle, no
-    state store): each task checks its own batch against the
-    broadcast set — the embarrassingly-parallel 100 TB ingest shape,
-    and the first gram hit short-circuits the scan of a document's
-    gram set."""
+    any document sharing a word n-gram with the broadcast eval set
+    (built by ``eval_gram_broadcast``, which fixes ``n``) is dropped
+    before it ever lands in the corpus. Stateless Arrow
+    ``mapInPandas`` (append-safe, no watermark, no shuffle, no state
+    store): each task checks its own batch against the broadcast set
+    — the embarrassingly-parallel 100 TB ingest shape — and the
+    lazy gram generator lets the first hit short-circuit."""
     schema = df.schema
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ev = eval_grams.value
+        n, ev = eval_grams.value
         for pdf in batches:
             keep = [
-                not any(g in ev for g in _py_shingles(txt, n))
+                not any(g in ev for g in _iter_shingles(txt, n))
                 for txt in pdf[text_col]
             ]
             yield pdf[keep]

@@ -406,27 +406,26 @@ def test_budget_sample_model_on_random_corpora(spark, docs, budget):
     under/over budget."""
     from pyspark.sql import Row
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
     from rstreams_spark.functions.text import hash64
-    from rstreams_spark.queries.textq import BUDGET_SALT
+    from rstreams_spark.queries.textq import BUDGET_SALT, budget_prefix
 
     df = spark.createDataFrame(
         [Row(doc_id=i, source=s, n_tokens=n) for i, s, n in docs]
-    ).withColumn(
-        "__h", hash64(F.col("doc_id").cast("string"), salt=BUDGET_SALT)
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("__h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # the PRODUCTION helper under test — not an inline re-derivation
+    # (an inline copy would keep passing if the catalog formulation
+    # drifted)
     got = {
-        r["doc_id"]: r["cb"]
-        for r in df.withColumn(
-            "cb", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-        ).where(F.col("cb") < budget).collect()
+        r["doc_id"]: r["cum_before"]
+        for r in budget_prefix(df, budget).collect()
     }
-    hashes = {r["doc_id"]: r["__h"] for r in df.select("doc_id", "__h").collect()}
+    hashes = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id",
+            hash64(F.col("doc_id").cast("string"), salt=BUDGET_SALT).alias("h"),
+        ).collect()
+    }
     want = {}
     per_src: dict = {}
     for i, s, n in docs:

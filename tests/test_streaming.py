@@ -1104,15 +1104,24 @@ def test_stream_budget_sample_matches_batch_on_hash_order_replay(spark, tmp_path
     # files so the budget state must survive a batch boundary
     src = tmp_path / "budget_src"
     src.mkdir()
+    import os as _os
+    import time as _time
+
     half = len(rows) // 2
+    now = _time.time()
     for bi, part in enumerate((rows[:half], rows[half:])):
-        with open(src / f"b{bi}.json", "w") as f:
+        fp = src / f"b{bi}.json"
+        with open(fp, "w") as f:
             for i, r in enumerate(part):
                 f.write(_json.dumps({
                     "doc_id": r["doc_id"], "source": r["source"],
                     "n_tokens": r["n_tokens"],
                     "ts": (bi * len(rows) + i) * 1000,
                 }) + "\n")
+        # FileStreamSource orders new files by mtime with no path
+        # tie-break; back-to-back writes can land in one millisecond
+        # and flip batch order — pin distinct mtimes explicitly
+        _os.utime(fp, (now + bi, now + bi))
     stream = spark.readStream.schema(
         "doc_id bigint, source string, n_tokens bigint, ts bigint"
     ).option("maxFilesPerTrigger", 1).json(str(src))
@@ -1165,7 +1174,7 @@ def test_stream_decontaminate_ngrams_matches_batch(spark, tmp_path):
             f.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
     stream = spark.readStream.schema("doc_id bigint, text string").json(str(src))
     q = (
-        stream_decontaminate_ngrams(stream, bc, n=DECON_N)
+        stream_decontaminate_ngrams(stream, bc)
         .writeStream.format("memory").queryName("decon_out")
         .outputMode("append").start()
     )
