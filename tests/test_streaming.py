@@ -258,6 +258,15 @@ def test_multimodal_stages_are_streaming_legal(spark, tmp_path):
     assert got[1]["format"] == "wav"
     assert got[1]["sample_rate"] == 8000 + (d[0] % 8) * 1000
     assert got[2]["format"] == "wav"
+    # the video stages run on the same live stream (r5): container
+    # build + box/chunk probe are equally stateless
+    vout = multimodal.extract_video_meta(multimodal.with_video_payload(stream))
+    qv = writers.stream_to_memory(vout, "mmv_out", "append")
+    _run(qv)
+    vgot = {r["doc_id"]: r for r in spark.sql("select * from mmv_out").collect()}
+    assert vgot[1]["format"] == ("mp4" if d[0] % 2 == 0 else "avi")
+    assert vgot[1]["width"] == 160 + 16 * (d[1] % 8)
+    assert vgot[2]["format"] in ("mp4", "avi")
 
 
 def test_stream_gap_detect_event_time_timeout(spark, tmp_path):
