@@ -3,6 +3,8 @@ front gates running live on a document stream:
 
   document stream → repetition cut (stateless Gopher scorer)
                   → exact dedup (watermarked state, first copy wins)
+                  → eval decontamination (broadcast n-gram gate)
+                  → per-source token-budget admission (r5)
                   → (sink: what a lakehouse writer would commit)
 
 Everything here is streaming-legal and shuffle-light: the
@@ -24,10 +26,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+from pyspark.sql import functions as F
+
 from rstreams_spark.queries._util import t
 from rstreams_spark.session import get_spark
 from rstreams_spark.sinks import writers
-from rstreams_spark.streaming.curation import stream_quality_repetition
+from rstreams_spark.streaming.curation import (
+    eval_gram_broadcast, stream_budget_sample, stream_decontaminate_ngrams,
+    stream_quality_repetition,
+)
 from rstreams_spark.streaming.dedup import stream_dedup_exact
 
 
@@ -43,11 +50,12 @@ def main() -> None:
     n_raw = docs.count()
     (
         docs.selectExpr(
-            "doc_id", "text", "timestamp '2024-01-01' + interval 1 second * doc_id as ts"
+            "doc_id", "text", "source",
+            "timestamp '2024-01-01' + interval 1 second * doc_id as ts",
         ).write.json(str(docs_dir))
     )
     stream = spark.readStream.schema(
-        "doc_id bigint, text string, ts timestamp"
+        "doc_id bigint, text string, source string, ts timestamp"
     ).json(str(docs_dir))
 
     # gate 1: repetition cut — stateless, per-batch parallel
@@ -66,10 +74,39 @@ def main() -> None:
     q2.stop()
     n_dedup = spark.sql("select count(*) n from dedup_kept").collect()[0]["n"]
 
+    # gate 3: eval decontamination at ingest — the eval shard's
+    # n-grams broadcast once (static), each arriving doc checked
+    # statelessly; n rides inside the broadcast payload
+    ev_docs = docs.where(F.col("source") == "src0")
+    bc = eval_gram_broadcast(spark, ev_docs, n=3)
+    decon = stream_decontaminate_ngrams(
+        stream.where(F.col("source") != "src0"), bc
+    )
+    q3 = writers.stream_to_memory(decon, "decon_kept", "append")
+    q3.processAllAvailable()
+    q3.stop()
+    n_decon = spark.sql("select count(*) n from decon_kept").collect()[0]["n"]
+
+    # gate 4: per-source token-budget admission — one long of state
+    # per source; arrival order is the admission order
+    budgeted = stream_budget_sample(
+        stream.withColumn(
+            "n_tokens",
+            F.size(F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))).cast("long"),
+        ),
+        budget=600,
+    )
+    q4 = writers.stream_to_memory(budgeted, "budget_kept", "append")
+    q4.processAllAvailable()
+    q4.stop()
+    n_budget = spark.sql("select count(*) n from budget_kept").collect()[0]["n"]
+
     print(
         f"[ingest] {n_raw} arriving docs -> {n_rep} past the repetition "
-        f"gate, {n_dedup} past exact dedup (gates run independently here; "
-        "chain them behind one sink in production)"
+        f"gate, {n_dedup} past exact dedup, {n_decon} past eval "
+        f"decontamination, {n_budget} admitted by the per-source token "
+        "budget (gates run independently here; chain them behind one "
+        "sink in production)"
     )
 
 
