@@ -380,3 +380,27 @@ def test_ngram_jaccard_shingles_reused(spark):
     txt = plans.explain_str(df)
     assert txt.count("ExistingRDD") >= 4
     assert "FileScan" not in txt
+
+
+def test_r5_new_query_plan_shapes(spark):
+    """Plan discipline for the r5 additions (invariant 6):
+    video_meta pipelines with the scan (zero exchanges — two
+    stateless mapInPandas stages); budget_sample is exactly ONE
+    shuffle (the per-source window) with no joins; and
+    decontaminate_fuzzy materializes its signature frame once
+    (ExistingRDD present — without it the banding and both verify
+    sides would each re-shingle the corpus) with no cartesian
+    product."""
+    df_v = REGISTRY["video_meta"](spark, SF_SMOKE)
+    assert plans.count_shuffles(df_v) == 0
+    assert plans.count_broadcast_joins(df_v) == 0
+
+    df_b = REGISTRY["budget_sample"](spark, SF_SMOKE)
+    assert plans.count_shuffles(df_b) == 1
+    assert plans.count_broadcast_joins(df_b) == 0
+    assert plans.count_shuffled_joins(df_b) == 0
+
+    df_f = REGISTRY["decontaminate_fuzzy"](spark, SF_SMOKE)
+    txt = plans.explain_str(df_f)
+    assert "ExistingRDD" in txt      # the materialized signature frame
+    assert "CartesianProduct" not in txt
