@@ -47,6 +47,8 @@ HEADLINERS = [
     # r5: fuzzy minhash-LSH train/eval decontamination (bipartite
     # band join + exact verify on candidates); MP4/AVI metadata probe
     "decontaminate_fuzzy", "video_meta", "budget_sample",
+    # r5: UCR-style z-normalized subsequence search over events
+    "ts_similarity_topk",
 ]
 
 

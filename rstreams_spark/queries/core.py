@@ -783,8 +783,113 @@ def split_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stateless.merge(*branches)
 
 
+TSM_W = 8     # subsequence length
+TSM_K = 10    # global top-k matches
+TSM_QUERY_USER = 0  # the query pattern = this user's first window
+
+
+def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (the UCR-suite
+    shape: z-normalized Euclidean distance between a query pattern
+    and every length-W sliding window of every series): the query is
+    user 0's first W values; output = the global top-K most similar
+    windows across all users (the query window itself excluded).
+    Complements the embedding ANN family with the raw-signal motif
+    search a market/telemetry engine owes its users.
+
+    Scale shape: one shuffle builds the per-user ordered series
+    (series length is bounded by retention per key — the same
+    contract as every per-key window operator here); windows explode
+    to W-length slices (linear in points × W); per-window mean/std/
+    distance are sequential JVM folds projected as columns; the
+    global top-K is ``orderBy().limit()`` — Spark's distributed
+    TakeOrderedAndProject, NEVER an unpartitioned data-sized window
+    (the final rank rides a ≤K-row window, bounded by construction).
+    FP parity: identical fold order both engines, one sqrt at the
+    end; zero-variance (flat) windows are excluded by an exact
+    ``> 0`` comparison on the identically-computed variance.
+    """
+    ev = t(spark, sf_dir, "events")
+    series = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ),
+            lambda x: x["value"].cast("double"),
+        ).alias("vals")
+    )
+    # one-row broadcast query pattern (z-normalized once, driver-free)
+    qrow = (
+        series.where(F.col("user_id") == TSM_QUERY_USER)
+        .select(F.slice("vals", 1, TSM_W).alias("qp"))
+    )
+
+    def _mean(arr):
+        return (
+            F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / F.lit(float(TSM_W))
+        )
+
+    def _var(arr, mean_col):
+        return (
+            F.aggregate(
+                arr, F.lit(0.0),
+                lambda a, x: a + (x - mean_col) * (x - mean_col),
+            )
+            / F.lit(float(TSM_W))
+        )
+
+    wins = (
+        series.withColumn("__n", F.size("vals"))
+        .where(F.col("__n") >= TSM_W)
+        .select(
+            "user_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__n") - TSM_W + 1),
+                    lambda i: F.slice(F.col("vals"), i, TSM_W),
+                )
+            ).alias("__p", "w"),
+        )
+        .select("user_id", (F.col("__p") + 1).alias("start_idx"), "w")
+        .crossJoin(F.broadcast(qrow))
+    )
+    # mean/var/std projected as real columns so each fold evaluates
+    # once per row (separate select boundaries; the HOF lambdas below
+    # reference materialized attributes, not expressions)
+    wins = wins.select(
+        "user_id", "start_idx", "w", "qp",
+        _mean(F.col("w")).alias("mw"), _mean(F.col("qp")).alias("mq"),
+    )
+    wins = wins.select(
+        "*",
+        _var(F.col("w"), F.col("mw")).alias("vw"),
+        _var(F.col("qp"), F.col("mq")).alias("vq"),
+    )
+    wins = wins.where((F.col("vw") > 0) & (F.col("vq") > 0))
+    sw, sq = F.sqrt("vw"), F.sqrt("vq")
+    diff = F.zip_with(
+        "w", "qp",
+        lambda a, b: ((a - F.col("mw")) / sw - (b - F.col("mq")) / sq),
+    )
+    dist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, d: acc + d * d))
+    top = (
+        wins.select("user_id", "start_idx", dist.alias("dist"))
+        .where(
+            ~((F.col("user_id") == TSM_QUERY_USER) & (F.col("start_idx") == 1))
+        )
+        .orderBy("dist", "user_id", "start_idx")
+        .limit(TSM_K)
+    )
+    wr = Window.orderBy("dist", "user_id", "start_idx")  # <= K rows
+    return top.withColumn("rank", F.row_number().over(wr).cast("long")).select(
+        "user_id", F.col("start_idx").cast("long").alias("start_idx"),
+        "dist", "rank",
+    )
+
+
 QUERIES = {
     "map_filter": map_filter,
+    "ts_similarity_topk": ts_similarity_topk,
     "fold_count": fold_count,
     "wordcount": wordcount,
     "merge_take": merge_take,
@@ -848,6 +953,62 @@ with e as (
 """
 
 SQL_ORACLES = {
+    "ts_similarity_topk": f"""
+        with series as (
+          select user_id,
+                 list(value::double order by ts, event_id) as vals
+          from events group by user_id
+        ),
+        q0 as (
+          select vals[1:{TSM_W}] as qp from series
+          where user_id = {TSM_QUERY_USER}
+        ),
+        qs as (
+          select qp,
+                 list_reduce(qp, (a, x) -> a + x) / {TSM_W}.0 as mq
+          from q0
+        ),
+        qs2 as (
+          select qp, mq,
+                 list_reduce(list_transform(qp, x -> (x - mq) * (x - mq)),
+                             (a, b) -> a + b) / {TSM_W}.0 as vq
+          from qs
+        ),
+        wins as (
+          select user_id, i as start_idx,
+                 list_slice(vals, i, i + {TSM_W} - 1) as w
+          from (select user_id, vals,
+                       unnest(range(1, len(vals) - {TSM_W} + 2)) as i
+                from series where len(vals) >= {TSM_W})
+        ),
+        w1 as (
+          select user_id, start_idx, w, qp, mq, vq,
+                 list_reduce(w, (a, x) -> a + x) / {TSM_W}.0 as mw
+          from wins cross join qs2
+        ),
+        w2 as (
+          select *, list_reduce(list_transform(w, x -> (x - mw) * (x - mw)),
+                                (a, b) -> a + b) / {TSM_W}.0 as vw
+          from w1
+        ),
+        w3 as (
+          select user_id, start_idx,
+                 sqrt(list_reduce(list_transform(range(1, {TSM_W} + 1),
+                   i -> ((w[i] - mw) / sqrt(vw) - (qp[i] - mq) / sqrt(vq))
+                      * ((w[i] - mw) / sqrt(vw) - (qp[i] - mq) / sqrt(vq))),
+                   (a, b) -> a + b)) as dist
+          from w2 where vw > 0 and vq > 0
+        ),
+        ranked as (
+          select user_id, start_idx, dist,
+                 row_number() over (order by dist, user_id, start_idx) as rank
+          from w3
+          where not (user_id = {TSM_QUERY_USER} and start_idx = 1)
+        )
+        select user_id, cast(start_idx as bigint) as start_idx, dist,
+               cast(rank as bigint) as rank
+        from ranked where rank <= {TSM_K}
+    """,
     "map_filter": """
         select event_id, user_id, value * 1.1 as value_usd
         from events where event_type = 'purchase' and value > 50
