@@ -218,7 +218,12 @@ def with_audio_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
         for pdf in batches:
             payloads = []
             for txt in pdf[text_col]:
-                d = hashlib.sha256(str(txt).encode("utf-8")).digest()
+                # NULL text coalesces to "" so the digest domain matches the
+                # oracle's sha256(coalesce(text, '')) — sha256('None') vs
+                # SQL-NULL propagation would silently diverge on NULL rows
+                d = hashlib.sha256(
+                    ("" if txt is None else str(txt)).encode("utf-8")
+                ).digest()
                 payloads.append(
                     build_wav(
                         8000 + (d[0] % 8) * 1000,
@@ -284,7 +289,12 @@ def with_video_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
         for pdf in batches:
             payloads = []
             for txt in pdf[text_col]:
-                d = hashlib.sha256(str(txt).encode("utf-8")).digest()
+                # NULL text coalesces to "" so the digest domain matches the
+                # oracle's sha256(coalesce(text, '')) — sha256('None') vs
+                # SQL-NULL propagation would silently diverge on NULL rows
+                d = hashlib.sha256(
+                    ("" if txt is None else str(txt)).encode("utf-8")
+                ).digest()
                 w = 160 + 16 * (d[1] % 8)
                 h = 120 + 16 * (d[2] % 8)
                 fps = 10 + d[3] % 21

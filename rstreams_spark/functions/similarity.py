@@ -22,8 +22,50 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "dot", "l2_norm", "cosine", "cosine_pairs", "brute_topk",
-    "hyperplanes", "lsh_bucket",
+    "cap_probes", "hyperplanes", "lsh_bucket",
 ]
+
+MAX_PROBES = 1024
+
+
+def cap_probes(
+    probes: DataFrame,
+    max_probes: int,
+    order_col: str,
+    caller: str,
+) -> DataFrame:
+    """In-plan hard cap on a probe frame that is about to ride a
+    ``F.broadcast()`` join: a row_number + ``assert_true`` guard
+    fails the job the moment the probe side exceeds ``max_probes``,
+    instead of silently shipping a corpus-scaling broadcast to every
+    task (at 100× data a ``corpus/50`` "probe" frame is multi-GB —
+    the guard turns that silent degradation into a loud error).
+
+    Probe sets are user-query-sized BY CONTRACT (SURVEY §6): the
+    catalog's ``vec_id % 50`` probe sets are bench stand-ins, and at
+    every tested SF they sit far below the cap. The guard filter uses
+    ``assert_true(...).isNull()`` (keeps every legal row) rather than
+    a dropped column so column pruning cannot eliminate it; the
+    single-partition row_number is itself bounded — it only ever
+    sorts the probe frame whose size the cap is asserting.
+    Callers above the cap should shuffle-join on bucket/cell instead
+    of broadcasting.
+    """
+    guard = Window.orderBy(order_col)
+    return (
+        probes.withColumn("__pn", F.row_number().over(guard))
+        .where(
+            F.assert_true(
+                F.col("__pn") <= max_probes,
+                F.lit(
+                    f"{caller}: probe set exceeds max_probes={max_probes}; "
+                    "probes are user-query-sized by contract — shuffle-join "
+                    "on the bucket/cell key for corpus-scale probe sets"
+                ),
+            ).isNull()
+        )
+        .drop("__pn")
+    )
 
 
 def hyperplanes(n_bits: int, dims: int, seed: int = 20240813) -> list[list[float]]:
@@ -173,23 +215,9 @@ def brute_topk(
     probe_sel = probes.select(
         F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("__p_vec")
     )
-    # plan-side hard cap: probes are small by contract, so the
-    # single-partition row_number is itself bounded by the cap
-    guard = Window.orderBy(probe_id_col)
-    probe_sel = (
-        probe_sel.withColumn("__pn", F.row_number().over(guard))
-        # filter (not a dropped column) so pruning can't eliminate the
-        # guard: assert_true returns NULL when the cap holds, raises
-        # otherwise — isNull() keeps every legal row
-        .where(
-            F.assert_true(
-                F.col("__pn") <= max_probes,
-                F.lit(f"brute_topk: probe set exceeds max_probes={max_probes}; "
-                      "use ann_lsh_topk/ivf_topk for large probe sets"),
-            ).isNull()
-        )
-        .drop("__pn")
-    )
+    # plan-side hard cap (shared guard): probes are small by
+    # contract, so the single-partition row_number is itself bounded
+    probe_sel = cap_probes(probe_sel, max_probes, probe_id_col, "brute_topk")
     # norms once per ROW, not per pair: l2_norm(v) is a pure fold, so
     # hoisting it above the join yields the identical double while
     # cutting the per-pair work to one dot product

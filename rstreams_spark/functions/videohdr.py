@@ -27,10 +27,6 @@ import struct
 
 __all__ = ["probe_video", "build_mp4", "build_avi"]
 
-# container boxes whose PAYLOAD is a box sequence (walk recursively)
-_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
-
-
 def probe_video(
     payload: bytes,
 ) -> tuple[str, int, int, int, int, int] | None:
@@ -69,15 +65,45 @@ def _mp4_boxes(p: bytes, start: int, end: int):
 
 
 def _probe_mp4(p: bytes) -> tuple[str, int, int, int, int, int] | None:
+    # Per-trak state: a real-world file interleaves video and audio
+    # tracks, and summing stsz counts across ALL of them (or taking
+    # dims from whichever tkhd parsed last) would report audio sample
+    # counts as frames. Each trak is walked in isolation and the
+    # VIDEO track — the first one with nonzero presentation dims
+    # (audio tkhd dims are zero per spec) — supplies width/height and
+    # n_frames; files with no dimensioned track fall back to the
+    # first track so single-track metadata-only containers still
+    # report their sample count.
     timescale = duration = None
-    width = height = 0
-    n_frames = 0
+    traks: list[tuple[int, int, int]] = []  # (width, height, n_frames)
 
-    def walk(start: int, end: int) -> None:
-        nonlocal timescale, duration, width, height, n_frames
+    def walk_trak(t_start: int, t_end: int) -> None:
+        width = height = 0
+        n_frames = 0
+
+        def walk(start: int, end: int) -> None:
+            nonlocal width, height, n_frames
+            for btype, ps, pe in _mp4_boxes(p, start, end):
+                if btype in (b"mdia", b"minf", b"stbl"):
+                    walk(ps, pe)
+                elif btype == b"tkhd" and pe - ps >= 8:
+                    # width/height: 16.16 fixed point, last 8 bytes
+                    w, h = struct.unpack(">II", p[pe - 8 : pe])
+                    width, height = w >> 16, h >> 16
+                elif btype == b"stsz" and pe - ps >= 12:
+                    _sz, count = struct.unpack(">II", p[ps + 4 : ps + 12])
+                    n_frames += count
+
+        walk(t_start, t_end)
+        traks.append((width, height, n_frames))
+
+    def walk_top(start: int, end: int) -> None:
+        nonlocal timescale, duration
         for btype, ps, pe in _mp4_boxes(p, start, end):
-            if btype in _MP4_CONTAINERS:
-                walk(ps, pe)
+            if btype == b"moov":
+                walk_top(ps, pe)
+            elif btype == b"trak":
+                walk_trak(ps, pe)
             elif btype == b"mvhd" and pe - ps >= 20:
                 ver = p[ps]
                 if ver == 1:
@@ -92,18 +118,15 @@ def _probe_mp4(p: bytes) -> tuple[str, int, int, int, int, int] | None:
                     timescale, duration = struct.unpack(
                         ">II", p[ps + 12 : ps + 20]
                     )
-            elif btype == b"tkhd" and pe - ps >= 8:
-                # width/height: 16.16 fixed point, last 8 payload bytes
-                w, h = struct.unpack(">II", p[pe - 8 : pe])
-                width, height = w >> 16, h >> 16
-            elif btype == b"stsz" and pe - ps >= 12:
-                sample_size, count = struct.unpack(">II", p[ps + 4 : ps + 12])
-                n_frames += count
 
-    walk(0, len(p))
+    walk_top(0, len(p))
     if timescale is None or duration is None:
         return None
-    return ("mp4", width, height, timescale, duration, n_frames)
+    video = next(
+        (t for t in traks if t[0] > 0 and t[1] > 0),
+        traks[0] if traks else (0, 0, 0),
+    )
+    return ("mp4", video[0], video[1], timescale, duration, video[2])
 
 
 def _probe_avi(p: bytes) -> tuple[str, int, int, int, int, int] | None:

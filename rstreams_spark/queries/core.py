@@ -818,9 +818,19 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: x["value"].cast("double"),
         ).alias("vals")
     )
-    # one-row broadcast query pattern (z-normalized once, driver-free)
+    # feeds TWO consumers (qrow + wins): lazy-materialize per
+    # invariant 9 so the events scan + collect_list agg plans once
+    series = series.localCheckpoint(eager=False)
+    # one-row broadcast query pattern (z-normalized once, driver-free).
+    # The size guard keeps a short query series (< W values) from
+    # producing a null-padded qp whose NULL dists order differently
+    # in Spark (NULLS FIRST) vs DuckDB (NULLS LAST) — no row means
+    # an empty result in BOTH engines instead of a silent divergence.
     qrow = (
-        series.where(F.col("user_id") == TSM_QUERY_USER)
+        series.where(
+            (F.col("user_id") == TSM_QUERY_USER)
+            & (F.size("vals") >= TSM_W)
+        )
         .select(F.slice("vals", 1, TSM_W).alias("qp"))
     )
 
@@ -961,7 +971,7 @@ SQL_ORACLES = {
         ),
         q0 as (
           select vals[1:{TSM_W}] as qp from series
-          where user_id = {TSM_QUERY_USER}
+          where user_id = {TSM_QUERY_USER} and len(vals) >= {TSM_W}
         ),
         qs as (
           select qp,

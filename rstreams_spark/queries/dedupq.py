@@ -326,10 +326,16 @@ _PLANES = hyperplanes(LSH_BITS, 64)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN: the approximate scale path. Probes only
     compare against corpus vectors in their own bucket — the
-    candidate set shrinks ~2^bits×; recall trades against bits."""
+    candidate set shrinks ~2^bits×; recall trades against bits.
+
+    The probe frame is broadcast, so it carries ``cap_probes``'s
+    in-plan assert_true guard (same defense as ``brute_topk``):
+    probes are user-query-sized by contract, and a corpus-derived
+    probe set that grows past the cap fails loudly instead of
+    shipping a multi-GB broadcast at 100× scale."""
     from pyspark.sql.window import Window as W
 
-    from ..functions.similarity import dot, l2_norm
+    from ..functions.similarity import MAX_PROBES, cap_probes, dot, l2_norm
 
     vecs = t(spark, sf_dir, "embeddings").withColumn(
         "bucket", lsh_bucket(F.col("embedding"), _PLANES)
@@ -340,6 +346,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("p_bucket"),
         F.col("v_norm").alias("p_norm"),
     )
+    probes = cap_probes(probes, MAX_PROBES, "probe_id", "ann_lsh_topk")
     # norms hoisted above the join: identical doubles (pure fold),
     # one dot product per candidate pair instead of three
     scored = (
@@ -682,8 +689,13 @@ def ivf_topk(
     bit-identical to the oracle's list_reduce; means divide the fold
     by the member count (exact same operands both engines); argmin
     ties break toward the smaller cell id in both engines.
+
+    Probe frames are broadcast (cell routing + the bucketed compare)
+    so the probe side carries ``cap_probes``'s in-plan assert_true
+    guard — corpus-scaling probe sets fail loudly instead of
+    broadcasting multi-GB at 100× scale (SURVEY §6 probe contract).
     """
-    from ..functions.similarity import dot, l2_norm
+    from ..functions.similarity import MAX_PROBES, cap_probes, dot, l2_norm
 
     vecs = t(spark, sf_dir, "embeddings").withColumn(
         "v_norm", l2_norm(F.col("embedding"))
@@ -697,6 +709,9 @@ def ivf_topk(
         F.col("embedding").alias("p_emb"),
         F.col("v_norm").alias("p_norm"),
     )
+    # probe_cells (broadcast below) inherits this bound: capping the
+    # probe frame up front bounds both probe-sized broadcasts
+    probes = cap_probes(probes, MAX_PROBES, "probe_id", "ivf_topk")
     wc = Window.partitionBy("probe_id").orderBy(
         F.col("__d2").asc(), F.col("cell").asc()
     )
@@ -1744,10 +1759,11 @@ SQL_ORACLES["dedup_winnowing"] = f"""
 
 SQL_ORACLES["audio_meta"] = """
     with d as (
+      -- coalesce matches the Spark payload builder's NULL->'' digest
       select doc_id,
-             cast(('0x' || substr(sha256(text), 1, 2)) as int) as d0,
-             cast(('0x' || substr(sha256(text), 3, 2)) as int) as d1,
-             cast(('0x' || substr(sha256(text), 5, 2)) as int) as d2
+             cast(('0x' || substr(sha256(coalesce(text, '')), 1, 2)) as int) as d0,
+             cast(('0x' || substr(sha256(coalesce(text, '')), 3, 2)) as int) as d1,
+             cast(('0x' || substr(sha256(coalesce(text, '')), 5, 2)) as int) as d2
       from documents
     ),
     p as (
@@ -1770,12 +1786,13 @@ SQL_ORACLES["audio_meta"] = """
 
 SQL_ORACLES["video_meta"] = f"""
     with d as (
+      -- coalesce matches the Spark payload builder's NULL->'' digest
       select doc_id,
-             cast(('0x' || substr(sha256(text), 1, 2)) as int) as d0,
-             cast(('0x' || substr(sha256(text), 3, 2)) as int) as d1,
-             cast(('0x' || substr(sha256(text), 5, 2)) as int) as d2,
-             cast(('0x' || substr(sha256(text), 7, 2)) as int) as d3,
-             cast(('0x' || substr(sha256(text), 9, 2)) as int) as d4
+             cast(('0x' || substr(sha256(coalesce(text, '')), 1, 2)) as int) as d0,
+             cast(('0x' || substr(sha256(coalesce(text, '')), 3, 2)) as int) as d1,
+             cast(('0x' || substr(sha256(coalesce(text, '')), 5, 2)) as int) as d2,
+             cast(('0x' || substr(sha256(coalesce(text, '')), 7, 2)) as int) as d3,
+             cast(('0x' || substr(sha256(coalesce(text, '')), 9, 2)) as int) as d4
       from documents
     ),
     p as (

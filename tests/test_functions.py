@@ -721,6 +721,35 @@ def test_video_probe_parses_mp4_and_avi():
     )
     assert probe_video(box(b"ftyp", b"isom") + box(b"moov", short_v1)) is None
 
+    # multi-track file (audio + video): n_frames must count the
+    # VIDEO track's samples only (not sum audio sample counts) and
+    # dims come from the dimensioned track, not whichever tkhd
+    # parsed last — the real-world layout the probe pre-filters at
+    # scale puts the zero-dim audio trak first
+    def _trak(w, h, count):
+        tkhd = box(
+            b"tkhd",
+            b"\x00" * 76 + struct.pack(">II", w << 16, h << 16),
+        )
+        stsz = box(
+            b"stsz", struct.pack(">B3x", 0) + struct.pack(">II", 0, count)
+            + struct.pack(f">{count}I", *([0] * count)),
+        )
+        return box(
+            b"trak",
+            tkhd + box(b"mdia", box(b"minf", box(b"stbl", stsz))),
+        )
+
+    mvhd_v0 = box(
+        b"mvhd",
+        struct.pack(">B3x", 0) + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 25, 100),
+    )
+    audio_then_video = box(b"ftyp", b"isom") + box(
+        b"moov", mvhd_v0 + _trak(0, 0, 999) + _trak(320, 240, 12)
+    )
+    assert probe_video(audio_then_video) == ("mp4", 320, 240, 25, 100, 12)
+
 
 def test_budget_sample_greedy_prefix_contract(spark):
     """budget_sample equals a sequential greedy model: per source,

@@ -235,6 +235,20 @@ def test_ann_topk_partial_topk_below_shuffle(spark):
     assert len(set(re.findall(r"\(\d+\) WindowGroupLimit", txt))) >= 2
 
 
+def test_ann_probe_broadcasts_are_capped(spark):
+    """Every broadcast probe frame in the ANN family carries the
+    in-plan assert_true cap (cap_probes): a corpus-scaling probe set
+    must fail loudly, never ship a multi-GB broadcast. Pinned for
+    both approximate paths; brute_topk's guard is covered by
+    test_functions.test_brute_topk_probe_cap_enforced."""
+    for key in ("ann_lsh_topk", "ivf_topk"):
+        df = REGISTRY[key](spark, SF_SMOKE)
+        txt = plans.explain_str(df)
+        assert "max_probes" in txt, f"{key}: probe cap missing from plan"
+        # and the guard feeds an actual broadcast exchange
+        assert "BroadcastExchange" in txt
+
+
 def test_fanout_repartition_is_conditional(spark):
     """Pre-explode repartition fires only for under-parallel inputs:
     an input already at ≥ defaultParallelism partitions passes
