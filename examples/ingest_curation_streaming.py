@@ -3,7 +3,7 @@ front gates running live on a document stream:
 
   document stream → repetition cut (stateless Gopher scorer)
                   → exact dedup (watermarked state, first copy wins)
-                  → eval decontamination (broadcast n-gram gate)
+                  → eval decontamination (native in-plan n-gram gate)
                   → per-source token-budget admission (r5)
                   → (sink: what a lakehouse writer would commit)
 
@@ -32,8 +32,8 @@ from rstreams_spark.queries._util import t
 from rstreams_spark.session import get_spark
 from rstreams_spark.sinks import writers
 from rstreams_spark.streaming.curation import (
-    eval_gram_broadcast, stream_budget_sample, stream_decontaminate_ngrams,
-    stream_quality_repetition,
+    eval_gram_hashes, stream_budget_sample,
+    stream_decontaminate_ngrams_native, stream_quality_repetition,
 )
 from rstreams_spark.streaming.dedup import stream_dedup_exact
 
@@ -74,13 +74,14 @@ def main() -> None:
     q2.stop()
     n_dedup = spark.sql("select count(*) n from dedup_kept").collect()[0]["n"]
 
-    # gate 3: eval decontamination at ingest — the eval shard's
-    # n-grams broadcast once (static), each arriving doc checked
-    # statelessly; n rides inside the broadcast payload
+    # gate 3: eval decontamination at ingest — NATIVE r6 gate: the
+    # eval shard's gram xxhash64 set becomes an in-plan InSet probe,
+    # so tokenize + gram assembly + membership all run inside
+    # whole-stage codegen (no Python per row, no broadcast variable)
     ev_docs = docs.where(F.col("source") == "src0")
-    bc = eval_gram_broadcast(spark, ev_docs, n=3)
-    decon = stream_decontaminate_ngrams(
-        stream.where(F.col("source") != "src0"), bc
+    n_gram, hashes = eval_gram_hashes(spark, ev_docs, n=3)
+    decon = stream_decontaminate_ngrams_native(
+        stream.where(F.col("source") != "src0"), n_gram, hashes
     )
     q3 = writers.stream_to_memory(decon, "decon_kept", "append")
     q3.processAllAvailable()

@@ -32,7 +32,8 @@ from ..queries.textq import (
 __all__ = [
     "stream_quality_repetition", "stream_source_mix",
     "stream_budget_sample", "eval_gram_broadcast",
-    "stream_decontaminate_ngrams",
+    "stream_decontaminate_ngrams", "eval_gram_hashes",
+    "stream_decontaminate_ngrams_native",
 ]
 
 _NORM_RE = re.compile(r"[^a-z0-9]+")
@@ -271,3 +272,77 @@ def stream_decontaminate_ngrams(
             yield pdf[keep]
 
     return df.mapInPandas(run, schema)
+
+
+EVAL_GRAM_MAX = 2_000_000  # InSet literal budget — eval shards are
+#                            benchmark-sized by contract (≪ corpus)
+
+
+def eval_gram_hashes(spark, eval_docs: DataFrame, text_col: str = "text",
+                     n: int = 3) -> tuple[int, list[int]]:
+    """``(n, sorted xxhash64 list)`` of the eval shard's distinct
+    word n-grams — the setup half of the NATIVE ingest gate
+    (``stream_decontaminate_ngrams_native``). Hashes are computed by
+    Spark's own ``xxhash64`` so the gate's per-gram probe is the
+    IDENTICAL function by construction (CLAUDE.md invariant 12:
+    equality-only internal keys ride native xxhash64, never the
+    portable md5 — no oracle ever reproduces these values). The
+    collect is bounded by ``EVAL_GRAM_MAX`` — an eval shard past the
+    literal budget should feed a Bloom-filter build instead (same
+    call shape, probabilistic drop; this exact set is that variant's
+    oracle)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.dedup import doc_shingles
+
+    rows = (
+        doc_shingles(eval_docs, text_col, n)
+        .select(F.xxhash64("shingle").alias("h"))
+        .distinct()
+        .limit(EVAL_GRAM_MAX + 1)
+        .collect()
+    )
+    if len(rows) > EVAL_GRAM_MAX:
+        raise ValueError(
+            f"eval_gram_hashes: eval shard exceeds {EVAL_GRAM_MAX} "
+            "distinct grams — build a Bloom filter for the gate "
+            "instead of an exact InSet"
+        )
+    return n, sorted(r["h"] for r in rows)
+
+
+def stream_decontaminate_ngrams_native(
+    df: DataFrame,
+    n: int,
+    gram_hashes: list[int],
+    text_col: str = "text",
+) -> DataFrame:
+    """Fully JVM-native live decontamination gate — the scale path
+    that replaces ``stream_decontaminate_ngrams``'s per-row Python
+    gram loop: tokenization, n-gram assembly and membership all run
+    inside whole-stage codegen. Membership is ``xxhash64(gram) ∈
+    InSet(literal longs)`` — Catalyst converts the ``isin`` over a
+    static list into a hash-set probe built ONCE at plan time, so
+    the per-gram cost is one native hash + one set lookup, no
+    broadcast variable, no shuffle, no state; a stateless projection
+    that pipelines with the ingest scan at any scale (and, unlike an
+    explode + semi-join formulation, never needs the unsupported
+    stream-stream anti-join back onto the document stream).
+
+    Keep decision parity with the Python/exact gate is exact up to
+    xxhash64 collisions between a document gram and an eval gram
+    (P ≈ |doc grams|·|eval|/2⁶⁴ — vanishing; parity-tested on the
+    full fixture against the exact gate and the batch oracle).
+    NULL/empty text yields an empty gram array (``exists`` → false),
+    matching the exact gate's pass-through of tokenless docs.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.dedup import shingles
+    from ..functions.text import tokens
+
+    contaminated = F.exists(
+        shingles(tokens(F.col(text_col)), n),
+        lambda g: F.xxhash64(g).isin(gram_hashes),
+    )
+    return df.where(~F.coalesce(contaminated, F.lit(False)))

@@ -1194,3 +1194,61 @@ def test_stream_decontaminate_ngrams_matches_batch(spark, tmp_path):
     all_train = {r["doc_id"] for r in train.select("doc_id").collect()}
     assert live_kept == all_train - flagged
     assert flagged  # non-vacuous: the corpus really has contamination
+
+
+def test_stream_decontaminate_native_matches_exact_gate(spark, tmp_path):
+    """The r6 JVM-native gate (in-plan xxhash64 InSet membership —
+    no Python per row) keeps EXACTLY the same documents as the
+    per-row Python exact gate and the batch oracle, and its plan is
+    genuinely native: a stateless filter projection with no
+    PythonMapInArrow/mapInPandas node and no exchange."""
+    import json as _json
+
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+    from rstreams_spark import plans
+    from rstreams_spark.queries._util import t
+    from rstreams_spark.queries.dedupq import (
+        DECON_EVAL_SOURCE, DECON_N, decontaminate_ngrams,
+    )
+    from rstreams_spark.streaming.curation import (
+        eval_gram_hashes, stream_decontaminate_ngrams_native,
+    )
+
+    docs = t(spark, SF_SMOKE, "documents")
+    ev = docs.where(F.col("source") == DECON_EVAL_SOURCE)
+    n_gram, hashes = eval_gram_hashes(spark, ev, n=DECON_N)
+    assert hashes == sorted(hashes) and len(hashes) == len(set(hashes))
+
+    train = docs.where(F.col("source") != DECON_EVAL_SOURCE)
+
+    # batch-mode plan check: the gate is a pure native filter
+    gated_batch = stream_decontaminate_ngrams_native(
+        train.select("doc_id", "text"), n_gram, hashes
+    )
+    txt = plans.explain_str(gated_batch)
+    assert "mapInPandas" not in txt and "MapInArrow" not in txt
+    assert "Exchange" not in txt  # pipelines with the scan
+
+    # live parity: same keeper set as the batch oracle query
+    src = tmp_path / "decon_native_src"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for r in train.select("doc_id", "text").collect():
+            f.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+    stream = spark.readStream.schema("doc_id bigint, text string").json(str(src))
+    q = (
+        stream_decontaminate_ngrams_native(stream, n_gram, hashes)
+        .writeStream.format("memory").queryName("decon_native_out")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    live_kept = {
+        r["doc_id"]
+        for r in spark.sql("select doc_id from decon_native_out").collect()
+    }
+    flagged = {r["doc_id"] for r in decontaminate_ngrams(spark, SF_SMOKE).collect()}
+    all_train = {r["doc_id"] for r in train.select("doc_id").collect()}
+    assert live_kept == all_train - flagged
+    assert flagged
