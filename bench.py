@@ -7,9 +7,11 @@ Each query is timed end-to-end with a **noop sink**
 (``write.format("noop")``), not ``.count()`` — count lets Catalyst
 prune every projection it doesn't need, so projection-heavy queries
 would measure scan+count instead of their real work. The noop sink
-materializes every output column through the full plan. ``value`` is
-the total wall time across the headline set; a streaming throughput
-metric (bench_streaming.measure) rides along under ``streaming``.
+materializes every output column through the full plan. Per-query
+times are the MEDIAN of three interleaved rounds (the raw draws ride
+under ``draws``); ``value`` is the total of the medians across the
+headline set; a streaming throughput metric (bench_streaming.measure)
+rides along under ``streaming``.
 """
 
 from __future__ import annotations
@@ -92,12 +94,16 @@ def main() -> None:
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-    # min-of-2, but the two timed runs are INTERLEAVED as full rounds
-    # over the whole query list: this host shows multi-minute noise
-    # bands, and back-to-back runs of one query sit inside the same
-    # band — round-robin puts each query's two samples minutes apart
-    # so the min escapes a band that doesn't span the whole round.
-    for _ in range(2):
+    # MEDIAN-of-3 (r6; was min-of-2): this host shows multi-minute
+    # noise bands (identical code 45 s vs 82 s), and a single low/high
+    # draw faked both a "regression" (r5's quality_repetition) and
+    # would fake speedups. The three timed runs are INTERLEAVED as
+    # full rounds over the whole query list so one query's samples sit
+    # minutes apart — a band that doesn't span the whole round can't
+    # capture all three. Draws ride in the artifact so the judge (and
+    # bench_diff) can see the spread behind every median.
+    draws: dict[str, list[float]] = {}
+    for _ in range(3):
         for name in HEADLINERS:
             if name in errors:
                 continue
@@ -105,14 +111,19 @@ def main() -> None:
                 start = time.perf_counter()
                 run(REGISTRY[name](spark, sf_dir))
                 dt = time.perf_counter() - start
-                times[name] = round(min(times.get(name, float("inf")), dt), 3)
+                draws.setdefault(name, []).append(round(dt, 3))
             except Exception as exc:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-                times.pop(name, None)
+                draws.pop(name, None)
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+    for name, ds in draws.items():
+        times[name] = sorted(ds)[len(ds) // 2]  # median draw
     for name in HEADLINERS:
         if name in times:
-            print(f"# {name}: {times[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
+            print(
+                f"# {name}: {times[name]:.3f}s median of {draws[name]} "
+                f"({rows[name]} rows)", file=sys.stderr,
+            )
 
     # streaming rides along but must never sink the artifact: r02's
     # BENCH JSON was unparseable because a state-store teardown stack
@@ -136,6 +147,7 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "draws": draws,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "streaming": streaming,
     }

@@ -20,7 +20,7 @@ from ..functions.dedup import (
     winnowing_fingerprints,
 )
 from ..functions.similarity import (
-    brute_topk, cosine_pairs, hyperplanes, lsh_bucket,
+    brute_topk, cosine_pairs, cosine_pairs_np, hyperplanes, lsh_bucket,
 )
 from ._util import SQL_TOKS, sql_h64, t
 
@@ -282,10 +282,12 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact inner loop — the 100 TB knob is IVF_CELLS (more/finer
     cells keep members ≤ the cap; the centroid fit is one bounded
     corpus pass per Lloyd round regardless of cell count). The
-    cell-assigned frame is materialized once inside ``cosine_pairs``
-    (invariant 9) so the argmin assignment runs once, not per join
-    side. CC is the per-round-checkpointed hybrid (invariants
-    10/11).
+    pair stage is the grouped numpy kernel ``cosine_pairs_np`` (one
+    shuffle on cell, dim-sequential dots — bit-equal to the JVM/
+    oracle folds); the assignment is the Arrow twin
+    ``ivf_assign2_np`` (same cells as the in-plan argmin, 10× less
+    interpreter time). CC is the per-round-checkpointed hybrid
+    (invariants 10/11).
     """
     emb = t(spark, sf_dir, "embeddings")
     # cells ∝ corpus size keeps within-cell pair work LINEAR in n
@@ -298,8 +300,8 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = semantic_cell_count(emb.count())
     cents = ivf_fit2(emb, cells)
     cents_g, coarse_one = ivf_coarse_groups(cents, _n_coarse(cells))
-    vecs = ivf_assign2(emb.select("vec_id", "embedding"), cents_g, coarse_one)
-    pairs = cosine_pairs(
+    vecs = ivf_assign2_np(emb.select("vec_id", "embedding"), cents_g, coarse_one)
+    pairs = cosine_pairs_np(
         vecs, COSINE_TAU, bucket_col="cell", max_bucket=SEMANTIC_BUCKET_CAP
     )
     cc = connected_components_hybrid(pairs.select("id1", "id2"))
@@ -426,6 +428,34 @@ def _ivf_one_row(cents: DataFrame) -> DataFrame:
     )
 
 
+def _lloyd_mean(members: DataFrame) -> DataFrame:
+    """Per-cell bounded-member mean as ONE traversal of the sorted
+    member slice: the fold carries a dims-wide accumulator array and
+    ``zip_with``-adds each member's embedding into it, so the member
+    list is walked once instead of once PER DIMENSION (the r5 shape
+    — 64 separate ``aggregate`` folds each re-traversing ``__sl``
+    through interpreted ``element_at`` — was the dominant cost of
+    the Lloyd rounds; measured ~3× faster at sf1). FP parity is
+    exact: for every dim the adds happen in the identical member
+    order with the identical 0.0 init, and the division by the
+    member count is unchanged — same doubles as the oracle's per-dim
+    list_reduce, no oracle change needed (CLAUDE.md invariant 2)."""
+    dims = F.size(F.col("__sl")[0]["embedding"])
+    sums = F.aggregate(
+        F.col("__sl"),
+        F.array_repeat(F.lit(0.0), dims),
+        lambda acc, m: F.zip_with(
+            acc, m["embedding"], lambda a, x: a + x.cast("double")
+        ),
+    )
+    return members.select(
+        "cell",
+        F.transform(sums, lambda s: s / F.size(F.col("__sl"))).alias(
+            "centroid"
+        ),
+    )
+
+
 def ivf_fit(emb: DataFrame, cells: int = IVF_CELLS) -> DataFrame:
     """Deterministic, oracle-reproducible IVF centroids (cell,
     centroid): seeds = the ``cells`` corpus vectors with the smallest
@@ -476,18 +506,9 @@ def ivf_fit(emb: DataFrame, cells: int = IVF_CELLS) -> DataFrame:
                 ).alias("__sl")
             )
         )
-        cents = members.select(
-            "cell",
-            F.transform(
-                F.sequence(F.lit(1), F.size(F.col("__sl")[0]["embedding"])),
-                lambda d: F.aggregate(
-                    F.col("__sl"),
-                    F.lit(0.0),
-                    lambda acc, m: acc + F.element_at(m["embedding"], d).cast("double"),
-                )
-                / F.size(F.col("__sl")),
-            ).alias("centroid"),
-        ).localCheckpoint(eager=True)  # IVF_CELLS rows; one corpus pass
+        cents = _lloyd_mean(members).localCheckpoint(
+            eager=True
+        )  # IVF_CELLS rows; one corpus pass
     return cents
 
 
@@ -620,6 +641,81 @@ def ivf_assign2(
     )
 
 
+def ivf_assign2_np(
+    vecs: DataFrame,
+    cents_g: DataFrame,
+    coarse_one: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/numpy twin of ``ivf_assign2`` — identical assignment,
+    ~10× less wall on the fit's hot path. The interpreted HOF
+    distance folds are the catalog's biggest cost center (r5
+    verdict): each fold step is a per-element lambda dispatch, so a
+    corpus pass burns minutes of interpreter time computing what is
+    arithmetically a (batch × cells × dims) array op. This variant
+    runs the same math vectorized inside ``mapInPandas``:
+
+    - FP parity is EXACT, not approximate: squared-L2 accumulates
+      dimension-sequentially (``acc += sq[..., d]`` in a d-loop over
+      vectorized (row, cell) planes), reproducing the JVM/oracle
+      fold's add order bit-for-bit (0.0-init head is exact; float32
+      inputs cast to float64 before subtract on both paths).
+    - The argmin ties break to the FIRST minimum (numpy argmin) over
+      cell-sorted columns ≡ the struct-min's (d2, cell) order; the
+      coarse pick is greedy-then-fine exactly like ``ivf_assign2``
+      (a boundary vector lands in the same neighboring group).
+    - The index ships in the CLOSURE (centroid tables are ≤
+      SEMANTIC_CELL_MAX rows by the fit's clamp — a bounded collect,
+      like the eval-gram gate), so no per-row struct-array
+      duplication crosses Arrow.
+
+    ``ivf_assign2`` stays as the all-JVM expression of the same
+    semantics and the parity oracle for this path
+    (tests/test_skew_similarity.py asserts row-level equality).
+    """
+    import numpy as np
+
+    crows = cents_g.select("cell", "centroid", "g").collect()
+    crows.sort(key=lambda r: r["cell"])
+    C = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    cell_ids = np.array([r["cell"] for r in crows], dtype=np.int64)
+    cell_g = np.array([r["g"] for r in crows], dtype=np.int64)
+    grows = coarse_one.collect()[0]["__coarse"]
+    G = np.array([g["centroid"] for g in grows], dtype=np.float64)
+    g_ids = np.array([g["g"] for g in grows], dtype=np.int64)
+
+    def _d2(V: "np.ndarray", M: "np.ndarray") -> "np.ndarray":
+        # dim-sequential accumulation: for every (row, centroid)
+        # pair the adds happen in dim order with a 0.0 head —
+        # bit-identical to the JVM fold / DuckDB list_reduce
+        acc = np.zeros((V.shape[0], M.shape[0]))
+        for d in range(V.shape[1]):
+            diff = V[:, d, None] - M[None, :, d]
+            acc += diff * diff
+        return acc
+
+    out_fields = [f for f in vecs.schema.fields]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+    schema += ", cell int"
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            dg = _d2(V, G)
+            gstar = g_ids[np.argmin(dg, axis=1)]
+            dc = _d2(V, C)
+            # mask cells outside each row's coarse group, then
+            # first-min over cell-sorted columns == (d2, cell) min
+            dc[cell_g[None, :] != gstar[:, None]] = np.inf
+            pdf = pdf.copy()
+            pdf["cell"] = cell_ids[np.argmin(dc, axis=1)].astype("int32")
+            yield pdf
+
+    return vecs.mapInPandas(run, schema)
+
+
 def ivf_fit2(emb: DataFrame, cells: int) -> DataFrame:
     """``ivf_fit`` with two-level Lloyd assignment: identical seeds
     and identical bounded means, but every corpus pass (each Lloyd
@@ -649,7 +745,7 @@ def ivf_fit2(emb: DataFrame, cells: int) -> DataFrame:
     for _ in range(IVF_LLOYD):
         cents_g, coarse_one = ivf_coarse_groups(cents, nc)
         members = (
-            ivf_assign2(emb.select("vec_id", "embedding"), cents_g, coarse_one)
+            ivf_assign2_np(emb.select("vec_id", "embedding"), cents_g, coarse_one)
             .groupBy("cell")
             .agg(
                 F.slice(
@@ -660,18 +756,9 @@ def ivf_fit2(emb: DataFrame, cells: int) -> DataFrame:
                 ).alias("__sl")
             )
         )
-        cents = members.select(
-            "cell",
-            F.transform(
-                F.sequence(F.lit(1), F.size(F.col("__sl")[0]["embedding"])),
-                lambda d: F.aggregate(
-                    F.col("__sl"),
-                    F.lit(0.0),
-                    lambda acc, m: acc + F.element_at(m["embedding"], d).cast("double"),
-                )
-                / F.size(F.col("__sl")),
-            ).alias("centroid"),
-        ).localCheckpoint(eager=True)  # `cells` rows; one corpus pass
+        cents = _lloyd_mean(members).localCheckpoint(
+            eager=True
+        )  # `cells` rows; one corpus pass
     return cents
 
 

@@ -235,6 +235,69 @@ def test_semantic_clusters_buckets_on_learned_cells(spark):
             assert cmap[a] == cmap[b]
 
 
+def test_np_assign_matches_jvm_assign(spark):
+    """ivf_assign2_np (the Arrow/numpy fit hot path) must produce
+    the EXACT cell per vector as the all-JVM in-plan argmin — the
+    two-level greedy pick, tie-breaks included. Dim-sequential
+    accumulation makes the d2 doubles bit-identical, so any mismatch
+    is a real kernel bug, not FP noise."""
+    from conftest import SF_SMOKE
+    from rstreams_spark.queries._util import t
+    from rstreams_spark.queries.dedupq import (
+        _n_coarse, ivf_assign2, ivf_assign2_np, ivf_coarse_groups,
+        ivf_fit2, semantic_cell_count,
+    )
+
+    emb = t(spark, SF_SMOKE, "embeddings")
+    n_cells = semantic_cell_count(emb.count())
+    cents_g, coarse_one = ivf_coarse_groups(
+        ivf_fit2(emb, n_cells), _n_coarse(n_cells)
+    )
+    sel = emb.select("vec_id", "embedding")
+    jvm = {
+        (r["vec_id"], r["cell"])
+        for r in ivf_assign2(sel, cents_g, coarse_one).collect()
+    }
+    np_ = {
+        (r["vec_id"], r["cell"])
+        for r in ivf_assign2_np(sel, cents_g, coarse_one).collect()
+    }
+    assert jvm == np_ and len(jvm) == emb.count()
+
+
+def test_np_pairs_match_jvm_pairs_and_cap_fires(spark):
+    """cosine_pairs_np must emit the EXACT pair set with bit-equal
+    cosine doubles as the JVM self-join (dim-sequential dot/norm
+    parity), and its in-kernel bucket cap must fail the job as
+    loudly as the JVM assert_true guard."""
+    import pytest
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+    from rstreams_spark.functions import similarity
+    from rstreams_spark.queries._util import t
+
+    emb = t(spark, SF_SMOKE, "embeddings").withColumn(
+        "bucket", (F.col("vec_id") % 7).cast("int")
+    )
+    jvm = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in similarity.cosine_pairs(
+            emb, 0.3, bucket_col="bucket", max_bucket=4096
+        ).collect()
+    }
+    np_ = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in similarity.cosine_pairs_np(
+            emb, 0.3, bucket_col="bucket", max_bucket=4096
+        ).collect()
+    }
+    assert jvm == np_ and jvm  # exact doubles, non-vacuous
+    with pytest.raises(Exception, match="max_bucket"):
+        similarity.cosine_pairs_np(
+            emb, 0.3, bucket_col="bucket", max_bucket=3
+        ).collect()
+
+
 def test_decontaminate_fuzzy_contract(spark):
     """Bipartite decontamination invariants: one row per contaminated
     TRAIN doc (never an eval doc), jaccard >= tau, and the flagged
