@@ -469,12 +469,12 @@ def ivf_fit(emb: DataFrame, cells: int = IVF_CELLS) -> DataFrame:
     feeds the next Lloyd round and then every downstream consumer —
     without the barrier each consumer would re-run the upstream
     pass). The Lloyd mean is bounded by IVF_MEAN_CAP so no cell ever
-    materializes an unbounded member array. The one-row broadcast
-    assignment (``ivf_assign``) bounds ``cells`` at a few thousand
-    (SEMANTIC_CELL_MAX): beyond that the index itself outgrows a
-    single broadcast array and the honest design is a two-level
-    coarse→fine assignment (argmin over coarse cells, then over that
-    cell's children) — same fold, one extra broadcast tier.
+    materializes an unbounded member array. Lloyd rounds assign via
+    the Arrow kernel ``ivf_assign_np`` (bit-equal to the in-plan
+    argmin — see its parity note); the closure-shipped index bounds
+    ``cells`` at a few thousand (SEMANTIC_CELL_MAX): beyond that the
+    honest design is the two-level coarse→fine assignment
+    (``ivf_fit2``/``ivf_assign2``) — same fold, one extra tier.
     """
     from ..functions.text import hash64
 
@@ -494,8 +494,7 @@ def ivf_fit(emb: DataFrame, cells: int = IVF_CELLS) -> DataFrame:
     )
     for _ in range(IVF_LLOYD):
         members = (
-            emb.crossJoin(F.broadcast(_ivf_one_row(cents)))
-            .select("vec_id", "embedding", _argmin_cell(F.col("embedding")).alias("cell"))
+            ivf_assign_np(emb.select("vec_id", "embedding"), cents)
             .groupBy("cell")
             .agg(
                 F.slice(
@@ -524,6 +523,45 @@ def ivf_assign(vecs: DataFrame, cents: DataFrame, vec_col: str = "embedding") ->
         .withColumn("cell", _argmin_cell(F.col(vec_col)))
         .drop("__cents")
     )
+
+
+def ivf_assign_np(
+    vecs: DataFrame, cents: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Arrow/numpy twin of the single-level ``ivf_assign`` — same
+    cells, ~10× less interpreter time (cf. ``ivf_assign2_np``, the
+    two-level variant; same parity argument: dim-sequential squared-
+    L2 accumulation reproduces the JVM/oracle fold bit-for-bit, and
+    numpy's first-min argmin over cell-sorted columns equals the
+    struct-min's (d2, cell) tie-break). The centroid table ships in
+    the closure — bounded by the fit's cell count. ``ivf_assign``
+    stays as the all-JVM expression and parity oracle."""
+    import numpy as np
+
+    crows = cents.select("cell", "centroid").collect()
+    crows.sort(key=lambda r: r["cell"])
+    C = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    cell_ids = np.array([r["cell"] for r in crows], dtype=np.int64)
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in vecs.schema.fields
+    )
+    schema += ", cell int"
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            acc = np.zeros((V.shape[0], C.shape[0]))
+            for d in range(V.shape[1]):
+                diff = V[:, d, None] - C[None, :, d]
+                acc += diff * diff
+            pdf = pdf.copy()
+            pdf["cell"] = cell_ids[np.argmin(acc, axis=1)].astype("int32")
+            yield pdf
+
+    return vecs.mapInPandas(run, schema)
 
 
 def _n_coarse(cells: int) -> int:
@@ -788,7 +826,7 @@ def ivf_topk(
         "v_norm", l2_norm(F.col("embedding"))
     )
     cents = ivf_fit(t(spark, sf_dir, "embeddings"))
-    assigned = ivf_assign(vecs, cents).select(
+    assigned = ivf_assign_np(vecs, cents).select(
         "vec_id", "embedding", "v_norm", "cell"
     )
     probes = vecs.where(F.col("vec_id") % 50 == 0).select(

@@ -265,6 +265,20 @@ def test_np_assign_matches_jvm_assign(spark):
     assert jvm == np_ and len(jvm) == emb.count()
 
 
+def test_np_assign_single_level_matches_jvm(spark):
+    """ivf_assign_np (flat argmin, ivf_topk's path) must agree
+    row-for-row with the in-plan ivf_assign fold."""
+    from conftest import SF_SMOKE
+    from rstreams_spark.queries._util import t
+    from rstreams_spark.queries.dedupq import ivf_assign, ivf_assign_np, ivf_fit
+
+    emb = t(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    cents = ivf_fit(t(spark, SF_SMOKE, "embeddings"))
+    jvm = {(r["vec_id"], r["cell"]) for r in ivf_assign(emb, cents).collect()}
+    np_ = {(r["vec_id"], r["cell"]) for r in ivf_assign_np(emb, cents).collect()}
+    assert jvm == np_ and len(jvm) == emb.count()
+
+
 def test_np_pairs_match_jvm_pairs_and_cap_fires(spark):
     """cosine_pairs_np must emit the EXACT pair set with bit-equal
     cosine doubles as the JVM self-join (dim-sequential dot/norm
