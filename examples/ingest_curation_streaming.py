@@ -79,9 +79,9 @@ def main() -> None:
     # so tokenize + gram assembly + membership all run inside
     # whole-stage codegen (no Python per row, no broadcast variable)
     ev_docs = docs.where(F.col("source") == "src0")
-    n_gram, hashes = eval_gram_hashes(spark, ev_docs, n=3)
+    gram_set = eval_gram_hashes(spark, ev_docs, n=3)
     decon = stream_decontaminate_ngrams_native(
-        stream.where(F.col("source") != "src0"), n_gram, hashes
+        stream.where(F.col("source") != "src0"), gram_set
     )
     q3 = writers.stream_to_memory(decon, "decon_kept", "append")
     q3.processAllAvailable()

@@ -217,6 +217,28 @@ def cosine_pairs_np(
     ``cosine_pairs`` stays as the all-JVM expression and the parity
     oracle for this path (row-level equality in
     tests/test_skew_similarity.py).
+
+    Edge parity with the JVM self-join (exact, not approximate):
+
+    - NULL buckets pair with NOTHING — the JVM join condition
+      ``a.bucket == b.bucket`` is NULL for them, while a bare
+      ``groupBy`` would collect all NULL-bucket rows into one group
+      and pair them with each other. Filtered in-plan before the
+      shuffle.
+    - NULL vectors pair with nothing — the JVM dot over a NULL
+      array is NULL, so ``NULL >= τ`` drops the pair; a NULL row
+      would also crash the kernel's float64 stack. Same filter.
+    - Degenerate norms in a multi-member bucket FAIL LOUDLY. A
+      zero-norm member makes the JVM twin's cosine divide by 0 for
+      every pair containing it, and vanilla Spark 4 (ANSI) raises
+      DIVIDE_BY_ZERO — the kernel raises the matching ValueError
+      instead of numpy's silent ``0/0 → NaN`` drop. NaN/Inf-valued
+      embeddings also raise: their NaN cosines are unrepresentable
+      through Arrow (pandas NaN doubles land as Spark NULLs, whereas
+      the JVM twin emits NaN-cosine pairs — garbage either way), so
+      the kernel is deliberately STRICTER than the JVM on corrupt
+      vectors; parity on all finite inputs is exact. Filter
+      degenerate embeddings upstream.
     """
     import numpy as np
     import pandas as pd
@@ -239,19 +261,29 @@ def cosine_pairs_np(
             acc += col[:, None] * col[None, :]
             nacc += col * col
         n = np.sqrt(nacc)
+        if m >= 2 and ((n == 0.0) | ~np.isfinite(n)).any():
+            raise ValueError(
+                f"cosine_pairs_np: zero/non-finite-norm member in "
+                f"bucket {key} — every pair containing it yields a "
+                "divide-by-zero (ANSI error on the JVM twin) or an "
+                "Arrow-unrepresentable NaN cosine; filter degenerate "
+                "vectors upstream"
+            )
         cos = acc / (n[:, None] * n[None, :])
         iu = np.triu_indices(m, k=1)
-        keep = cos[iu] >= threshold
+        c = cos[iu]
+        keep = c >= threshold
         return pd.DataFrame(
             {
                 "id1": ids[iu[0]][keep],
                 "id2": ids[iu[1]][keep],
-                "cosine": cos[iu][keep],
+                "cosine": c[keep],
             }
         )
 
     return (
         vecs.select(id_col, vec_col, bucket_col)
+        .where(F.col(bucket_col).isNotNull() & F.col(vec_col).isNotNull())
         .groupBy(bucket_col)
         .applyInPandas(score, "id1 bigint, id2 bigint, cosine double")
     )

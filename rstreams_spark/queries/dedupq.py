@@ -339,9 +339,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.similarity import MAX_PROBES, cap_probes, dot, l2_norm
 
-    vecs = t(spark, sf_dir, "embeddings").withColumn(
+    vecs = t(spark, sf_dir, "embeddings").select("vec_id", "embedding").withColumn(
         "bucket", lsh_bucket(F.col("embedding"), _PLANES)
     ).withColumn("v_norm", l2_norm(F.col("embedding")))
+    # vecs feeds BOTH join sides (corpus + the probe derivation):
+    # per invariant 9 the scan + bucket/norm folds would otherwise
+    # plan twice — lazy localCheckpoint materializes them once
+    vecs = vecs.localCheckpoint(eager=False)
     probes = vecs.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("p_emb"),
@@ -534,8 +538,14 @@ def ivf_assign_np(
     L2 accumulation reproduces the JVM/oracle fold bit-for-bit, and
     numpy's first-min argmin over cell-sorted columns equals the
     struct-min's (d2, cell) tie-break). The centroid table ships in
-    the closure — bounded by the fit's cell count. ``ivf_assign``
-    stays as the all-JVM expression and parity oracle."""
+    the closure — bounded by the fit's cell count. NULL embeddings
+    land in the SMALLEST cell id, exactly like the JVM argmin: a
+    NULL vector makes every d2 fold NULL, so the struct-min ties
+    break on cell alone (the DuckDB oracle's ORDER BY d2, cell
+    agrees — all-NULL d2 degenerates to min cell in both engines);
+    a bare float64 stack would instead crash on the ragged batch.
+    ``ivf_assign`` stays as the all-JVM expression and parity
+    oracle."""
     import numpy as np
 
     crows = cents.select("cell", "centroid").collect()
@@ -552,13 +562,19 @@ def ivf_assign_np(
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            acc = np.zeros((V.shape[0], C.shape[0]))
-            for d in range(V.shape[1]):
-                diff = V[:, d, None] - C[None, :, d]
-                acc += diff * diff
             pdf = pdf.copy()
-            pdf["cell"] = cell_ids[np.argmin(acc, axis=1)].astype("int32")
+            valid = pdf[vec_col].notna().to_numpy()
+            # NULL vec → all-NULL d2 → JVM/oracle tie-break on cell:
+            # the smallest cell id (cell_ids is sorted)
+            out = np.full(len(pdf), cell_ids[0], dtype=np.int64)
+            if valid.any():
+                V = np.array(list(pdf.loc[valid, vec_col]), dtype=np.float64)
+                acc = np.zeros((V.shape[0], C.shape[0]))
+                for d in range(V.shape[1]):
+                    diff = V[:, d, None] - C[None, :, d]
+                    acc += diff * diff
+                out[valid] = cell_ids[np.argmin(acc, axis=1)]
+            pdf["cell"] = out.astype("int32")
             yield pdf
 
     return vecs.mapInPandas(run, schema)
@@ -706,6 +722,12 @@ def ivf_assign2_np(
       SEMANTIC_CELL_MAX rows by the fit's clamp — a bounded collect,
       like the eval-gram gate), so no per-row struct-array
       duplication crosses Arrow.
+    - NULL embeddings reproduce the JVM twin's degenerate argmin: a
+      NULL vector makes every distance fold NULL, so the coarse
+      struct-min ties break to the smallest g and the fine argmin to
+      the smallest cell in that group (the float64 stack would
+      otherwise crash on the ragged batch; the oracle's ORDER BY
+      d2, g / d2, cell over all-NULL d2 degenerates identically).
 
     ``ivf_assign2`` stays as the all-JVM expression of the same
     semantics and the parity oracle for this path
@@ -736,19 +758,27 @@ def ivf_assign2_np(
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
     schema += ", cell int"
 
+    # NULL vec degenerate argmin: min g's group, then min cell in it
+    # (cell_ids is cell-sorted, g_ids is g-sorted)
+    null_cell = int(cell_ids[cell_g == g_ids[0]][0])
+
     def run(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            dg = _d2(V, G)
-            gstar = g_ids[np.argmin(dg, axis=1)]
-            dc = _d2(V, C)
-            # mask cells outside each row's coarse group, then
-            # first-min over cell-sorted columns == (d2, cell) min
-            dc[cell_g[None, :] != gstar[:, None]] = np.inf
             pdf = pdf.copy()
-            pdf["cell"] = cell_ids[np.argmin(dc, axis=1)].astype("int32")
+            valid = pdf[vec_col].notna().to_numpy()
+            out = np.full(len(pdf), null_cell, dtype=np.int64)
+            if valid.any():
+                V = np.array(list(pdf.loc[valid, vec_col]), dtype=np.float64)
+                dg = _d2(V, G)
+                gstar = g_ids[np.argmin(dg, axis=1)]
+                dc = _d2(V, C)
+                # mask cells outside each row's coarse group, then
+                # first-min over cell-sorted columns == (d2, cell) min
+                dc[cell_g[None, :] != gstar[:, None]] = np.inf
+                out[valid] = cell_ids[np.argmin(dc, axis=1)]
+            pdf["cell"] = out.astype("int32")
             yield pdf
 
     return vecs.mapInPandas(run, schema)
@@ -822,13 +852,19 @@ def ivf_topk(
     """
     from ..functions.similarity import MAX_PROBES, cap_probes, dot, l2_norm
 
-    vecs = t(spark, sf_dir, "embeddings").withColumn(
-        "v_norm", l2_norm(F.col("embedding"))
+    # prune to the 3 live columns BEFORE the Arrow kernel —
+    # mapInPandas materializes its declared input schema, so an
+    # unpruned frame ships the unused label column through Python;
+    # and vecs feeds two consumers (assignment + probes), so per
+    # invariant 9 it materializes once via lazy localCheckpoint
+    vecs = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("v_norm", l2_norm(F.col("embedding")))
+        .localCheckpoint(eager=False)
     )
     cents = ivf_fit(t(spark, sf_dir, "embeddings"))
-    assigned = ivf_assign_np(vecs, cents).select(
-        "vec_id", "embedding", "v_norm", "cell"
-    )
+    assigned = ivf_assign_np(vecs, cents)
     probes = vecs.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("p_emb"),

@@ -313,8 +313,7 @@ def eval_gram_hashes(spark, eval_docs: DataFrame, text_col: str = "text",
 
 def stream_decontaminate_ngrams_native(
     df: DataFrame,
-    n: int,
-    gram_hashes: list[int],
+    eval_gram_set: tuple[int, list[int]],
     text_col: str = "text",
 ) -> DataFrame:
     """Fully JVM-native live decontamination gate — the scale path
@@ -322,12 +321,23 @@ def stream_decontaminate_ngrams_native(
     gram loop: tokenization, n-gram assembly and membership all run
     inside whole-stage codegen. Membership is ``xxhash64(gram) ∈
     InSet(literal longs)`` — Catalyst converts the ``isin`` over a
-    static list into a hash-set probe built ONCE at plan time, so
-    the per-gram cost is one native hash + one set lookup, no
-    broadcast variable, no shuffle, no state; a stateless projection
-    that pipelines with the ingest scan at any scale (and, unlike an
-    explode + semi-join formulation, never needs the unsupported
-    stream-stream anti-join back onto the document stream).
+    static list into a hash-set probe built once per PLAN, so the
+    per-gram cost is one native hash + one set lookup, no broadcast
+    variable, no shuffle, no state; a stateless projection that
+    pipelines with the ingest scan (and, unlike an explode +
+    semi-join formulation, never needs the unsupported stream-stream
+    anti-join back onto the document stream). Under Structured
+    Streaming, incremental planning re-analyzes the expression tree
+    each microbatch, so the hash-set rebuild recurs per trigger —
+    driver-side cost bounded by ``EVAL_GRAM_MAX`` literals; latency-
+    sensitive small-batch streams with very large eval shards should
+    size the shard (or move to the documented Bloom variant) with
+    that per-trigger planning cost in mind.
+
+    ``eval_gram_set`` is the ``(n, hashes)`` pair exactly as
+    ``eval_gram_hashes`` returns it — n rides INSIDE the payload
+    (same defense as ``eval_gram_broadcast``) so the gate can never
+    probe k-grams against a j-gram hash set.
 
     Keep decision parity with the Python/exact gate is exact up to
     xxhash64 collisions between a document gram and an eval gram
@@ -341,6 +351,7 @@ def stream_decontaminate_ngrams_native(
     from ..functions.dedup import shingles
     from ..functions.text import tokens
 
+    n, gram_hashes = eval_gram_set
     contaminated = F.exists(
         shingles(tokens(F.col(text_col)), n),
         lambda g: F.xxhash64(g).isin(gram_hashes),

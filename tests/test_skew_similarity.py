@@ -312,6 +312,91 @@ def test_np_pairs_match_jvm_pairs_and_cap_fires(spark):
         ).collect()
 
 
+def test_np_pairs_edge_parity_nan_null(spark):
+    """Degenerate-input parity of the numpy pair kernel with the JVM
+    self-join: NULL-bucket rows pair with NOTHING (the join condition
+    is NULL), NULL embeddings pair with nothing (NULL cosine
+    filtered) instead of crashing the float64 stack, and degenerate
+    norms fail loudly in both paths — the JVM twin with vanilla
+    Spark 4's ANSI DIVIDE_BY_ZERO on a zero-norm member, the kernel
+    with its in-kernel guard (which also refuses NaN-valued vectors,
+    whose NaN cosines cannot cross the Arrow boundary)."""
+    import pytest
+    from rstreams_spark.functions import similarity
+
+    vecs = spark.createDataFrame(
+        [
+            (2, [1.0, 0.0, 0.0], 0),
+            (3, [1.0, 0.0, 0.0], 0),   # (2,3) cosine 1.0
+            (4, [1.0, 0.0, 0.0], None),
+            (5, [1.0, 0.0, 0.0], None),  # NULL bucket: no pairs
+            (6, None, 0),                # NULL vec: no pairs
+        ],
+        "vec_id bigint, embedding array<double>, bucket int",
+    )
+    jvm = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in similarity.cosine_pairs(vecs, 0.3, bucket_col="bucket").collect()
+    }
+    np_ = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in similarity.cosine_pairs_np(vecs, 0.3, bucket_col="bucket").collect()
+    }
+    assert jvm == np_ == {(2, 3, 1.0)}
+
+    # zero-norm member: both paths fail loudly (ANSI DIVIDE_BY_ZERO
+    # on the JVM side, the kernel's in-kernel guard on the np side);
+    # the kernel is stricter on NaN-valued vectors (same guard)
+    zero = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0], 0), (2, [1.0, 0.0, 0.0], 0)],
+        "vec_id bigint, embedding array<double>, bucket int",
+    )
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        similarity.cosine_pairs(zero, 0.3, bucket_col="bucket").collect()
+    with pytest.raises(Exception, match="zero/non-finite-norm"):
+        similarity.cosine_pairs_np(zero, 0.3, bucket_col="bucket").collect()
+    nanv = spark.createDataFrame(
+        [(1, [float("nan"), 0.0, 0.0], 0), (2, [1.0, 0.0, 0.0], 0)],
+        "vec_id bigint, embedding array<double>, bucket int",
+    )
+    with pytest.raises(Exception, match="zero/non-finite-norm"):
+        similarity.cosine_pairs_np(nanv, 0.3, bucket_col="bucket").collect()
+
+
+def test_np_assign_null_embedding_matches_jvm(spark):
+    """NULL embeddings make every d2 fold NULL in the JVM argmin, so
+    the struct-min degenerates to the smallest cell (flat) / smallest
+    g's smallest cell (two-level). The numpy kernels must reproduce
+    that exactly rather than crash on the ragged batch."""
+    from rstreams_spark.queries.dedupq import (
+        _n_coarse, ivf_assign, ivf_assign2, ivf_assign2_np,
+        ivf_assign_np, ivf_coarse_groups,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [5.0, 5.0])],
+        "cell int, centroid array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [0.1, 0.1]), (2, None), (3, [4.0, 4.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    jvm = {(r["vec_id"], r["cell"]) for r in ivf_assign(vecs, cents).collect()}
+    np_ = {(r["vec_id"], r["cell"]) for r in ivf_assign_np(vecs, cents).collect()}
+    assert jvm == np_ and len(np_) == 3
+
+    cents_g, coarse_one = ivf_coarse_groups(cents, _n_coarse(3))
+    jvm2 = {
+        (r["vec_id"], r["cell"])
+        for r in ivf_assign2(vecs, cents_g, coarse_one).collect()
+    }
+    np2 = {
+        (r["vec_id"], r["cell"])
+        for r in ivf_assign2_np(vecs, cents_g, coarse_one).collect()
+    }
+    assert jvm2 == np2 and len(np2) == 3
+
+
 def test_decontaminate_fuzzy_contract(spark):
     """Bipartite decontamination invariants: one row per contaminated
     TRAIN doc (never an eval doc), jaccard >= tau, and the flagged

@@ -1217,14 +1217,16 @@ def test_stream_decontaminate_native_matches_exact_gate(spark, tmp_path):
 
     docs = t(spark, SF_SMOKE, "documents")
     ev = docs.where(F.col("source") == DECON_EVAL_SOURCE)
-    n_gram, hashes = eval_gram_hashes(spark, ev, n=DECON_N)
+    gram_set = eval_gram_hashes(spark, ev, n=DECON_N)
+    n_gram, hashes = gram_set
+    assert n_gram == DECON_N
     assert hashes == sorted(hashes) and len(hashes) == len(set(hashes))
 
     train = docs.where(F.col("source") != DECON_EVAL_SOURCE)
 
     # batch-mode plan check: the gate is a pure native filter
     gated_batch = stream_decontaminate_ngrams_native(
-        train.select("doc_id", "text"), n_gram, hashes
+        train.select("doc_id", "text"), gram_set
     )
     txt = plans.explain_str(gated_batch)
     assert "mapInPandas" not in txt and "MapInArrow" not in txt
@@ -1238,7 +1240,7 @@ def test_stream_decontaminate_native_matches_exact_gate(spark, tmp_path):
             f.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
     stream = spark.readStream.schema("doc_id bigint, text string").json(str(src))
     q = (
-        stream_decontaminate_ngrams_native(stream, n_gram, hashes)
+        stream_decontaminate_ngrams_native(stream, gram_set)
         .writeStream.format("memory").queryName("decon_native_out")
         .outputMode("append").start()
     )
