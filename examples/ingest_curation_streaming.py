@@ -3,7 +3,8 @@ front gates running live on a document stream:
 
   document stream → repetition cut (stateless Gopher scorer)
                   → exact dedup (watermarked state, first copy wins)
-                  → eval decontamination (native in-plan n-gram gate)
+                  → eval decontamination (native in-plan n-gram gate,
+                    exact InSet + Bloom-probed large-shard variant)
                   → per-source token-budget admission (r5)
                   → (sink: what a lakehouse writer would commit)
 
@@ -32,7 +33,8 @@ from rstreams_spark.queries._util import t
 from rstreams_spark.session import get_spark
 from rstreams_spark.sinks import writers
 from rstreams_spark.streaming.curation import (
-    eval_gram_hashes, stream_budget_sample,
+    eval_gram_bloom, eval_gram_hashes, stream_budget_sample,
+    stream_decontaminate_ngrams_bloom,
     stream_decontaminate_ngrams_native, stream_quality_repetition,
 )
 from rstreams_spark.streaming.dedup import stream_dedup_exact
@@ -88,6 +90,21 @@ def main() -> None:
     q3.stop()
     n_decon = spark.sql("select count(*) n from decon_kept").collect()[0]["n"]
 
+    # gate 3b: same gate, Bloom-probed — k getbit lookups against one
+    # packed-long array literal; O(1) per-microbatch planning and ~4×
+    # the exact InSet's eval-shard capacity, at ~5e-4 FPR (false
+    # positives over-drop, the safe direction for decontamination)
+    bloom = eval_gram_bloom(spark, ev_docs, n=3)
+    decon_b = stream_decontaminate_ngrams_bloom(
+        stream.where(F.col("source") != "src0"), bloom
+    )
+    q3b = writers.stream_to_memory(decon_b, "decon_bloom_kept", "append")
+    q3b.processAllAvailable()
+    q3b.stop()
+    n_decon_b = spark.sql(
+        "select count(*) n from decon_bloom_kept"
+    ).collect()[0]["n"]
+
     # gate 4: per-source token-budget admission — one long of state
     # per source; arrival order is the admission order
     budgeted = stream_budget_sample(
@@ -105,9 +122,9 @@ def main() -> None:
     print(
         f"[ingest] {n_raw} arriving docs -> {n_rep} past the repetition "
         f"gate, {n_dedup} past exact dedup, {n_decon} past eval "
-        f"decontamination, {n_budget} admitted by the per-source token "
-        "budget (gates run independently here; chain them behind one "
-        "sink in production)"
+        f"decontamination ({n_decon_b} past the Bloom-probed variant), "
+        f"{n_budget} admitted by the per-source token budget (gates run "
+        "independently here; chain them behind one sink in production)"
     )
 
 

@@ -34,6 +34,7 @@ __all__ = [
     "stream_budget_sample", "eval_gram_broadcast",
     "stream_decontaminate_ngrams", "eval_gram_hashes",
     "stream_decontaminate_ngrams_native",
+    "eval_gram_bloom", "stream_decontaminate_ngrams_bloom",
 ]
 
 _NORM_RE = re.compile(r"[^a-z0-9]+")
@@ -356,4 +357,135 @@ def stream_decontaminate_ngrams_native(
         shingles(tokens(F.col(text_col)), n),
         lambda g: F.xxhash64(g).isin(gram_hashes),
     )
+    return df.where(~F.coalesce(contaminated, F.lit(False)))
+
+
+BLOOM_BITS_PER_GRAM = 16   # m/n ratio; k = ⌊(m/n)·ln2⌋ ≈ 11 → FPR ≈ 5e-4
+BLOOM_K = 11
+BLOOM_MAX_BITS = 1 << 27   # 16 MB of packed longs per plan literal —
+#                            capacity ≈ 8M grams at 16 bits/gram
+
+
+def eval_gram_bloom(
+    spark,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    bits_per_gram: int = BLOOM_BITS_PER_GRAM,
+    k: int = BLOOM_K,
+) -> tuple[int, int, int, list[int]]:
+    """Bloom-filter build for the ingest decontamination gate — the
+    scale path past ``eval_gram_hashes``' ``EVAL_GRAM_MAX`` exact
+    InSet budget. Returns ``(n, k, m, words)``: gram order ``n``
+    rides inside the payload (the same can't-mix-n defense as the
+    exact gate), ``k`` probe hashes, ``m`` filter bits (power of
+    two), and ``words`` = m/64 packed longs.
+
+    The build is one distributed Spark job — no gram list ever
+    touches the driver: distinct eval shingles fan out to their k
+    bit positions (``xxhash64(shingle, i) & (m-1)`` — the IDENTICAL
+    native expression the probe side evaluates, so membership parity
+    is by construction), positions pack into (word, mask) pairs, and
+    a ``bit_or`` aggregation collapses them to at most m/64 word
+    rows. Only those bounded words are collected.
+
+    Sizing: m = next power of two ≥ n_grams × bits_per_gram (the
+    distinct-gram count is one counting aggregate, not a collect),
+    giving FPR = (1 − e^(−kn/m))^k ≈ 5e-4 at the defaults —
+    false positives DROP clean documents (the safe direction for
+    decontamination); false negatives are impossible. A shard whose
+    filter would exceed ``BLOOM_MAX_BITS`` raises instead of
+    shipping an unbounded literal (same fail-loud contract as the
+    exact gate's budget).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.dedup import doc_shingles
+
+    grams = (
+        doc_shingles(eval_docs, text_col, n).select("shingle").distinct()
+    )
+    n_grams = grams.count()
+    m = 1024
+    while m < n_grams * bits_per_gram:
+        m <<= 1
+    if m > BLOOM_MAX_BITS:
+        raise ValueError(
+            f"eval_gram_bloom: {n_grams} grams need {n_grams * bits_per_gram} "
+            f"bits > BLOOM_MAX_BITS={BLOOM_MAX_BITS}; shard the eval set or "
+            "raise bits-per-gram capacity deliberately"
+        )
+    pos_cols = [
+        F.xxhash64("shingle", F.lit(i)).bitwiseAND(F.lit(m - 1))
+        for i in range(k)
+    ]
+    rows = (
+        grams.select(F.explode(F.array(*pos_cols)).alias("p"))
+        .select(
+            F.shiftright("p", 6).cast("int").alias("w"),
+            # variable-amount shift: SQL shiftleft accepts an
+            # expression shift count (the Python API wrapper does not)
+            F.expr("shiftleft(1L, int(p & 63))").alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return n, k, m, words
+
+
+def stream_decontaminate_ngrams_bloom(
+    df: DataFrame,
+    bloom: tuple[int, int, int, list[int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-probed live decontamination gate — same fully-native
+    shape as ``stream_decontaminate_ngrams_native`` (tokenize +
+    n-gram assembly + membership inside whole-stage codegen, no
+    Python per row, no shuffle, no state) but the membership probe
+    is k ``getbit`` lookups against ONE packed-long array literal
+    instead of an ``EVAL_GRAM_MAX``-literal InSet. That makes the
+    per-microbatch incremental-planning cost O(1) — re-analysis
+    walks a single Literal node, not millions of In children — and
+    lifts the eval-shard capacity to ``BLOOM_MAX_BITS/bits_per_gram``
+    (~8M grams at the defaults, ~4× the exact gate's budget, in a
+    16 MB plan literal).
+
+    Semantics vs the exact gate: every document the exact gate drops
+    is dropped here too (a Bloom filter has no false negatives), and
+    clean documents are additionally dropped with probability ≈ the
+    filter's FPR per gram (~5e-4 at the defaults) — over-dropping is
+    the safe direction for decontamination. The probe positions are
+    the same native ``xxhash64(gram, i) & (m-1)`` expressions the
+    build evaluated, so build/probe agreement is by construction.
+    The k probe indices are let-bound via ``transform`` so each
+    position hashes once (invariant 5); NULL/empty text passes
+    through exactly like both sibling gates.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.dedup import shingles
+    from ..functions.text import tokens
+
+    n, k, m, words = bloom
+    bloom_lit = F.lit(words)
+    k_lits = F.array(*[F.lit(i) for i in range(k)])
+
+    def hit(g):
+        positions = F.transform(
+            k_lits, lambda i: F.xxhash64(g, i).bitwiseAND(F.lit(m - 1))
+        )
+        return F.forall(
+            positions,
+            lambda p: F.getbit(
+                F.get(bloom_lit, F.shiftright(p, 6).cast("int")),
+                p.bitwiseAND(F.lit(63)),
+            )
+            == F.lit(1),
+        )
+
+    contaminated = F.exists(shingles(tokens(F.col(text_col)), n), hit)
     return df.where(~F.coalesce(contaminated, F.lit(False)))

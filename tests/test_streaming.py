@@ -1254,3 +1254,72 @@ def test_stream_decontaminate_native_matches_exact_gate(spark, tmp_path):
     all_train = {r["doc_id"] for r in train.select("doc_id").collect()}
     assert live_kept == all_train - flagged
     assert flagged
+
+
+def test_stream_decontaminate_bloom_gate(spark, tmp_path):
+    """The Bloom-probed gate (one packed-long array literal + k
+    native getbit probes — O(1) per-microbatch planning) must drop a
+    SUPERSET of the exact gate's drops (no false negatives by
+    construction), stay within a tiny false-positive margin on the
+    fixture, run as a pure native filter (no Python node, no
+    exchange), and behave identically live and in batch."""
+    import json as _json
+
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+    from rstreams_spark import plans
+    from rstreams_spark.queries._util import t
+    from rstreams_spark.queries.dedupq import DECON_EVAL_SOURCE, DECON_N
+    from rstreams_spark.streaming.curation import (
+        eval_gram_bloom, eval_gram_hashes,
+        stream_decontaminate_ngrams_bloom,
+        stream_decontaminate_ngrams_native,
+    )
+
+    docs = t(spark, SF_SMOKE, "documents")
+    ev = docs.where(F.col("source") == DECON_EVAL_SOURCE)
+    bloom = eval_gram_bloom(spark, ev, n=DECON_N)
+    n_b, k_b, m_b, words = bloom
+    assert n_b == DECON_N and m_b == 64 * len(words)
+    assert (m_b & (m_b - 1)) == 0  # power of two
+    assert any(words)              # bits actually set
+
+    train = docs.where(F.col("source") != DECON_EVAL_SOURCE).select(
+        "doc_id", "text"
+    )
+    gated = stream_decontaminate_ngrams_bloom(train, bloom)
+    txt = plans.explain_str(gated)
+    assert "mapInPandas" not in txt and "MapInArrow" not in txt
+    assert "Exchange" not in txt  # pipelines with the scan
+
+    bloom_kept = {r["doc_id"] for r in gated.collect()}
+    exact_kept = {
+        r["doc_id"]
+        for r in stream_decontaminate_ngrams_native(
+            train, eval_gram_hashes(spark, ev, n=DECON_N)
+        ).collect()
+    }
+    # no false negatives: everything the exact gate drops, bloom drops
+    assert bloom_kept <= exact_kept
+    # false positives bounded: ≤1% of the exact keepers on the fixture
+    assert len(exact_kept - bloom_kept) <= max(1, len(exact_kept) // 100)
+
+    # live parity with the batch evaluation of the same gate
+    src = tmp_path / "decon_bloom_src"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for r in train.collect():
+            f.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+    stream = spark.readStream.schema("doc_id bigint, text string").json(str(src))
+    q = (
+        stream_decontaminate_ngrams_bloom(stream, bloom)
+        .writeStream.format("memory").queryName("decon_bloom_out")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    live_kept = {
+        r["doc_id"]
+        for r in spark.sql("select doc_id from decon_bloom_out").collect()
+    }
+    assert live_kept == bloom_kept
