@@ -863,7 +863,9 @@ def ivf_topk(
         .withColumn("v_norm", l2_norm(F.col("embedding")))
         .localCheckpoint(eager=False)
     )
-    cents = ivf_fit(t(spark, sf_dir, "embeddings"))
+    # the fit's 3 corpus passes (seed TakeOrdered + IVF_LLOYD
+    # assigns) read the materialized frame, not parquet re-scans
+    cents = ivf_fit(vecs)
     assigned = ivf_assign_np(vecs, cents)
     probes = vecs.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("probe_id"),
