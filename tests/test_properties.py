@@ -437,3 +437,92 @@ def test_budget_sample_model_on_random_corpora(spark, docs, budget):
                 want[i] = cum
             cum += n
     assert got == want
+
+
+emb_sets = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # bucket
+        st.lists(
+            st.floats(
+                min_value=-8, max_value=8,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=3, max_size=3,
+        ),
+    ),
+    min_size=2, max_size=12,
+)
+
+
+@given(vecs=emb_sets)
+@SLOW
+def test_np_pairs_property_matches_jvm(spark, vecs):
+    """The grouped numpy pair kernel emits the EXACT pair set with
+    bit-equal cosine doubles as the JVM self-join on arbitrary
+    finite embeddings and bucket layouts — singleton buckets, equal
+    vectors (cosine exactly 1.0), near-orthogonal pairs straddling
+    the threshold. Zero-norm vectors are excluded: both paths
+    reject them loudly (covered by the dedicated edge test)."""
+    from hypothesis import assume
+
+    from rstreams_spark.functions import similarity
+
+    assume(all(any(x != 0.0 for x in v) for _, v in vecs))
+    df = spark.createDataFrame(
+        [(i, list(v), b) for i, (b, v) in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>, bucket int",
+    )
+    jvm = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in similarity.cosine_pairs(df, 0.5, bucket_col="bucket").collect()
+    }
+    np_ = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in similarity.cosine_pairs_np(df, 0.5, bucket_col="bucket").collect()
+    }
+    assert jvm == np_
+
+
+corpus_texts = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=24),
+    min_size=1, max_size=12,
+)
+
+
+@given(train=corpus_texts, evald=corpus_texts)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bloom_gate_property_no_false_negatives(spark, train, evald):
+    """On arbitrary tiny corpora the Bloom-probed gate drops a
+    SUPERSET of the exact InSet gate's drops (a Bloom filter has no
+    false negatives), and at the default sizing the tiny gram sets
+    here produce zero false positives — keep-sets match exactly."""
+    from pyspark.sql import Row
+    from rstreams_spark.streaming.curation import (
+        eval_gram_bloom, eval_gram_hashes,
+        stream_decontaminate_ngrams_bloom,
+        stream_decontaminate_ngrams_native,
+    )
+
+    tdf = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(train)]
+    )
+    edf = spark.createDataFrame(
+        [Row(doc_id=-1 - i, text=t) for i, t in enumerate(evald)]
+    )
+    n = 2
+    exact_kept = {
+        r["doc_id"]
+        for r in stream_decontaminate_ngrams_native(
+            tdf, eval_gram_hashes(spark, edf, n=n)
+        ).collect()
+    }
+    bloom_kept = {
+        r["doc_id"]
+        for r in stream_decontaminate_ngrams_bloom(
+            tdf, eval_gram_bloom(spark, edf, n=n)
+        ).collect()
+    }
+    assert bloom_kept <= exact_kept  # never a false negative
+    # tiny gram sets in a >=1024-bit filter: FPR ~ 0 -> exact match
+    assert bloom_kept == exact_kept
