@@ -247,6 +247,11 @@ def test_ann_probe_broadcasts_are_capped(spark):
         assert "max_probes" in txt, f"{key}: probe cap missing from plan"
         # and the guard feeds an actual broadcast exchange
         assert "BroadcastExchange" in txt
+        # invariant 9: the shared corpus frame (scan + norm/bucket
+        # folds) materializes once via lazy localCheckpoint — both
+        # the corpus side and the probe derivation read ExistingRDD,
+        # never a per-branch parquet re-scan
+        assert "ExistingRDD" in txt, f"{key}: corpus frame not materialized"
 
 
 def test_fanout_repartition_is_conditional(spark):
