@@ -18,7 +18,10 @@ from pyspark.sql import functions as F
 
 from ..functions.text import md5_fingerprint
 
-__all__ = ["stream_dedup_exact", "stream_span_dedup"]
+__all__ = [
+    "stream_dedup_exact", "stream_span_dedup",
+    "minhash_index", "stream_dedup_minhash", "minhash_dedup_batch",
+]
 
 
 def stream_dedup_exact(
@@ -84,3 +87,154 @@ def stream_span_dedup(
     return spans.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
         ["span_text"]
     )
+
+
+MINHASH_SHINGLE_N = 2     # same gram order as the batch fuzzy family
+MINHASH_DEDUP_TAU = 0.5   # near-dup threshold (cf. DECON_FUZZY_TAU)
+
+
+def minhash_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Batch-built LSH index for ingest-time NEAR-duplicate
+    suppression: ``(index_bands, index_sets)`` over an existing
+    corpus — the once-per-corpus half of ``stream_dedup_minhash``.
+
+    ``index_bands`` is (index_id, band_idx, band_key) with
+    over-popular buckets dropped at the cap (boilerplate buckets
+    would make every arriving doc a candidate — the same
+    ``LSH_BUCKET_CAP`` defense as the batch pair join);
+    ``index_sets`` is (index_id, shset, n) — the distinct shingle
+    hashes per doc for the exact-jaccard verify. One signature
+    pipeline feeds both (the signature frame lazily checkpoints per
+    invariant 9).
+
+    Scale shape: at corpus scale the caller should WRITE both frames
+    once (``sinks.writers.write_parquet`` with ``bucket_by`` on
+    band_key / index_id) and stream against the re-read tables — the
+    per-microbatch candidate join then shuffles only the arriving
+    batch onto the index's bucketing instead of re-scanning the
+    index per trigger. The build itself is the batch minhash
+    pipeline: one shingle explode, one signature agg, one band
+    explode — linear, never all-pairs.
+    """
+    from ..functions.dedup import (
+        doc_shingles, lsh_band_rows, minhash_signature,
+    )
+    from ..queries.dedupq import BANDS, LSH_BUCKET_CAP, NUM_PERM
+    from pyspark.sql.window import Window
+
+    sh = doc_shingles(docs, text_col, MINHASH_SHINGLE_N, id_col=id_col)
+    sig = minhash_signature(
+        sh, NUM_PERM, id_col=id_col, with_hash_set=True
+    ).localCheckpoint(False)
+    wb = Window.partitionBy("band_idx", "band_key")
+    index_bands = (
+        lsh_band_rows(sig, NUM_PERM, BANDS, id_col=id_col)
+        .select(F.col(id_col).alias("index_id"), "band_idx", "band_key")
+        .withColumn("__m", F.count("*").over(wb))
+        .where(F.col("__m") <= LSH_BUCKET_CAP)
+        .drop("__m")
+    )
+    index_sets = sig.select(
+        F.col(id_col).alias("index_id"),
+        F.col("__shset").alias("shset"),
+        F.size("__shset").cast("long").alias("n"),
+    )
+    return index_bands, index_sets
+
+
+def minhash_dedup_batch(
+    batch: DataFrame,
+    index_bands: DataFrame,
+    index_sets: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau: float = MINHASH_DEDUP_TAU,
+) -> DataFrame:
+    """One microbatch of near-dup suppression against a static LSH
+    index: signature + bands for the ARRIVING docs only, candidate
+    join on (band_idx, band_key), exact-jaccard verify on candidates
+    only, left-anti back onto the batch — a doc survives unless some
+    index doc matches at ``jaccard ≥ tau``. Pure batch DataFrame
+    ops, so it composes under ``foreachBatch`` with no stateful
+    operator restrictions; the index side is never recomputed.
+    Identical machinery (shingle order, permutation family, band
+    keys, verify algebra) to the batch ``fuzzy_contaminated``."""
+    from ..functions.dedup import (
+        doc_shingles, lsh_band_rows, minhash_signature,
+    )
+    from ..queries.dedupq import BANDS, NUM_PERM
+
+    sh = doc_shingles(batch, text_col, MINHASH_SHINGLE_N, id_col=id_col)
+    sig = minhash_signature(
+        sh, NUM_PERM, id_col=id_col, with_hash_set=True
+    ).localCheckpoint(False)
+    bands = lsh_band_rows(sig, NUM_PERM, BANDS, id_col=id_col)
+    cands = (
+        bands.join(index_bands, ["band_idx", "band_key"])
+        .select(id_col, "index_id")
+        .distinct()
+    )
+    arriving = sig.select(
+        id_col,
+        F.col("__shset").alias("s1"),
+        F.size("__shset").cast("long").alias("n1"),
+    )
+    inter = F.size(F.array_intersect(F.col("s1"), F.col("shset")))
+    jac = inter / (F.col("n1") + F.col("n") - inter)
+    dup_ids = (
+        cands.join(arriving, id_col)
+        .join(index_sets, "index_id")
+        .where(jac >= tau)
+        .select(id_col)
+        .distinct()
+    )
+    return batch.join(dup_ids, id_col, "left_anti")
+
+
+def stream_dedup_minhash(
+    df: DataFrame,
+    index_bands: DataFrame,
+    index_sets: DataFrame,
+    sink,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau: float = MINHASH_DEDUP_TAU,
+):
+    """Ingest-time NEAR-duplicate suppression against an existing
+    corpus — the live counterpart of the batch minhash-LSH dedup,
+    completing the streaming dedup family (exact → span → near-dup).
+
+    Shape: ``foreachBatch``. Cross-doc near-dup detection needs an
+    LSH candidate join plus a per-doc verify aggregation — two
+    operations Structured Streaming cannot chain inside one stateful
+    query (stream-static anti-join on band rows keeps a doc if ANY
+    band misses; the required ALL-bands-checked + verify semantics
+    need a doc-level reduction after the join). ``foreachBatch``
+    gives each microbatch full batch semantics, which is the
+    standard production shape for "dedup the firehose against the
+    lake": arriving docs are signatured and verified against the
+    static index (see ``minhash_dedup_batch``), and only survivors
+    reach ``sink(kept_df, epoch_id)``.
+
+    The returned ``DataStreamWriter`` is unstarted — callers attach
+    options/checkpointing and ``.start()``. New-vs-new duplicates
+    WITHIN the stream are the exact gate's job (chain
+    ``stream_dedup_exact`` upstream; near-dup among in-flight docs
+    requires periodically folding survivors into the index — the
+    documented refresh loop, same as any lakehouse dedup).
+    """
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        sink(
+            minhash_dedup_batch(
+                batch, index_bands, index_sets,
+                text_col=text_col, id_col=id_col, tau=tau,
+            ),
+            epoch_id,
+        )
+
+    return df.writeStream.foreachBatch(_process)

@@ -1323,3 +1323,70 @@ def test_stream_decontaminate_bloom_gate(spark, tmp_path):
         for r in spark.sql("select doc_id from decon_bloom_out").collect()
     }
     assert live_kept == bloom_kept
+
+
+def test_stream_dedup_minhash_matches_batch_fuzzy(spark, tmp_path):
+    """Ingest-time near-dup suppression (foreachBatch vs a batch-built
+    LSH index) must drop EXACTLY the documents the oracle-verified
+    batch machinery (fuzzy_contaminated) flags against the same index
+    at the same tau — identical shingles, permutation family, band
+    keys, bucket cap and verify algebra. Exact copies of index docs
+    (jaccard 1.0) make the check non-vacuous."""
+    import json as _json
+
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+    from rstreams_spark.queries._util import t
+    from rstreams_spark.queries.dedupq import fuzzy_contaminated
+    from rstreams_spark.streaming.dedup import (
+        MINHASH_DEDUP_TAU, minhash_index, stream_dedup_minhash,
+    )
+
+    docs = t(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    index_docs = docs.where(F.col("doc_id") % 3 == 0)
+    # arriving stream = every doc, ids shifted so the index overlap
+    # becomes a guaranteed jaccard-1.0 near-dup (not an id collision)
+    arriving = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+
+    index_bands, index_sets = minhash_index(index_docs)
+    index_bands = index_bands.localCheckpoint()  # freeze the static side
+    index_sets = index_sets.localCheckpoint()
+
+    src = tmp_path / "minhash_dedup_src"
+    src.mkdir()
+    rows = arriving.collect()
+    with open(src / "b0.json", "w") as f:
+        for r in rows[: len(rows) // 2]:
+            f.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+    with open(src / "b1.json", "w") as f:
+        for r in rows[len(rows) // 2 :]:
+            f.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+
+    kept_rows = []
+    q = stream_dedup_minhash(
+        stream, index_bands, index_sets,
+        sink=lambda df, epoch: kept_rows.extend(
+            r["doc_id"] for r in df.select("doc_id").collect()
+        ),
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    corpus = arriving.unionByName(index_docs)
+    flagged = {
+        r["doc_id"]
+        for r in fuzzy_contaminated(
+            corpus, index_docs.select("doc_id"), tau=MINHASH_DEDUP_TAU
+        ).collect()
+    }
+    all_ids = {r["doc_id"] for r in rows}
+    assert set(kept_rows) == all_ids - flagged
+    # every index doc's shifted copy is a jaccard-1.0 dup — dropped
+    index_ids = {r["doc_id"] + 100000 for r in index_docs.collect()}
+    assert index_ids <= flagged
+    assert len(kept_rows) == len(set(kept_rows))  # no doc emitted twice
