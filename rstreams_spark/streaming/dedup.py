@@ -21,6 +21,7 @@ from ..functions.text import md5_fingerprint
 __all__ = [
     "stream_dedup_exact", "stream_span_dedup",
     "minhash_index", "stream_dedup_minhash", "minhash_dedup_batch",
+    "embedding_index", "stream_dedup_embedding", "embedding_dedup_batch",
 ]
 
 
@@ -233,6 +234,133 @@ def stream_dedup_minhash(
             minhash_dedup_batch(
                 batch, index_bands, index_sets,
                 text_col=text_col, id_col=id_col, tau=tau,
+            ),
+            epoch_id,
+        )
+
+    return df.writeStream.foreachBatch(_process)
+
+
+def embedding_index(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cells: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Batch-built IVF index for ingest-time SEMANTIC near-dup
+    suppression — the embedding-space sibling of ``minhash_index``
+    (SemDeDup at the door instead of over the lake). Returns
+    ``(cents, indexed)``: the fitted centroid table and the corpus
+    vectors with their cell and hoisted norm.
+
+    Cells default to the batch SemDeDup sizing (∝ corpus size,
+    clamped), and the build FAILS LOUDLY if any cell exceeds
+    ``SEMANTIC_BUCKET_CAP`` members — an oversized cell would turn
+    every microbatch's candidate join quadratic; the answer is more
+    cells, not a bigger cap (the same contract as the batch pair
+    kernel). At corpus scale the caller writes ``indexed`` once,
+    bucketed by cell, and streams against the re-read table.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.similarity import l2_norm
+    from ..queries.dedupq import (
+        SEMANTIC_BUCKET_CAP, ivf_assign_np, ivf_fit, semantic_cell_count,
+    )
+
+    if cells is None:
+        cells = semantic_cell_count(vecs.count())
+    sel = vecs.select(id_col, vec_col)
+    cents = ivf_fit(sel, cells)
+    wc = Window.partitionBy("cell").orderBy(id_col)
+    indexed = (
+        ivf_assign_np(sel, cents)
+        .withColumn("v_norm", l2_norm(F.col(vec_col)))
+        .withColumn("__cn", F.row_number().over(wc))
+        .where(
+            F.assert_true(
+                F.col("__cn") <= SEMANTIC_BUCKET_CAP,
+                F.lit(
+                    "embedding_index: cell exceeds SEMANTIC_BUCKET_CAP="
+                    f"{SEMANTIC_BUCKET_CAP}; fit more cells so the "
+                    "per-microbatch candidate join stays bounded"
+                ),
+            ).isNull()
+        )
+        .drop("__cn")
+        .select(
+            F.col(id_col).alias("index_id"),
+            F.col(vec_col).alias("index_emb"),
+            F.col("v_norm").alias("index_norm"),
+            "cell",
+        )
+    )
+    return cents, indexed
+
+
+def embedding_dedup_batch(
+    batch: DataFrame,
+    cents: DataFrame,
+    indexed: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One microbatch of semantic near-dup suppression: assign
+    arriving vectors to their IVF cell (Arrow argmin kernel —
+    identical cells to the in-plan JVM fold), join the index WITHIN
+    the cell only, hoisted-norm cosine ≥ tau drops the doc. Pure
+    batch ops for ``foreachBatch``; the index side is never
+    re-fitted or re-assigned. Boundary semantics match batch
+    SemDeDup: a near-dup pair straddling a Voronoi boundary is
+    tolerated by design (deterministic partition, not exact NN)."""
+    from ..functions.similarity import dot, l2_norm
+    from ..queries.dedupq import ivf_assign_np
+
+    assigned = ivf_assign_np(
+        batch.select(id_col, vec_col), cents
+    ).withColumn("v_norm", l2_norm(F.col(vec_col)))
+    cos = dot(F.col(vec_col), F.col("index_emb")) / (
+        F.col("v_norm") * F.col("index_norm")
+    )
+    dup_ids = (
+        assigned.join(indexed, "cell")
+        .where(cos >= tau)
+        .select(id_col)
+        .distinct()
+    )
+    return batch.join(dup_ids, id_col, "left_anti")
+
+
+def stream_dedup_embedding(
+    df: DataFrame,
+    cents: DataFrame,
+    indexed: DataFrame,
+    sink,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float | None = None,
+):
+    """Ingest-time SEMANTIC near-duplicate suppression against an
+    existing embedded corpus — SemDeDup as a door gate: an arriving
+    vector whose cosine against any same-cell index vector reaches
+    ``tau`` (default: the batch ``COSINE_TAU``) never lands.
+
+    Same ``foreachBatch`` shape and rationale as
+    ``stream_dedup_minhash`` (cell-candidate join + per-doc verify
+    can't chain inside one stateful streaming query); the returned
+    ``DataStreamWriter`` is unstarted. New-vs-new semantic dups
+    within the stream await the periodic index refresh, exactly like
+    the minhash gate documents.
+    """
+    from ..queries.dedupq import COSINE_TAU
+
+    tau_v = COSINE_TAU if tau is None else tau
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        sink(
+            embedding_dedup_batch(
+                batch, cents, indexed, tau_v, id_col=id_col, vec_col=vec_col
             ),
             epoch_id,
         )

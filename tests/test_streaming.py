@@ -1390,3 +1390,78 @@ def test_stream_dedup_minhash_matches_batch_fuzzy(spark, tmp_path):
     index_ids = {r["doc_id"] + 100000 for r in index_docs.collect()}
     assert index_ids <= flagged
     assert len(kept_rows) == len(set(kept_rows))  # no doc emitted twice
+
+
+def test_stream_dedup_embedding_matches_jvm_model(spark, tmp_path):
+    """Semantic ingest gate parity: the foreachBatch gate (Arrow
+    argmin assignment + in-cell hoisted-norm cosine) must keep
+    exactly the vectors an independent JVM-path model keeps (in-plan
+    ivf_assign fold + the same cosine algebra) at the same tau, and
+    exact copies of index vectors (cosine 1.0) must always be
+    dropped."""
+    import json as _json
+
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+    from rstreams_spark.functions.similarity import dot, l2_norm
+    from rstreams_spark.queries._util import t
+    from rstreams_spark.queries.dedupq import COSINE_TAU, ivf_assign
+    from rstreams_spark.streaming.dedup import (
+        embedding_index, stream_dedup_embedding,
+    )
+
+    vecs = t(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    index_src = vecs.where(F.col("vec_id") % 3 == 0)
+    arriving = vecs.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+
+    cents, indexed = embedding_index(index_src)
+    cents = cents.localCheckpoint()
+    indexed = indexed.localCheckpoint()
+
+    src = tmp_path / "emb_dedup_src"
+    src.mkdir()
+    rows = arriving.collect()
+    half = len(rows) // 2
+    for name, chunk in (("b0.json", rows[:half]), ("b1.json", rows[half:])):
+        with open(src / name, "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(
+                    {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                ) + "\n")
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<float>"
+    ).option("maxFilesPerTrigger", 1).json(str(src))
+
+    kept = []
+    q = stream_dedup_embedding(
+        stream, cents, indexed,
+        sink=lambda df, epoch: kept.extend(
+            r["vec_id"] for r in df.select("vec_id").collect()
+        ),
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    # independent JVM-path model: in-plan argmin + same cosine algebra
+    model_assigned = ivf_assign(arriving, cents).withColumn(
+        "v_norm", l2_norm(F.col("embedding"))
+    )
+    cos = dot(F.col("embedding"), F.col("index_emb")) / (
+        F.col("v_norm") * F.col("index_norm")
+    )
+    model_dropped = {
+        r["vec_id"]
+        for r in model_assigned.join(indexed, "cell")
+        .where(cos >= COSINE_TAU)
+        .select("vec_id")
+        .distinct()
+        .collect()
+    }
+    all_ids = {r["vec_id"] for r in rows}
+    assert set(kept) == all_ids - model_dropped
+    # shifted copies of index vectors are cosine-1.0 dups
+    index_copy_ids = {r["vec_id"] + 100000 for r in index_src.collect()}
+    assert index_copy_ids <= model_dropped
+    assert len(kept) == len(set(kept))
