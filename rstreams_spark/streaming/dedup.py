@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..functions.text import md5_fingerprint
 
 __all__ = [
-    "stream_dedup_exact", "stream_span_dedup",
+    "stream_dedup_exact", "stream_dedup_exact_against", "stream_span_dedup",
     "minhash_index", "stream_dedup_minhash", "minhash_dedup_batch",
     "embedding_index", "stream_dedup_embedding", "embedding_dedup_batch",
 ]
@@ -45,6 +45,38 @@ def stream_dedup_exact(
     fp = df.withColumn("__fp", md5_fingerprint(F.col(text_col)))
     fp = fp.withWatermark(ts_col, horizon)
     return fp.dropDuplicatesWithinWatermark([*keys, "__fp"]).drop("__fp")
+
+
+def stream_dedup_exact_against(
+    df: DataFrame,
+    seen_fps: DataFrame,
+    text_col: str,
+    ts_col: str,
+    horizon: str = "1 hour",
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Live exact dedup AGAINST AN EXISTING CORPUS — the streaming
+    twin of the batch ``incremental_dedup_exact``: a document whose
+    content fingerprint already exists in ``seen_fps`` (column
+    ``fp``, the batch family's md5 fingerprint) never lands, and
+    within the stream the first arrival per fingerprint wins
+    (arrival order IS the live analog of the batch min-id keeper).
+
+    Shape: a STATELESS stream-static left-anti join on the
+    fingerprint (natively supported — no foreachBatch needed), then
+    the watermark-bounded within-stream dedup. One stateful operator
+    total, append-safe. At corpus scale, bucket the seen-fps table
+    by fingerprint so the per-microbatch anti-join shuffles only the
+    arriving batch onto the table's bucketing; fold committed
+    fingerprints back into the table on the caller's refresh cadence
+    (the same loop every lakehouse dedup runs).
+    """
+    fp = df.withColumn("__fp", md5_fingerprint(F.col(text_col)))
+    fresh = fp.join(
+        seen_fps.select(F.col("fp").alias("__fp")), "__fp", "left_anti"
+    )
+    fresh = fresh.withWatermark(ts_col, horizon)
+    return fresh.dropDuplicatesWithinWatermark([*keys, "__fp"]).drop("__fp")
 
 
 def stream_span_dedup(

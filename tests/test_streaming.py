@@ -1465,3 +1465,53 @@ def test_stream_dedup_embedding_matches_jvm_model(spark, tmp_path):
     index_copy_ids = {r["vec_id"] + 100000 for r in index_src.collect()}
     assert index_copy_ids <= model_dropped
     assert len(kept) == len(set(kept))
+
+
+def test_stream_dedup_exact_against_corpus(spark, tmp_path):
+    """Live incremental exact dedup: fingerprints already in the seen
+    table never land (stream-static anti-join), first arrival wins
+    within the stream, and the kept set equals the batch
+    incremental_dedup_exact model under arrival order."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from rstreams_spark.functions.text import md5_fingerprint
+    from rstreams_spark.streaming.dedup import stream_dedup_exact_against
+
+    corpus = spark.createDataFrame(
+        [(100, "seen one"), (101, "seen two")], "doc_id bigint, text string"
+    )
+    seen_fps = corpus.select(
+        md5_fingerprint(F.col("text")).alias("fp")
+    ).distinct().localCheckpoint()
+
+    arriving = [
+        (1, "seen one"),     # in corpus -> dropped
+        (2, "fresh alpha"),  # kept
+        (3, "fresh alpha"),  # within-stream dup of 2 -> dropped
+        (4, "Seen  TWO"),    # normalizes to corpus fp -> dropped
+        (5, "fresh beta"),   # kept
+    ]
+    src = tmp_path / "inc_dedup_src"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for i, t in arriving[:3]:
+            f.write(_json.dumps({"doc_id": i, "text": t, "ts": "2024-01-01T00:00:00"}) + "\n")
+    with open(src / "b1.json", "w") as f:
+        for i, t in arriving[3:]:
+            f.write(_json.dumps({"doc_id": i, "text": t, "ts": "2024-01-01T00:00:05"}) + "\n")
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, ts timestamp"
+    ).option("maxFilesPerTrigger", 1).json(str(src))
+
+    out = stream_dedup_exact_against(stream, seen_fps, "text", "ts")
+    q = (
+        out.writeStream.format("memory").queryName("inc_dedup_out")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    kept = sorted(
+        r["doc_id"] for r in spark.sql("select doc_id from inc_dedup_out").collect()
+    )
+    assert kept == [2, 5]
