@@ -3,6 +3,8 @@ front gates running live on a document stream:
 
   document stream → repetition cut (stateless Gopher scorer)
                   → exact dedup (watermarked state, first copy wins)
+                  → near-dup suppression vs the corpus LSH index
+                    (foreachBatch signature + jaccard verify)
                   → eval decontamination (native in-plan n-gram gate,
                     exact InSet + Bloom-probed large-shard variant)
                   → per-source token-budget admission (r5)
@@ -37,7 +39,9 @@ from rstreams_spark.streaming.curation import (
     stream_decontaminate_ngrams_bloom,
     stream_decontaminate_ngrams_native, stream_quality_repetition,
 )
-from rstreams_spark.streaming.dedup import stream_dedup_exact
+from rstreams_spark.streaming.dedup import (
+    minhash_index, stream_dedup_exact, stream_dedup_minhash,
+)
 
 
 def main() -> None:
@@ -75,6 +79,22 @@ def main() -> None:
     q2.processAllAvailable()
     q2.stop()
     n_dedup = spark.sql("select count(*) n from dedup_kept").collect()[0]["n"]
+
+    # gate 2b: NEAR-dup suppression against the existing corpus —
+    # batch-built LSH index (here: the src0 shard stands in for the
+    # lake), each microbatch signatured + jaccard-verified against it
+    # via foreachBatch; only survivors reach the sink callback
+    ib, iset = minhash_index(docs.where(F.col("source") == "src0"))
+    ib, iset = ib.localCheckpoint(), iset.localCheckpoint()
+    neardup_kept = []
+    q2b = stream_dedup_minhash(
+        stream.where(F.col("source") != "src0").select("doc_id", "text"),
+        ib, iset,
+        sink=lambda df, epoch: neardup_kept.append(df.count()),
+    ).start()
+    q2b.processAllAvailable()
+    q2b.stop()
+    n_neardup = sum(neardup_kept)
 
     # gate 3: eval decontamination at ingest — NATIVE r6 gate: the
     # eval shard's gram xxhash64 set becomes an in-plan InSet probe,
@@ -121,7 +141,8 @@ def main() -> None:
 
     print(
         f"[ingest] {n_raw} arriving docs -> {n_rep} past the repetition "
-        f"gate, {n_dedup} past exact dedup, {n_decon} past eval "
+        f"gate, {n_dedup} past exact dedup, {n_neardup} past near-dup "
+        f"suppression vs the corpus index, {n_decon} past eval "
         f"decontamination ({n_decon_b} past the Bloom-probed variant), "
         f"{n_budget} admitted by the per-source token budget (gates run "
         "independently here; chain them behind one sink in production)"
