@@ -402,8 +402,14 @@ def eval_gram_bloom(
 
     from ..functions.dedup import doc_shingles
 
+    # grams feeds the sizing count AND the position aggregation —
+    # lazy localCheckpoint materializes the shingle+distinct pipeline
+    # once (invariant 9)
     grams = (
-        doc_shingles(eval_docs, text_col, n).select("shingle").distinct()
+        doc_shingles(eval_docs, text_col, n)
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     n_grams = grams.count()
     m = 1024
@@ -470,8 +476,15 @@ def stream_decontaminate_ngrams_bloom(
     from ..functions.dedup import shingles
     from ..functions.text import tokens
 
+    import numpy as np
+
     n, k, m, words = bloom
-    bloom_lit = F.lit(words)
+    # ONE true array<bigint> Literal: a plain Python list would (a)
+    # expand to a CreateArray of m/64 child literals — re-analyzed
+    # per microbatch, defeating this gate's O(1)-planning rationale —
+    # and (b) infer array<int> when every word happens to fit int32,
+    # making getbit(pos >= 32) throw BIT_POSITION_RANGE at runtime.
+    bloom_lit = F.lit(np.array(words, dtype=np.int64))
     k_lits = F.array(*[F.lit(i) for i in range(k)])
 
     def hit(g):

@@ -201,6 +201,10 @@ def minhash_dedup_batch(
     )
     from ..queries.dedupq import BANDS, NUM_PERM
 
+    # the batch feeds the signature pipeline AND the final left-anti
+    # — materialize once so each trigger reads its source files once
+    # (invariant 9)
+    batch = batch.localCheckpoint(eager=False)
     sh = doc_shingles(batch, text_col, MINHASH_SHINGLE_N, id_col=id_col)
     sig = minhash_signature(
         sh, NUM_PERM, id_col=id_col, with_hash_set=True
@@ -300,9 +304,12 @@ def embedding_index(
         SEMANTIC_BUCKET_CAP, ivf_assign_np, ivf_fit, semantic_cell_count,
     )
 
+    # sel feeds the sizing count, the fit's seed + Lloyd passes AND
+    # the final assignment — lazy localCheckpoint materializes the
+    # (possibly derived) corpus pipeline once (invariant 9)
+    sel = vecs.select(id_col, vec_col).localCheckpoint(eager=False)
     if cells is None:
-        cells = semantic_cell_count(vecs.count())
-    sel = vecs.select(id_col, vec_col)
+        cells = semantic_cell_count(sel.count())
     cents = ivf_fit(sel, cells)
     wc = Window.partitionBy("cell").orderBy(id_col)
     indexed = (
@@ -349,6 +356,9 @@ def embedding_dedup_batch(
     from ..functions.similarity import dot, l2_norm
     from ..queries.dedupq import ivf_assign_np
 
+    # batch feeds the assignment AND the final left-anti — one
+    # materialization per trigger (invariant 9)
+    batch = batch.localCheckpoint(eager=False)
     assigned = ivf_assign_np(
         batch.select(id_col, vec_col), cents
     ).withColumn("v_norm", l2_norm(F.col(vec_col)))

@@ -524,5 +524,7 @@ def test_bloom_gate_property_no_false_negatives(spark, train, evald):
         ).collect()
     }
     assert bloom_kept <= exact_kept  # never a false negative
-    # tiny gram sets in a >=1024-bit filter: FPR ~ 0 -> exact match
-    assert bloom_kept == exact_kept
+    # NOTE: no equality assert — false positives are only
+    # probabilistically absent (the fixture test bounds FPR on
+    # realistic data; random corpora at the m=1024 floor can fill
+    # the filter enough to over-drop occasionally, by design)
