@@ -39,6 +39,9 @@ HEADLINERS = [
     "ann_topk", "ann_lsh_topk", "text_quality", "quality_repetition",
     "span_dedup", "doc_commonness", "ngram_novelty", "dedup_winnowing",
     "vocab_coverage", "audio_meta",
+    # r6: cross-source gram-overlap matrix (mirror detection) — two
+    # gram-keyed shuffles, source-bounded join fanout; a scale path.
+    "source_overlap",
     # promoted r5: semantic_clusters now buckets on corpus-sized
     # learned k-means cells (linear pair work, 3.0x on the sf1
     # decade step), so it is a scale path, not the exact baseline it

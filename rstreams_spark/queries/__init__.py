@@ -15,7 +15,10 @@ audio_meta/multimodal_meta's NULL-text digest coalesce). The r5
 driver-green 50 ride outside this round on the replica (`make
 oracle` runs the FULL registry), including the r6-touched
 ivf_topk/ts_similarity_topk/video_meta whose values are
-replica-proven unchanged.
+replica-proven unchanged. The catalog is 101 entries this round
+(source_overlap is new and leads the window), so ONE complement
+entry — vocab_coverage, untouched since its prior driver green —
+rides at position 51, covered by the replica.
 """
 
 from __future__ import annotations
@@ -29,6 +32,8 @@ for mod in (core, tpch, textq, dedupq):
     _SQL.update(mod.SQL_ORACLES)
 
 _FRONT = [
+    # — NEW this round (r6), never driver-verified —
+    "source_overlap",
     # — CHANGED this round (r6), must driver-re-verify: probe-cap
     #   guard inserted into the ANN broadcast path; NULL-text digest
     #   coalesce in the audio/multimodal payload builders —

@@ -793,6 +793,82 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OVERLAP_N = 3  # n-gram size for the cross-source overlap matrix
+
+
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram overlap matrix — mirror-site detection:
+    for every source pair, the count of distinct 3-grams both emit
+    and the gram-set Jaccard. High-Jaccard pairs are mirrored /
+    scraped-twice feeds, the standard pre-dedup triage signal when
+    deciding which sources to drop wholesale before per-document
+    dedup (cheaper to kill a mirror at the source level than to
+    near-dup 10⁹ of its documents).
+
+    Exactness: integer gram counts; Jaccard is ONE double division
+    of bigints per pair (engine-safe, invariant #2). Pairs sharing
+    zero grams are omitted (inner join on gram; documented — the
+    oracle's join produces the same support).
+
+    Scale shape: gram explode (fanout-guarded) → distinct
+    (source, gram) collapse — ONE shuffle keyed on the pair,
+    materialized once (it feeds the per-source totals AND both
+    sides of the pair join; invariant 9). The self-join key is the
+    gram, but fanout per gram is bounded by the SOURCE dimension's
+    cardinality (≤ S rows per gram after the distinct collapse, so
+    ≤ S² pair rows per gram — sources are a low-cardinality
+    dimension by construction, unlike doc_ids). Output is ≤ S²/2
+    rows. At 100 TB: linear in corpus grams with two gram-keyed
+    shuffles; no data-sized broadcast, no skew beyond hot grams
+    already collapsed to ≤ S rows each.
+    """
+    from ..functions.core import ensure_fanout_parallelism
+    from ..functions.dedup import grams
+
+    docs = t(spark, sf_dir, "documents")
+    sg = (
+        ensure_fanout_parallelism(docs)
+        .select(
+            "source",
+            F.explode(grams(tokens(F.col("text")), OVERLAP_N)).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds totals AND both join sides
+    )
+    per_src = sg.groupBy("source").agg(F.count("*").alias("n_grams"))
+    pairs = (
+        sg.alias("a")
+        .join(sg.alias("b"), "gram")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    pa = per_src.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a")
+    )
+    pb = per_src.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("grams_b")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared_grams").cast("long").alias("shared_grams"),
+            F.col("grams_a").cast("long").alias("grams_a"),
+            F.col("grams_b").cast("long").alias("grams_b"),
+            (
+                F.col("shared_grams")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("shared_grams"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "incremental_dedup_exact": incremental_dedup_exact,
@@ -812,6 +888,7 @@ QUERIES = {
     "dataset_split": dataset_split,
     "budget_sample": budget_sample,
     "vocab_coverage": vocab_coverage,
+    "source_overlap": source_overlap,
 }
 
 SQL_ORACLES = {
@@ -1097,6 +1174,33 @@ SQL_ORACLES = {
         select doc_id, n_distinct_grams, n_novel_grams,
                n_novel_grams / n_distinct_grams as novelty_frac
         from agg
+    """,
+    "source_overlap": f"""
+        with toks as (select source, {_TOKS} as tk from documents),
+        gr_all as (
+          select source,
+                 unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                         for i in range(1, len(tk) - 1)]) as gram
+          from toks
+        ),
+        gr as (select distinct source, gram from gr_all),
+        per_src as (select source, count(*) as n_grams from gr group by source),
+        pairs as (
+          select a.source as source_a, b.source as source_b,
+                 count(*) as shared_grams
+          from gr a join gr b using (gram)
+          where a.source < b.source
+          group by 1, 2
+        )
+        select source_a, source_b,
+               cast(shared_grams as bigint) as shared_grams,
+               cast(pa.n_grams as bigint) as grams_a,
+               cast(pb.n_grams as bigint) as grams_b,
+               shared_grams / (pa.n_grams + pb.n_grams - shared_grams)
+                 as jaccard
+        from pairs
+        join per_src pa on pa.source = pairs.source_a
+        join per_src pb on pb.source = pairs.source_b
     """,
     "budget_sample": f"""
         with b as (

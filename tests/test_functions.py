@@ -153,6 +153,34 @@ def test_ngram_novelty_first_doc_wins(spark, tmp_path):
     assert rows[2]["n_novel_grams"] == 1 and rows[2]["novelty_frac"] == 0.5
 
 
+def test_source_overlap_matrix(spark, tmp_path):
+    """Mirror detection: sources sharing a distinct 3-gram pair up
+    with exact Jaccard; disjoint sources emit no row (inner support).
+    Duplicate grams WITHIN a source count once (distinct collapse)."""
+    import pandas as pd
+
+    sf = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            # srcA twice emits gram "a b c" — must count once
+            "text": ["a b c d", "a b c", "a b c x", "p q r s"],
+            "lang": ["en"] * 4,
+            "source": ["srcA", "srcA", "srcB", "srcC"],
+            "n_chars": [7, 5, 7, 7],
+        }
+    ).to_parquet(f"{sf}/documents.parquet")
+    from rstreams_spark.queries.textq import source_overlap
+
+    rows = source_overlap(spark, sf).collect()
+    assert len(rows) == 1  # srcC shares nothing → no row
+    r = rows[0]
+    assert (r["source_a"], r["source_b"]) == ("srcA", "srcB")
+    # srcA grams {a b c, b c d}; srcB grams {a b c, b c x}; shared 1
+    assert r["shared_grams"] == 1 and r["grams_a"] == 2 and r["grams_b"] == 2
+    assert r["jaccard"] == 1 / 3
+
+
 def test_winnowing_shared_run_shares_fingerprint(spark):
     """Winnowing guarantee (Schleimer et al.): two docs sharing a
     token run of length ≥ w+k-1 (= 7 for k=w=4) share at least one
