@@ -835,7 +835,14 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)  # feeds totals AND both join sides
     )
-    per_src = sg.groupBy("source").agg(F.count("*").alias("n_grams"))
+    per_src = (
+        sg.groupBy("source")
+        .agg(F.count("*").alias("n_grams"))
+        # feeds BOTH the grams_a and grams_b joins (invariant 9):
+        # without this the S-row total re-aggregates the corpus-sized
+        # gram frame once per side
+        .localCheckpoint(eager=False)
+    )
     pairs = (
         sg.alias("a")
         .join(sg.alias("b"), "gram")

@@ -423,3 +423,22 @@ def test_r5_new_query_plan_shapes(spark):
     txt = plans.explain_str(df_f)
     assert "ExistingRDD" in txt      # the materialized signature frame
     assert "CartesianProduct" not in txt
+
+
+def test_source_overlap_plan_shape(spark):
+    """source_overlap (r6, invariant 6): the corpus-sized gram
+    self-join must be shuffle-distributed — ONLY the two S-row
+    per-source totals carry broadcast hints (a hint on the gram
+    frame would ship the corpus to every executor at 100 TB). The
+    distinct (source, gram) frame and the per-source totals each
+    materialize once (ExistingRDD — invariant 9): 3 shuffles total
+    (pair-join both sides + pair-count agg), not 5 (the totals agg
+    re-run per join side)."""
+    with _conf(spark, NO_AUTO_BHJ):
+        df = REGISTRY["source_overlap"](spark, SF_SMOKE)
+        assert plans.count_broadcast_joins(df) == 2
+        assert plans.count_sortmerge_joins(df) == 1
+        assert plans.count_shuffles(df) == 3
+        txt = plans.explain_str(df)
+        assert "ExistingRDD" in txt
+        assert "CartesianProduct" not in txt
