@@ -2,7 +2,9 @@
 table — the workflow this engine exists for at 100 TB, runnable at
 any SF:
 
-  scan → quality score → language ID → token count   (per-doc stats)
+  scan → source-level mirror triage (gram-overlap Jaccard ≥ 0.9
+         kills scraped-twice feeds before any per-document work)
+       → quality score → language ID → token count   (per-doc stats)
        → repetition cut (Gopher word/n-gram repetition keep-flag)
        → exact dedup (md5 fingerprint, keep min doc_id)
        → minhash-LSH candidate pairs → exact-jaccard verify (≥ 0.5)
@@ -47,9 +49,29 @@ from rstreams_spark.queries.textq import (
 from rstreams_spark.session import get_spark
 
 
+MIRROR_TAU = 0.9  # gram-set Jaccard above which two sources are mirrors
+
+
 def run(spark, sf_dir: str) -> dict:
     docs = t(spark, sf_dir, "documents")
     n_raw = docs.count()
+
+    # source-level mirror triage FIRST: a scraped-twice feed is
+    # cheapest to kill wholesale before any per-document work (the
+    # overlap matrix is two gram-keyed shuffles; near-dupping 10⁹ of
+    # a mirror's documents is not). Keep the lexicographically-first
+    # source of each mirror pair; the drop list is ≤ S rows.
+    from rstreams_spark.queries.textq import source_overlap
+
+    mirror_drop = (
+        source_overlap(spark, sf_dir)
+        .where(F.col("jaccard") >= MIRROR_TAU)
+        .select(F.col("source_b").alias("source"))
+        .distinct()
+    )
+    n_mirror_sources = mirror_drop.count()
+    if n_mirror_sources:
+        docs = docs.join(F.broadcast(mirror_drop), "source", "left_anti")
 
     # per-doc stats + a simple keep-gate (the real pipeline would
     # threshold on the full text_quality score)
@@ -250,7 +272,8 @@ def run(spark, sf_dir: str) -> dict:
     }
 
     return {
-        "raw": n_raw, "after_repetition": n_rep, "after_exact": n_exact,
+        "raw": n_raw, "mirror_sources_dropped": n_mirror_sources,
+        "after_repetition": n_rep, "after_exact": n_exact,
         "after_near_dup": n_near, "after_decontam": n_clean,
         "budget_sampled": n_budget,
         "dup_spans": span_cut["dup_spans"], "dup_tokens": span_cut["dup_tokens"],
@@ -265,7 +288,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     c = run(spark, sf_dir)
     print(
-        f"docs: {c['raw']} raw -> {c['after_repetition']} after repetition cut "
+        f"docs: {c['raw']} raw "
+        f"({c['mirror_sources_dropped']} mirror sources dropped) "
+        f"-> {c['after_repetition']} after repetition cut "
         f"-> {c['after_exact']} after exact dedup "
         f"-> {c['after_near_dup']} after near-dup clustering "
         f"-> {c['after_decontam']} after decontamination (exact+fuzzy) "
