@@ -36,7 +36,15 @@ def fold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        # exact-decimal sum → ONE double division: value is 2dp-exact,
+        # so the rational avg CAN land exactly on a 4dp half-boundary
+        # where each engine's double-sum noise decides the rounding
+        # (tpch_q5's r6 sf1 failure mode); identical operands make the
+        # division bit-equal instead
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count("value"), 4
+        ).alias("avg_value"),
     )
 
 
@@ -1026,7 +1034,8 @@ SQL_ORACLES = {
     "fold_count": """
         select event_type, count(*) as n,
                round(sum(value), 2) as sum_value,
-               round(avg(value), 4) as avg_value
+               round(cast(sum(cast(value as decimal(38,6))) as double)
+                     / count(value), 4) as avg_value
         from events group by event_type
     """,
     "wordcount": f"""

@@ -24,6 +24,20 @@ Q3_DATE = "1998-03-15"
 Q5_START, Q5_END = "1996-01-01", "1997-01-01"
 
 
+def _dec(c) -> F.Column:
+    """Exact-decimal view of a ≤6dp-exact per-row double (1-2dp base
+    columns and their 2-way/3-way products). Decimal sums are
+    order-independent, so a rounded aggregate is bit-identical across
+    engines at ANY scale — double sums instead accumulate last-ulp
+    error per partial-aggregation tree shape, and the r6 sf1 sweep
+    proved group sums DO land exactly on half-cent boundaries
+    (tpch_q5: 71626750.045 rounded opposite ways). The per-row double
+    is computed with the same op order in both engines, so the cast
+    recovers the same exact decimal on both sides (q9 precedent,
+    CLAUDE.md invariant 2)."""
+    return (c if isinstance(c, F.Column) else F.col(c)).cast("decimal(38,6)")
+
+
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -32,13 +46,22 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(_dec(disc_price)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(_dec(charge)), 2).cast("double").alias("sum_charge"),
+            # avgs: exact-decimal sum → ONE double division by the
+            # count, so both engines round the identical double
+            F.round(
+                F.sum(_dec("l_quantity")).cast("double") / F.count("l_quantity"), 4
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double")
+                / F.count("l_extendedprice"), 4
+            ).alias("avg_price"),
+            F.round(
+                F.sum(_dec("l_discount")).cast("double") / F.count("l_discount"), 6
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -57,7 +80,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(F.round(F.sum(_dec(revenue)), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
         .select(
@@ -91,7 +114,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(F.round(F.sum(_dec(revenue)), 2).cast("double").alias("revenue"))
     )
 
 
@@ -106,9 +129,9 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount"))), 2
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -134,7 +157,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(F.round(F.sum(_dec(revenue)), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
@@ -190,7 +213,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(F.round(F.sum(_dec(revenue)), 2).cast("double").alias("revenue"))
     )
 
 
@@ -207,8 +230,8 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
     return joined.agg(
-        F.round(F.sum(promo), 2).alias("promo_revenue"),
-        F.round(F.sum(rev), 2).alias("total_revenue"),
+        F.round(F.sum(_dec(promo)), 2).cast("double").alias("promo_revenue"),
+        F.round(F.sum(_dec(rev)), 2).cast("double").alias("total_revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -324,7 +347,9 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         li_b.join(thresh, F.col("l_partkey") == F.col("t_partkey"))
         .where(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2
+            ).alias("avg_yearly"),
             F.count("*").alias("n_small"),
         )
     )
@@ -360,8 +385,8 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(band)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -382,8 +407,12 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
     )
+    # exact-decimal sum → one double division: the threshold double is
+    # bit-identical across engines, so the > cut admits the same set
     avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("bal_thresh")
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("c_acctbal")).alias(
+            "bal_thresh"
+        )
     )
     return (
         cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
@@ -392,7 +421,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
         )
     )
 
@@ -435,8 +464,11 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            F.round(F.sum(nation_vol) / F.sum(volume), 6).alias("mkt_share"),
-            F.round(F.sum(volume), 2).alias("total_volume"),
+            F.round(
+                F.sum(_dec(nation_vol)).cast("double")
+                / F.sum(_dec(volume)).cast("double"), 6
+            ).alias("mkt_share"),
+            F.round(F.sum(_dec(volume)), 2).cast("double").alias("total_volume"),
         )
     )
 
@@ -459,7 +491,11 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supplier = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     rev = li.groupBy(F.col("l_suppkey").alias("r_suppkey")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+        # exact-decimal sum: the max/equality compare below and the
+        # oracle's argmax then agree on ties and near-ties at any SF
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_rev"
+        )
     ).localCheckpoint(eager=False)  # feeds mx AND the join — without
     # it each consumer re-scans + re-aggregates the fact (invariant 9;
     # the frame itself is |suppliers| rows, trivially materializable)
@@ -470,7 +506,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supplier), F.col("r_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name",
-            F.round(F.col("total_rev"), 2).alias("total_rev"),
+            F.round(F.col("total_rev"), 2).cast("double").alias("total_rev"),
         )
     )
 
@@ -488,7 +524,7 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("total_price"),
         )
         .select(
             "o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price"
@@ -762,13 +798,18 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("__ns") > 1) & (F.col("__nl") == 1))
     )
     supplier = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # group AND tie-break on the supplier KEY: s_name is a non-key
+    # attribute (the r6 sf1 tiling proved names can collide), so an
+    # oracle grouping by name would merge suppliers, and a
+    # (numwait, s_name) sort is not a total order — the LIMIT cut
+    # would be engine-dependent at ties
     return (
         per_order.groupBy("__lone")
         .agg(F.count("*").alias("numwait"))
         .join(F.broadcast(supplier), F.col("__lone") == F.col("s_suppkey"))
-        .select("s_name", "numwait")
-        .orderBy(F.col("numwait").desc(), "s_name")
+        .orderBy(F.col("numwait").desc(), "s_name", "s_suppkey")
         .limit(100)
+        .select("s_name", "numwait")
     )
 
 
@@ -838,11 +879,14 @@ SQL_ORACLES = {
           where o_orderstatus = 'F'
           group by l_orderkey
         )
-        select s_name, count(*) as numwait
-        from per_o join supplier on lone = s_suppkey
-        where ns > 1 and nl = 1
-        group by s_name
-        order by numwait desc, s_name
+        , per_s as (
+          select lone, count(*) as numwait
+          from per_o where ns > 1 and nl = 1
+          group by lone
+        )
+        select s_name, numwait
+        from per_s join supplier on lone = s_suppkey
+        order by numwait desc, s_name, s_suppkey
         limit 100
     """,
     "tpch_q9": f"""
@@ -883,13 +927,13 @@ SQL_ORACLES = {
     """,
     "tpch_q1": f"""
         select l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) as sum_qty,
-               round(sum(l_extendedprice), 2) as sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) as sum_charge,
-               round(avg(l_quantity), 4) as avg_qty,
-               round(avg(l_extendedprice), 4) as avg_price,
-               round(avg(l_discount), 6) as avg_disc,
+               cast(round(sum(cast(l_quantity as decimal(38,6))), 2) as double) as sum_qty,
+               cast(round(sum(cast(l_extendedprice as decimal(38,6))), 2) as double) as sum_base_price,
+               cast(round(sum(cast(l_extendedprice * (1 - l_discount) as decimal(38,6))), 2) as double) as sum_disc_price,
+               cast(round(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(38,6))), 2) as double) as sum_charge,
+               round(cast(sum(cast(l_quantity as decimal(38,6))) as double) / count(l_quantity), 4) as avg_qty,
+               round(cast(sum(cast(l_extendedprice as decimal(38,6))) as double) / count(l_extendedprice), 4) as avg_price,
+               round(cast(sum(cast(l_discount as decimal(38,6))) as double) / count(l_discount), 6) as avg_disc,
                count(*) as count_order
         from lineitem
         where l_shipdate <= timestamp '{Q1_CUTOFF}'
@@ -899,7 +943,8 @@ SQL_ORACLES = {
         select l_orderkey,
                cast(floor(epoch(o_orderdate)) as bigint) as o_orderdate_epoch,
                o_orderpriority,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+               cast(round(sum(cast(l_extendedprice * (1 - l_discount)
+                 as decimal(38,6))), 2) as double) as revenue
         from customer
         join orders on c_custkey = o_custkey
         join lineitem on l_orderkey = o_orderkey
@@ -912,7 +957,8 @@ SQL_ORACLES = {
     """,
     "tpch_q5": f"""
         select n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+               cast(round(sum(cast(l_extendedprice * (1 - l_discount)
+                 as decimal(38,6))), 2) as double) as revenue
         from region
         join nation on n_regionkey = r_regionkey
         join supplier on s_nationkey = n_nationkey
@@ -925,7 +971,8 @@ SQL_ORACLES = {
         group by n_name
     """,
     "tpch_q6": f"""
-        select round(sum(l_extendedprice * l_discount), 2) as revenue,
+        select cast(round(sum(cast(l_extendedprice * l_discount
+                 as decimal(38,6))), 2) as double) as revenue,
                count(*) as n_items
         from lineitem
         where l_shipdate >= timestamp '{Q5_START}'
@@ -935,7 +982,8 @@ SQL_ORACLES = {
     """,
     "tpch_q10": f"""
         select c_custkey, c_name, c_acctbal, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+               cast(round(sum(cast(l_extendedprice * (1 - l_discount)
+                 as decimal(38,6))), 2) as double) as revenue
         from customer
         join orders on c_custkey = o_custkey
         join lineitem on l_orderkey = o_orderkey
@@ -962,7 +1010,8 @@ SQL_ORACLES = {
     """,
     "tpch_q7": """
         select supp_nation, cust_nation, l_year,
-               round(sum(volume), 2) as revenue
+               cast(round(sum(cast(volume as decimal(38,6))), 2) as double)
+                 as revenue
         from (
           select n1.n_name as supp_nation, n2.n_name as cust_nation,
                  year(l_shipdate) as l_year,
@@ -979,10 +1028,12 @@ SQL_ORACLES = {
         group by supp_nation, cust_nation, l_year
     """,
     "tpch_q14": f"""
-        select round(sum(case when p_type = 'PROMO'
+        select cast(round(sum(cast(case when p_type = 'PROMO'
                          then l_extendedprice * (1 - l_discount)
-                         else 0.0 end), 2) as promo_revenue,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) as total_revenue,
+                         else 0.0 end as decimal(38,6))), 2) as double)
+                 as promo_revenue,
+               cast(round(sum(cast(l_extendedprice * (1 - l_discount)
+                 as decimal(38,6))), 2) as double) as total_revenue,
                count(*) as n_items
         from lineitem join part on l_partkey = p_partkey
         where l_shipdate >= timestamp '{Q5_START}'
@@ -1021,7 +1072,8 @@ SQL_ORACLES = {
         group by c_count
     """,
     "tpch_q17": f"""
-        select round(sum(l_extendedprice) / 7.0, 2) as avg_yearly,
+        select round(cast(sum(cast(l_extendedprice as decimal(38,6)))
+                 as double) / 7.0, 2) as avg_yearly,
                count(*) as n_small
         from lineitem join part on p_partkey = l_partkey
         where p_brand = '{Q17_BRAND}'
@@ -1030,7 +1082,8 @@ SQL_ORACLES = {
                             where l2.l_partkey = p_partkey)
     """,
     "tpch_q19": """
-        select round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+        select cast(round(sum(cast(l_extendedprice * (1 - l_discount)
+                 as decimal(38,6))), 2) as double) as revenue,
                count(*) as n_items
         from lineitem join part on p_partkey = l_partkey
         where (p_brand = 'Brand#1' and p_size between 1 and 15
@@ -1042,11 +1095,13 @@ SQL_ORACLES = {
     """,
     "tpch_q8": f"""
         select cast(year(o_orderdate) as bigint) as o_year,
-               round(sum(case when n2.n_name = '{Q8_NATION}'
+               round(cast(sum(cast(case when n2.n_name = '{Q8_NATION}'
                          then l_extendedprice * (1 - l_discount)
-                         else 0.0 end)
-                     / sum(l_extendedprice * (1 - l_discount)), 6) as mkt_share,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) as total_volume
+                         else 0.0 end as decimal(38,6))) as double)
+                     / cast(sum(cast(l_extendedprice * (1 - l_discount)
+                         as decimal(38,6))) as double), 6) as mkt_share,
+               cast(round(sum(cast(l_extendedprice * (1 - l_discount)
+                 as decimal(38,6))), 2) as double) as total_volume
         from lineitem
         join part on l_partkey = p_partkey
         join orders on l_orderkey = o_orderkey
@@ -1061,13 +1116,15 @@ SQL_ORACLES = {
     "tpch_q15": f"""
         with rev as (
           select l_suppkey,
-                 sum(l_extendedprice * (1 - l_discount)) as total_rev
+                 sum(cast(l_extendedprice * (1 - l_discount)
+                   as decimal(38,6))) as total_rev
           from lineitem
           where l_shipdate >= timestamp '{Q15_START}'
             and l_shipdate < timestamp '{Q15_END}'
           group by l_suppkey
         )
-        select s_suppkey, s_name, round(total_rev, 2) as total_rev
+        select s_suppkey, s_name,
+               cast(round(total_rev, 2) as double) as total_rev
         from rev join supplier on l_suppkey = s_suppkey
         where total_rev = (select max(total_rev) from rev)
     """,
@@ -1075,17 +1132,20 @@ SQL_ORACLES = {
         select o_orderstatus, o_orderpriority,
                cast(grouping(o_orderstatus, o_orderpriority) as bigint) as gid,
                count(*) as n_orders,
-               round(sum(o_totalprice), 2) as total_price
+               cast(round(sum(cast(o_totalprice as decimal(38,6))), 2) as double)
+                 as total_price
         from orders
         group by rollup (o_orderstatus, o_orderpriority)
     """,
     "tpch_q22": """
         select cast(c_nationkey as bigint) as c_nationkey,
                count(*) as numcust,
-               round(sum(c_acctbal), 2) as totacctbal
+               cast(round(sum(cast(c_acctbal as decimal(38,6))), 2) as double)
+                 as totacctbal
         from customer
-        where c_acctbal > (select avg(c_acctbal) from customer c2
-                           where c2.c_acctbal > 0)
+        where c_acctbal > (select cast(sum(cast(c_acctbal as decimal(38,6)))
+                                    as double) / count(c_acctbal)
+                           from customer c2 where c2.c_acctbal > 0)
           and not exists (select 1 from orders
                           where o_custkey = c_custkey
                             and o_orderpriority = '1-URGENT')

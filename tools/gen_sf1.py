@@ -104,6 +104,21 @@ def main() -> None:
                 )
                 if shifted is not None:
                     sel.append(f"{c} + {i * strides[shifted]} as {c}")
+                elif tbl == "supplier" and c == "s_name":
+                    # names are key-derived in the driver data
+                    # (Supplier#%09d, unique per key); tiling the key
+                    # without the name left 10 suppliers per name and
+                    # broke every name-is-unique assumption one decade
+                    # up (tpch_q21's oracle grouped by s_name — r6)
+                    sel.append(
+                        f"printf('Supplier#%09d', "
+                        f"s_suppkey + {i * strides['supplier']}) as s_name"
+                    )
+                elif tbl == "customer" and c == "c_name":
+                    sel.append(
+                        f"printf('Customer#%09d', "
+                        f"c_custkey + {i * strides['customer']}) as c_name"
+                    )
                 elif tbl == "documents" and c == "text" and i > 0:
                     # per-copy character substitution rewrites most
                     # words, so cross-copy shingle overlap collapses
