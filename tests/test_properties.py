@@ -467,7 +467,11 @@ def test_np_pairs_property_matches_jvm(spark, vecs):
 
     from rstreams_spark.functions import similarity
 
-    assume(all(any(x != 0.0 for x in v) for _, v in vecs))
+    # exclude on the computed NORM, not the elements: a subnormal
+    # like 2.2e-309 is nonzero but its square underflows to 0.0,
+    # giving a zero norm from nonzero elements (hypothesis found
+    # exactly this — ANSI divide-by-zero in the JVM twin)
+    assume(all(sum(x * x for x in v) > 0.0 for _, v in vecs))
     df = spark.createDataFrame(
         [(i, list(v), b) for i, (b, v) in enumerate(vecs)],
         "vec_id bigint, embedding array<double>, bucket int",
