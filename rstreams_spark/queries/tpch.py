@@ -559,9 +559,12 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engines WILL disagree at boundaries. The base columns are 1-2dp
     # → per-row profit is exact at ≤4dp → casting the (bit-identical)
     # double to decimal(38,6) recovers the exact value in both
-    # engines, and decimal sums are order-independent. All-positive
-    # sums (q1 etc.) don't need this: their relative error ~1e-12
-    # never reaches the boundary.
+    # engines, and decimal sums are order-independent. (r6: the
+    # "all-positive sums don't need this" claim this comment used to
+    # make was WRONG — a 4dp-exact positive sum lands exactly on a
+    # half-cent with real probability, where last-ulp noise decides
+    # the rounding; tpch_q5 hit 71626750.045 at sf1. Every rounded
+    # sum of ≥3dp-exact terms now uses _dec.)
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
