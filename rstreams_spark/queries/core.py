@@ -507,12 +507,20 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiling aggregate an analytics engine owes its users. Spark's
     ``percentile`` is the sort-based exact form (same interpolation
     as DuckDB ``quantile_cont``); at 100 TB swap for
-    ``approx_percentile`` and drop the oracle to rows-only."""
+    ``approx_percentile`` and drop the oracle to rows-only.
+
+    The two engines interpolate with different FP formula SHAPES
+    (lo+frac·(hi-lo) vs lo·(1-frac)+hi·frac), so the doubles differ
+    in the last ulp at large n (r6 sf1: p99 230.53 vs 230.53…03).
+    The true value is 4dp-exact — 2dp data × ≤2dp fraction (q·(n-1)
+    has an exact 2-decimal fractional part for q ∈ {.5,.9,.99}) —
+    so rounding the aggregate at 6dp sits ≥5e-7 from every boundary
+    while the engines' ~1e-13 noise cannot flip it."""
     ev = t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.percentile("value", 0.5).alias("p50"),
-        F.percentile("value", 0.9).alias("p90"),
-        F.percentile("value", 0.99).alias("p99"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"),
     )
 
 
@@ -1305,9 +1313,9 @@ SQL_ORACLES = {
     """,
     "value_percentiles": """
         select event_type,
-               quantile_cont(value, 0.5) as p50,
-               quantile_cont(value, 0.9) as p90,
-               quantile_cont(value, 0.99) as p99
+               round(quantile_cont(value, 0.5), 6) as p50,
+               round(quantile_cont(value, 0.9), 6) as p90,
+               round(quantile_cont(value, 0.99), 6) as p99
         from events group by event_type
     """,
     "gap_detect": f"""
