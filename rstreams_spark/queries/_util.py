@@ -37,3 +37,39 @@ SQL_H64 = "cast(('0x' || substr(md5('{salt}:' || {s}), 1, 15)) as bigint)"
 
 def sql_h64(s: str, salt: int = 0) -> str:
     return SQL_H64.format(salt=salt, s=s)
+
+
+# DuckDB twins of tpch.py's integer-micros exact sums (_msum_parts /
+# _mround / _mtot_d / _mdec — see the design note there). DuckDB sums
+# bigint into HUGEINT, so the integer algebra is exact without the
+# hi/lo overflow ceiling; values < 2^63 cast to the same double as
+# Spark's long→double. `//` (DuckDB) and `div` (Spark) both truncate,
+# and every numerator here is non-negative where it matters (L ≥ 0).
+def sql_mhi(expr: str) -> str:
+    return f"sum(cast(floor(({expr})) as bigint))"
+
+
+def sql_mlo(expr: str) -> str:
+    return (
+        f"sum(cast(floor((({expr}) - floor(({expr}))) * 1000000.0 + 0.5)"
+        " as bigint))"
+    )
+
+
+def sql_msum(expr: str, nd: int = 2) -> str:
+    """Rounded-nd-dp double of an exact micros sum (mirror of
+    tpch._mround over _msum_parts)."""
+    d = 10 ** (6 - nd)
+    return (
+        f"cast(({sql_mhi(expr)} * {10**nd}"
+        f" + ({sql_mlo(expr)} + {d // 2}) // {d}) as double)"
+        f" / {float(10**nd)}"
+    )
+
+
+def sql_mtot(expr: str) -> str:
+    """Exact micros-sum total as double (mirror of tpch._mtot_d)."""
+    return (
+        f"(cast({sql_mhi(expr)} as double)"
+        f" + cast({sql_mlo(expr)} as double) / 1000000.0)"
+    )

@@ -17,25 +17,94 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import t
+from ._util import sql_mhi, sql_mlo, sql_msum, sql_mtot, t
 
 Q1_CUTOFF = "2001-08-06"
 Q3_DATE = "1998-03-15"
 Q5_START, Q5_END = "1996-01-01", "1997-01-01"
 
 
-def _dec(c) -> F.Column:
-    """Exact-decimal view of a ≤6dp-exact per-row double (1-2dp base
-    columns and their 2-way/3-way products). Decimal sums are
-    order-independent, so a rounded aggregate is bit-identical across
-    engines at ANY scale — double sums instead accumulate last-ulp
-    error per partial-aggregation tree shape, and the r6 sf1 sweep
-    proved group sums DO land exactly on half-cent boundaries
-    (tpch_q5: 71626750.045 rounded opposite ways). The per-row double
-    is computed with the same op order in both engines, so the cast
-    recovers the same exact decimal on both sides (q9 precedent,
-    CLAUDE.md invariant 2)."""
-    return (c if isinstance(c, F.Column) else F.col(c)).cast("decimal(38,6)")
+def _col(c) -> F.Column:
+    return c if isinstance(c, F.Column) else F.col(c)
+
+
+# ── exact integer-micros sums ────────────────────────────────────
+# Rounded aggregates of ≤6dp-exact per-row doubles (1-2dp base
+# columns and their 2-way/3-way products) must be order-independent
+# and bit-identical across engines at ANY scale: double sums
+# accumulate last-ulp error per partial-aggregation tree shape, and
+# the r6 sf1 sweep proved group sums DO land exactly on half-cent
+# boundaries (tpch_q5: 71626750.045 rounded opposite ways). The r6
+# decimal(38,6)-sum fix was exact but slow — per-row BigDecimal adds
+# cost ~5× on q1 (1.9 s of 2.2 at sf0.1; interpreted mode is worse).
+#
+# This is the fast exact form: split each value into two LONGS —
+#   hi = floor(x)                      (whole units, signed)
+#   lo = floor((x - floor(x))·1e6 + .5) (micros remainder ∈ [0, 1e6))
+# so x ≡ hi + lo/1e6 exactly, sum both sides as plain long columns
+# (whole-stage-codegen'd, overflow fails loudly under ANSI), and
+# recombine only on the handful of aggregated rows. Recovery is
+# unambiguous while |x| ≤ ~1e9: x−floor(x) is exact (Sterbenz) and
+# the repr error of a 6dp-exact double ≤ 0.5·ulp(1e9)·1e6 ≈ 0.12
+# < 0.5 micros. Overflow headroom: lo < 1e6/row and hi ≤ |x| → a
+# group needs >9.2e12 rows of 1e6-unit values before a long sum
+# overflows — beyond 100 TB, and ANSI raises rather than wraps.
+#
+# Rounding to nd ≤ 4 decimals is then INTEGER algebra on the sums
+# (H = Σhi, L = Σlo ≥ 0, d = 10^(6−nd)):
+#   round(total, nd)·10^nd = H·10^nd + (L + d/2) div d
+# exact for signed totals because H·1e6 is divisible by d and L ≥ 0
+# (div = floor on non-negative operands in BOTH engines; DuckDB //
+# and Spark div truncate identically). Convention: halves round
+# toward +inf — both engines compute the identical integer, which is
+# the whole game (CLAUDE.md invariant 2). The DuckDB twins mirror
+# the same algebra via _util.sql_msum/sql_mtot (HUGEINT sums there;
+# equal values < 2^63 cast to the same double).
+
+
+def _hi(c) -> F.Column:
+    """Whole-units long of a ≤6dp-exact per-row double (floor)."""
+    return F.floor(_col(c))
+
+
+def _lo(c) -> F.Column:
+    """Non-negative micros remainder (long ∈ [0, 1e6)) of the same."""
+    col = _col(c)
+    return F.floor((col - F.floor(col)) * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+
+
+def _msum_parts(c, tag: str) -> list:
+    """The two aggregate columns (Σhi, Σlo) for one micros sum."""
+    return [F.sum(_hi(c)).alias(f"__h_{tag}"), F.sum(_lo(c)).alias(f"__l_{tag}")]
+
+
+def _mround(tag: str, nd: int = 2) -> F.Column:
+    """Rounded-nd-dp double from the (Σhi, Σlo) pair — integer
+    algebra, then ONE cast+division both engines share."""
+    d = 10 ** (6 - nd)
+    scaled = F.col(f"__h_{tag}") * F.lit(10**nd) + F.expr(
+        f"(__l_{tag} + {d // 2}) div {d}"
+    )
+    return scaled.cast("double") / F.lit(float(10**nd))
+
+
+def _mtot_d(tag: str) -> F.Column:
+    """Total as double (avg/ratio numerators): H + L/1e6 with the
+    identical op order in the SQL twin → identical double."""
+    return F.col(f"__h_{tag}").cast("double") + F.col(f"__l_{tag}").cast(
+        "double"
+    ) / F.lit(1000000.0)
+
+
+def _mdec(tag: str) -> F.Column:
+    """Exact total micros as decimal(38,0) — for threshold algebra /
+    equality on totals that could outgrow a long when recombined
+    (q11, q15). Per-GROUP rows only, so the decimal cost is nil."""
+    return F.col(f"__h_{tag}").cast("decimal(38,0)") * F.lit(1000000) + F.col(
+        f"__l_{tag}"
+    ).cast("decimal(38,0)")
 
 
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,23 +115,26 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(_dec(disc_price)), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(_dec(charge)), 2).cast("double").alias("sum_charge"),
-            # avgs: exact-decimal sum → ONE double division by the
-            # count, so both engines round the identical double
-            F.round(
-                F.sum(_dec("l_quantity")).cast("double") / F.count("l_quantity"), 4
-            ).alias("avg_qty"),
-            F.round(
-                F.sum(_dec("l_extendedprice")).cast("double")
-                / F.count("l_extendedprice"), 4
-            ).alias("avg_price"),
-            F.round(
-                F.sum(_dec("l_discount")).cast("double") / F.count("l_discount"), 6
-            ).alias("avg_disc"),
+            *_msum_parts("l_quantity", "q"),
+            *_msum_parts("l_extendedprice", "ep"),
+            *_msum_parts(disc_price, "dp"),
+            *_msum_parts(charge, "ch"),
+            *_msum_parts("l_discount", "di"),
+            F.count("l_quantity").alias("__cn"),
             F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus",
+            _mround("q").alias("sum_qty"),
+            _mround("ep").alias("sum_base_price"),
+            _mround("dp").alias("sum_disc_price"),
+            _mround("ch").alias("sum_charge"),
+            # avgs: exact micros total as double → ONE division by
+            # the count, so both engines round the identical double
+            F.round(_mtot_d("q") / F.col("__cn"), 4).alias("avg_qty"),
+            F.round(_mtot_d("ep") / F.col("__cn"), 4).alias("avg_price"),
+            F.round(_mtot_d("di") / F.col("__cn"), 6).alias("avg_disc"),
+            "count_order",
         )
     )
 
@@ -80,7 +152,11 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_dec(revenue)), 2).cast("double").alias("revenue"))
+        .agg(*_msum_parts(revenue, "r"))
+        .select(
+            "l_orderkey", "o_orderdate", "o_orderpriority",
+            _mround("r").alias("revenue"),
+        )
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
         .select(
@@ -114,7 +190,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(_dec(revenue)), 2).cast("double").alias("revenue"))
+        .agg(*_msum_parts(revenue, "r"))
+        .select("n_name", _mround("r").alias("revenue"))
     )
 
 
@@ -129,11 +206,10 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount"))), 2
-            ).cast("double").alias("revenue"),
+            *_msum_parts(F.col("l_extendedprice") * F.col("l_discount"), "r"),
             F.count("*").alias("n_items"),
         )
+        .select(_mround("r").alias("revenue"), "n_items")
     )
 
 
@@ -157,7 +233,11 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_dec(revenue)), 2).cast("double").alias("revenue"))
+        .agg(*_msum_parts(revenue, "r"))
+        .select(
+            "c_custkey", "c_name", "c_acctbal", "n_name",
+            _mround("r").alias("revenue"),
+        )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
@@ -213,7 +293,11 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(F.round(F.sum(_dec(revenue)), 2).cast("double").alias("revenue"))
+        .agg(*_msum_parts(revenue, "r"))
+        .select(
+            "supp_nation", "cust_nation", "l_year",
+            _mround("r").alias("revenue"),
+        )
     )
 
 
@@ -230,9 +314,13 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
     return joined.agg(
-        F.round(F.sum(_dec(promo)), 2).cast("double").alias("promo_revenue"),
-        F.round(F.sum(_dec(rev)), 2).cast("double").alias("total_revenue"),
+        *_msum_parts(promo, "p"),
+        *_msum_parts(rev, "r"),
         F.count("*").alias("n_items"),
+    ).select(
+        _mround("p").alias("promo_revenue"),
+        _mround("r").alias("total_revenue"),
+        "n_items",
     )
 
 
@@ -347,10 +435,11 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         li_b.join(thresh, F.col("l_partkey") == F.col("t_partkey"))
         .where(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
-            F.round(
-                F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2
-            ).alias("avg_yearly"),
+            *_msum_parts("l_extendedprice", "ep"),
             F.count("*").alias("n_small"),
+        )
+        .select(
+            F.round(_mtot_d("ep") / 7.0, 2).alias("avg_yearly"), "n_small"
         )
     )
 
@@ -384,11 +473,12 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .where(band)
         .agg(
-            F.round(
-                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2
-            ).cast("double").alias("revenue"),
+            *_msum_parts(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "r"
+            ),
             F.count("*").alias("n_items"),
         )
+        .select(_mround("r").alias("revenue"), "n_items")
     )
 
 
@@ -407,12 +497,15 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
     )
-    # exact-decimal sum → one double division: the threshold double is
-    # bit-identical across engines, so the > cut admits the same set
-    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
-        (F.sum(_dec("c_acctbal")).cast("double") / F.count("c_acctbal")).alias(
-            "bal_thresh"
+    # exact micros total → one double division: the threshold double
+    # is bit-identical across engines, so the > cut admits the same set
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(
+            *_msum_parts("c_acctbal", "b"),
+            F.count("c_acctbal").alias("__cn"),
         )
+        .select((_mtot_d("b") / F.col("__cn")).alias("bal_thresh"))
     )
     return (
         cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
@@ -421,8 +514,9 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
+            *_msum_parts("c_acctbal", "t"),
         )
+        .select("c_nationkey", "numcust", _mround("t").alias("totacctbal"))
     )
 
 
@@ -463,12 +557,11 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(
-            F.round(
-                F.sum(_dec(nation_vol)).cast("double")
-                / F.sum(_dec(volume)).cast("double"), 6
-            ).alias("mkt_share"),
-            F.round(F.sum(_dec(volume)), 2).cast("double").alias("total_volume"),
+        .agg(*_msum_parts(nation_vol, "nv"), *_msum_parts(volume, "v"))
+        .select(
+            "o_year",
+            F.round(_mtot_d("nv") / _mtot_d("v"), 6).alias("mkt_share"),
+            _mround("v").alias("total_volume"),
         )
     )
 
@@ -490,24 +583,28 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
     )
     supplier = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    rev = li.groupBy(F.col("l_suppkey").alias("r_suppkey")).agg(
-        # exact-decimal sum: the max/equality compare below and the
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("r_suppkey"))
+        # exact micros sums: the max/equality compare below and the
         # oracle's argmax then agree on ties and near-ties at any SF
-        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-            "total_rev"
+        .agg(
+            *_msum_parts(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "r"
+            )
         )
-    ).localCheckpoint(eager=False)  # feeds mx AND the join — without
+        .select(
+            "r_suppkey", "__h_r", "__l_r", _mdec("r").alias("__vmic")
+        )
+        .localCheckpoint(eager=False)
+    )  # feeds mx AND the join — without
     # it each consumer re-scans + re-aggregates the fact (invariant 9;
     # the frame itself is |suppliers| rows, trivially materializable)
-    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    mx = rev.agg(F.max("__vmic").alias("max_rev"))
     return (
         rev.join(F.broadcast(mx))
-        .where(F.col("total_rev") == F.col("max_rev"))
+        .where(F.col("__vmic") == F.col("max_rev"))
         .join(F.broadcast(supplier), F.col("r_suppkey") == F.col("s_suppkey"))
-        .select(
-            "s_suppkey", "s_name",
-            F.round(F.col("total_rev"), 2).cast("double").alias("total_rev"),
-        )
+        .select("s_suppkey", "s_name", _mround("r").alias("total_rev"))
     )
 
 
@@ -524,10 +621,11 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count("*").alias("n_orders"),
-            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("total_price"),
+            *_msum_parts("o_totalprice", "tp"),
         )
         .select(
-            "o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price"
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders",
+            _mround("tp").alias("total_price"),
         )
     )
 
@@ -557,14 +655,14 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signed terms cancel, so the double sum's accumulation-order
     # error (~1e-4 here) dwarfs the 2dp rounding window and the
     # engines WILL disagree at boundaries. The base columns are 1-2dp
-    # → per-row profit is exact at ≤4dp → casting the (bit-identical)
-    # double to decimal(38,6) recovers the exact value in both
-    # engines, and decimal sums are order-independent. (r6: the
-    # "all-positive sums don't need this" claim this comment used to
-    # make was WRONG — a 4dp-exact positive sum lands exactly on a
-    # half-cent with real probability, where last-ulp noise decides
-    # the rounding; tpch_q5 hit 71626750.045 at sf1. Every rounded
-    # sum of ≥3dp-exact terms now uses _dec.)
+    # → per-row profit is exact at ≤4dp → the hi/lo micros split
+    # recovers it exactly (signed hi, non-negative lo) and the long
+    # sums are order-independent. (r6: the "all-positive sums don't
+    # need this" claim this comment used to make was WRONG — a
+    # 4dp-exact positive sum lands exactly on a half-cent with real
+    # probability, where last-ulp noise decides the rounding; tpch_q5
+    # hit 71626750.045 at sf1. Every rounded sum of ≥3dp-exact terms
+    # now rides _msum_parts.)
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -574,11 +672,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(
-            F.round(F.sum(profit.cast("decimal(38,6)")), 2)
-            .cast("double")
-            .alias("sum_profit")
-        )
+        .agg(*_msum_parts(profit, "pf"))
+        .select("nation", "o_year", _mround("pf").alias("sum_profit"))
     )
 
 
@@ -593,30 +688,35 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     no driver-side collect.
     """
     li = t(spark, sf_dir, "lineitem")
-    # exact decimal sums (2dp per-row products) so the threshold
+    # exact micros sums (2dp per-row products) so the threshold
     # comparison below is bit-identical across engines; the cut
     # itself is multiplication-only (2·v·n > 3·total ⟺ v > 1.5·avg)
-    # to keep even the threshold free of division rounding
-    pv = li.groupBy("l_partkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * F.col("l_quantity")).cast(
-                "decimal(38,6)"
+    # to keep even the threshold free of division rounding. The fact
+    # scan sums plain longs; recombination to decimal(38,0) micros
+    # happens on the |parts|-sized frame only (sublinear in SF).
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(
+            *_msum_parts(
+                F.col("l_extendedprice") * F.col("l_quantity"), "v"
             )
-        ).alias("__value")
-    ).localCheckpoint(eager=False)  # feeds total AND the threshold
+        )
+        .select("l_partkey", "__h_v", "__l_v", _mdec("v").alias("__vmic"))
+        .localCheckpoint(eager=False)
+    )  # feeds total AND the threshold
     # filter — one fact scan+agg instead of two (invariant 9)
     total = pv.agg(
-        F.sum("__value").alias("__total"), F.count("*").alias("__cnt")
+        F.sum("__vmic").alias("__total"), F.count("*").alias("__cnt")
     )
     return (
         pv.join(F.broadcast(total))
         .where(
-            F.col("__value") * F.lit(2) * F.col("__cnt")
+            F.col("__vmic") * F.lit(2) * F.col("__cnt")
             > F.col("__total") * F.lit(3)
         )
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.round(F.col("__value"), 2).cast("double").alias("value"),
+            _mround("v").alias("value"),
         )
     )
 
@@ -731,15 +831,20 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit(Q20_YEAR_START).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(Q20_YEAR_END).cast("timestamp"))
     )
-    qty = F.col("l_quantity").cast("decimal(38,6)")
+    qty_yr = F.when(in_year, F.col("l_quantity")).otherwise(F.lit(0.0))
     ps = (
         li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.sum(qty).alias("qty_all"),
-            F.sum(F.when(in_year, qty).otherwise(F.lit(0).cast("decimal(38,6)"))).alias("qty_yr"),
+            *_msum_parts("l_quantity", "a"),
+            *_msum_parts(qty_yr, "y"),
         )
-        .where(F.col("qty_yr") * 2 > F.col("qty_all"))
+        # per-link micros fit a long with room to spare (quantities,
+        # not prices); the compare is exact integer algebra
+        .where(
+            (F.col("__h_y") * F.lit(1000000) + F.col("__l_y")) * 2
+            > F.col("__h_a") * F.lit(1000000) + F.col("__l_a")
+        )
     )
     supp = (
         t(spark, sf_dir, "supplier")
@@ -853,17 +958,25 @@ SQL_ORACLES = {
     "tpch_q20": f"""
         with ps as (
           select l_partkey, l_suppkey,
-                 sum(cast(l_quantity as decimal(38,6))) as qty_all,
-                 sum(case when l_shipdate >= timestamp '{Q20_YEAR_START}'
-                           and l_shipdate < timestamp '{Q20_YEAR_END}'
-                      then cast(l_quantity as decimal(38,6))
-                      else cast(0 as decimal(38,6)) end) as qty_yr
+                 {sql_mhi("l_quantity")} as ha,
+                 {sql_mlo("l_quantity")} as la,
+                 {sql_mhi(
+                     f"case when l_shipdate >= timestamp '{Q20_YEAR_START}'"
+                     f" and l_shipdate < timestamp '{Q20_YEAR_END}'"
+                     " then l_quantity else 0.0 end"
+                 )} as hy,
+                 {sql_mlo(
+                     f"case when l_shipdate >= timestamp '{Q20_YEAR_START}'"
+                     f" and l_shipdate < timestamp '{Q20_YEAR_END}'"
+                     " then l_quantity else 0.0 end"
+                 )} as ly
           from lineitem join part on l_partkey = p_partkey
           where p_name like '{Q20_PREFIX}%'
           group by l_partkey, l_suppkey
         )
         select s_suppkey, s_name
-        from (select distinct l_suppkey from ps where qty_yr * 2 > qty_all)
+        from (select distinct l_suppkey from ps
+              where (hy * 1000000 + ly) * 2 > ha * 1000000 + la)
         join supplier on l_suppkey = s_suppkey
         join nation on s_nationkey = n_nationkey
         where n_name in ({", ".join(f"'{n}'" for n in Q20_NATIONS)})
@@ -895,10 +1008,10 @@ SQL_ORACLES = {
     "tpch_q9": f"""
         select n_name as nation,
                cast(year(o_orderdate) as bigint) as o_year,
-               cast(round(sum(cast(
-                 l_extendedprice * (1 - l_discount)
-                 - 0.5 * p_retailprice * l_quantity as decimal(38,6))), 2)
-                 as double) as sum_profit
+               {sql_msum(
+                   "l_extendedprice * (1 - l_discount)"
+                   " - 0.5 * p_retailprice * l_quantity"
+               )} as sum_profit
         from lineitem
         join part on l_partkey = p_partkey
         join supplier on l_suppkey = s_suppkey
@@ -907,17 +1020,21 @@ SQL_ORACLES = {
         where contains(p_name, '{Q9_PART}')
         group by n_name, year(o_orderdate)
     """,
-    "tpch_q11": """
+    "tpch_q11": f"""
         with pv as (
           select l_partkey,
-                 sum(cast(l_extendedprice * l_quantity as decimal(38,6))) as v
+                 {sql_mhi("l_extendedprice * l_quantity")} as h,
+                 {sql_mlo("l_extendedprice * l_quantity")} as l
           from lineitem group by l_partkey
         ),
-        tot as (select sum(v) as total, count(*) as cnt from pv)
+        tot as (
+          select sum(h * 1000000 + l) as total, count(*) as cnt from pv
+        )
         select l_partkey as p_partkey,
-               cast(round(v, 2) as double) as value
+               cast((h * 100 + (l + 5000) // 10000) as double) / 100.0
+                 as value
         from pv, tot
-        where v * 2 * cnt > total * 3
+        where (h * 1000000 + l) * 2 * cnt > total * 3
     """,
     "tpch_q16": f"""
         select p_brand, p_type, cast(p_size as bigint) as p_size,
@@ -930,13 +1047,13 @@ SQL_ORACLES = {
     """,
     "tpch_q1": f"""
         select l_returnflag, l_linestatus,
-               cast(round(sum(cast(l_quantity as decimal(38,6))), 2) as double) as sum_qty,
-               cast(round(sum(cast(l_extendedprice as decimal(38,6))), 2) as double) as sum_base_price,
-               cast(round(sum(cast(l_extendedprice * (1 - l_discount) as decimal(38,6))), 2) as double) as sum_disc_price,
-               cast(round(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(38,6))), 2) as double) as sum_charge,
-               round(cast(sum(cast(l_quantity as decimal(38,6))) as double) / count(l_quantity), 4) as avg_qty,
-               round(cast(sum(cast(l_extendedprice as decimal(38,6))) as double) / count(l_extendedprice), 4) as avg_price,
-               round(cast(sum(cast(l_discount as decimal(38,6))) as double) / count(l_discount), 6) as avg_disc,
+               {sql_msum("l_quantity")} as sum_qty,
+               {sql_msum("l_extendedprice")} as sum_base_price,
+               {sql_msum("l_extendedprice * (1 - l_discount)")} as sum_disc_price,
+               {sql_msum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} as sum_charge,
+               round({sql_mtot("l_quantity")} / count(l_quantity), 4) as avg_qty,
+               round({sql_mtot("l_extendedprice")} / count(l_quantity), 4) as avg_price,
+               round({sql_mtot("l_discount")} / count(l_quantity), 6) as avg_disc,
                count(*) as count_order
         from lineitem
         where l_shipdate <= timestamp '{Q1_CUTOFF}'
@@ -946,8 +1063,7 @@ SQL_ORACLES = {
         select l_orderkey,
                cast(floor(epoch(o_orderdate)) as bigint) as o_orderdate_epoch,
                o_orderpriority,
-               cast(round(sum(cast(l_extendedprice * (1 - l_discount)
-                 as decimal(38,6))), 2) as double) as revenue
+               {sql_msum("l_extendedprice * (1 - l_discount)")} as revenue
         from customer
         join orders on c_custkey = o_custkey
         join lineitem on l_orderkey = o_orderkey
@@ -960,8 +1076,7 @@ SQL_ORACLES = {
     """,
     "tpch_q5": f"""
         select n_name,
-               cast(round(sum(cast(l_extendedprice * (1 - l_discount)
-                 as decimal(38,6))), 2) as double) as revenue
+               {sql_msum("l_extendedprice * (1 - l_discount)")} as revenue
         from region
         join nation on n_regionkey = r_regionkey
         join supplier on s_nationkey = n_nationkey
@@ -974,8 +1089,7 @@ SQL_ORACLES = {
         group by n_name
     """,
     "tpch_q6": f"""
-        select cast(round(sum(cast(l_extendedprice * l_discount
-                 as decimal(38,6))), 2) as double) as revenue,
+        select {sql_msum("l_extendedprice * l_discount")} as revenue,
                count(*) as n_items
         from lineitem
         where l_shipdate >= timestamp '{Q5_START}'
@@ -985,8 +1099,7 @@ SQL_ORACLES = {
     """,
     "tpch_q10": f"""
         select c_custkey, c_name, c_acctbal, n_name,
-               cast(round(sum(cast(l_extendedprice * (1 - l_discount)
-                 as decimal(38,6))), 2) as double) as revenue
+               {sql_msum("l_extendedprice * (1 - l_discount)")} as revenue
         from customer
         join orders on c_custkey = o_custkey
         join lineitem on l_orderkey = o_orderkey
@@ -1011,10 +1124,9 @@ SQL_ORACLES = {
         join big on o_orderkey = l_orderkey
         join customer on o_custkey = c_custkey
     """,
-    "tpch_q7": """
+    "tpch_q7": f"""
         select supp_nation, cust_nation, l_year,
-               cast(round(sum(cast(volume as decimal(38,6))), 2) as double)
-                 as revenue
+               {sql_msum("volume")} as revenue
         from (
           select n1.n_name as supp_nation, n2.n_name as cust_nation,
                  year(l_shipdate) as l_year,
@@ -1031,12 +1143,12 @@ SQL_ORACLES = {
         group by supp_nation, cust_nation, l_year
     """,
     "tpch_q14": f"""
-        select cast(round(sum(cast(case when p_type = 'PROMO'
-                         then l_extendedprice * (1 - l_discount)
-                         else 0.0 end as decimal(38,6))), 2) as double)
-                 as promo_revenue,
-               cast(round(sum(cast(l_extendedprice * (1 - l_discount)
-                 as decimal(38,6))), 2) as double) as total_revenue,
+        select {sql_msum(
+            "case when p_type = 'PROMO'"
+            " then l_extendedprice * (1 - l_discount)"
+            " else 0.0 end"
+        )} as promo_revenue,
+               {sql_msum("l_extendedprice * (1 - l_discount)")} as total_revenue,
                count(*) as n_items
         from lineitem join part on l_partkey = p_partkey
         where l_shipdate >= timestamp '{Q5_START}'
@@ -1075,8 +1187,7 @@ SQL_ORACLES = {
         group by c_count
     """,
     "tpch_q17": f"""
-        select round(cast(sum(cast(l_extendedprice as decimal(38,6)))
-                 as double) / 7.0, 2) as avg_yearly,
+        select round({sql_mtot("l_extendedprice")} / 7.0, 2) as avg_yearly,
                count(*) as n_small
         from lineitem join part on p_partkey = l_partkey
         where p_brand = '{Q17_BRAND}'
@@ -1084,9 +1195,8 @@ SQL_ORACLES = {
                             from lineitem l2
                             where l2.l_partkey = p_partkey)
     """,
-    "tpch_q19": """
-        select cast(round(sum(cast(l_extendedprice * (1 - l_discount)
-                 as decimal(38,6))), 2) as double) as revenue,
+    "tpch_q19": f"""
+        select {sql_msum("l_extendedprice * (1 - l_discount)")} as revenue,
                count(*) as n_items
         from lineitem join part on p_partkey = l_partkey
         where (p_brand = 'Brand#1' and p_size between 1 and 15
@@ -1098,13 +1208,14 @@ SQL_ORACLES = {
     """,
     "tpch_q8": f"""
         select cast(year(o_orderdate) as bigint) as o_year,
-               round(cast(sum(cast(case when n2.n_name = '{Q8_NATION}'
-                         then l_extendedprice * (1 - l_discount)
-                         else 0.0 end as decimal(38,6))) as double)
-                     / cast(sum(cast(l_extendedprice * (1 - l_discount)
-                         as decimal(38,6))) as double), 6) as mkt_share,
-               cast(round(sum(cast(l_extendedprice * (1 - l_discount)
-                 as decimal(38,6))), 2) as double) as total_volume
+               round({sql_mtot(
+                   f"case when n2.n_name = '{Q8_NATION}'"
+                   " then l_extendedprice * (1 - l_discount)"
+                   " else 0.0 end"
+               )}
+                     / {sql_mtot("l_extendedprice * (1 - l_discount)")}, 6)
+                 as mkt_share,
+               {sql_msum("l_extendedprice * (1 - l_discount)")} as total_volume
         from lineitem
         join part on l_partkey = p_partkey
         join orders on l_orderkey = o_orderkey
@@ -1119,35 +1230,34 @@ SQL_ORACLES = {
     "tpch_q15": f"""
         with rev as (
           select l_suppkey,
-                 sum(cast(l_extendedprice * (1 - l_discount)
-                   as decimal(38,6))) as total_rev
+                 {sql_mhi("l_extendedprice * (1 - l_discount)")} as h,
+                 {sql_mlo("l_extendedprice * (1 - l_discount)")} as l
           from lineitem
           where l_shipdate >= timestamp '{Q15_START}'
             and l_shipdate < timestamp '{Q15_END}'
           group by l_suppkey
         )
         select s_suppkey, s_name,
-               cast(round(total_rev, 2) as double) as total_rev
+               cast((h * 100 + (l + 5000) // 10000) as double) / 100.0
+                 as total_rev
         from rev join supplier on l_suppkey = s_suppkey
-        where total_rev = (select max(total_rev) from rev)
+        where h * 1000000 + l = (select max(h * 1000000 + l) from rev)
     """,
-    "orders_rollup": """
+    "orders_rollup": f"""
         select o_orderstatus, o_orderpriority,
                cast(grouping(o_orderstatus, o_orderpriority) as bigint) as gid,
                count(*) as n_orders,
-               cast(round(sum(cast(o_totalprice as decimal(38,6))), 2) as double)
-                 as total_price
+               {sql_msum("o_totalprice")} as total_price
         from orders
         group by rollup (o_orderstatus, o_orderpriority)
     """,
-    "tpch_q22": """
+    "tpch_q22": f"""
         select cast(c_nationkey as bigint) as c_nationkey,
                count(*) as numcust,
-               cast(round(sum(cast(c_acctbal as decimal(38,6))), 2) as double)
-                 as totacctbal
+               {sql_msum("c_acctbal")} as totacctbal
         from customer
-        where c_acctbal > (select cast(sum(cast(c_acctbal as decimal(38,6)))
-                                    as double) / count(c_acctbal)
+        where c_acctbal > (select {sql_mtot("c2.c_acctbal")}
+                                    / count(c_acctbal)
                            from customer c2 where c2.c_acctbal > 0)
           and not exists (select 1 from orders
                           where o_custkey = c_custkey
