@@ -13,7 +13,8 @@ from pyspark.sql.window import Window
 
 from ..functions.text import hash64, tokens
 from ..operators import joins, stateless, table, windows
-from ._util import SQL_EPOCH, SQL_TOKS, epoch, sql_h64, t
+from ._util import SQL_EPOCH, SQL_TOKS, epoch, sql_h64, sql_mtot, t
+from .tpch import _msum_parts, _mtot_d
 
 DAY = 86400
 HOP = 21600  # 6 hours
@@ -33,18 +34,24 @@ def map_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def fold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-        # exact-decimal sum → ONE double division: value is 2dp-exact,
-        # so the rational avg CAN land exactly on a 4dp half-boundary
-        # where each engine's double-sum noise decides the rounding
-        # (tpch_q5's r6 sf1 failure mode); identical operands make the
-        # division bit-equal instead
-        F.round(
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
-            / F.count("value"), 4
-        ).alias("avg_value"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact micros total → ONE double division: value is
+            # 2dp-exact, so the rational avg CAN land exactly on a 4dp
+            # half-boundary where each engine's double-sum noise
+            # decides the rounding (tpch_q5's r6 sf1 failure mode);
+            # identical operands make the division bit-equal instead
+            # (hi/lo long sums — see tpch.py's design note)
+            *_msum_parts("value", "v"),
+            F.count("value").alias("__cn"),
+        )
+        .select(
+            "event_type", "n", "sum_value",
+            F.round(_mtot_d("v") / F.col("__cn"), 4).alias("avg_value"),
+        )
     )
 
 
@@ -1039,11 +1046,10 @@ SQL_ORACLES = {
         select event_id, user_id, value * 1.1 as value_usd
         from events where event_type = 'purchase' and value > 50
     """,
-    "fold_count": """
+    "fold_count": f"""
         select event_type, count(*) as n,
                round(sum(value), 2) as sum_value,
-               round(cast(sum(cast(value as decimal(38,6))) as double)
-                     / count(value), 4) as avg_value
+               round({sql_mtot("value")} / count(value), 4) as avg_value
         from events group by event_type
     """,
     "wordcount": f"""
