@@ -105,3 +105,16 @@ def test_half_boundary_convention(vals, nd, expect):
             f"select {sql_msum('x', nd)} from (values {vals_sql}) v(x)"
         ).fetchone()
         assert Decimal(repr(got)) == expect
+
+
+def test_long_sum_overflow_fails_loudly(spark):
+    """The design note's safety claim: past the hi/lo headroom the
+    long sums must RAISE (ANSI), never wrap silently — a wrapped sum
+    would round to a confidently-wrong aggregate at 100 TB."""
+    from rstreams_spark.queries.tpch import _msum_parts
+
+    df = spark.createDataFrame(
+        [(8.0e18,), (8.0e18,)], "x double"
+    ).agg(*_msum_parts("x", "v"))
+    with pytest.raises(Exception, match="(?i)overflow|ARITHMETIC"):
+        df.collect()
