@@ -297,7 +297,18 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so per-vector distance work is O(√cells), not O(cells) — the
     # r5 probe showed the flat fit's O(n·cells) passes dominating
     # the decade step once cells grew with n.
-    cells = semantic_cell_count(emb.count())
+    n = emb.count()
+    if n == 0:
+        # a fully-filtered / empty snapshot is a valid input with a
+        # well-defined answer (no clusters) — short-circuit before the
+        # fit, whose zero-centroid index would otherwise crash the
+        # Arrow assign kernel. Schema matches the non-empty path and
+        # the oracle's natural empty result.
+        return emb.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("vec_id").cast("long").alias("cluster_id"),
+        ).limit(0)
+    cells = semantic_cell_count(n)
     cents = ivf_fit2(emb, cells)
     cents_g, coarse_one = ivf_coarse_groups(cents, _n_coarse(cells))
     vecs = ivf_assign2_np(emb.select("vec_id", "embedding"), cents_g, coarse_one)

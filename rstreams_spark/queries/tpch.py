@@ -614,6 +614,12 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping-id disambiguating the NULL levels. One shuffle computes
     every level (Catalyst expands grouping sets before the hash agg —
     no per-level rescan of the fact table).
+
+    Known engine divergence, empty input only: SQL-standard ROLLUP
+    (DuckDB, Postgres) emits the grand-total () grouping-set row even
+    over an empty table; Spark (DataFrame API AND SQL) emits zero
+    rows. Pinned in tests/test_empty_inputs.py; irrelevant at any
+    driver SF (orders is never empty).
     """
     orders = t(spark, sf_dir, "orders")
     return (
