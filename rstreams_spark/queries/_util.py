@@ -30,7 +30,12 @@ def epoch(col: Column) -> Column:
 # DuckDB text fragments mirroring rstreams_spark.functions.text —
 # keep these byte-for-byte aligned with the Spark expressions.
 SQL_EPOCH = "cast(floor(epoch({c})) as bigint)"
-SQL_NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+# translate(İ→I) before lower: the one token-affecting JVM/utf8proc
+# lowercase divergence (see functions/text.py::_fold_i)
+SQL_NORM = (
+    "trim(regexp_replace(lower(translate({c}, 'İ', 'I')),"
+    " '[^a-z0-9]+', ' ', 'g'))"
+)
 SQL_TOKS = "list_filter(string_split(" + SQL_NORM + ", ' '), x -> x != '')"
 SQL_H64 = "cast(('0x' || substr(md5('{salt}:' || {s}), 1, 15)) as bigint)"
 

@@ -1012,7 +1012,7 @@ SQL_ORACLES = {
     "token_count": f"""
         select doc_id,
                len(list_filter(string_split_regex(text, '{WS_PATTERN}'), x -> x != '')) as n_ws_tokens,
-               len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}')) as n_bpe_tokens
+               len(regexp_extract_all(lower(translate(text, 'İ', 'I')), '{BPE_ISH_PATTERN}')) as n_bpe_tokens
         from documents
     """,
     "text_quality": f"""

@@ -46,7 +46,10 @@ _STATS_SCHEMA = (
 
 
 def _score(text: str):
-    toks = _NORM_RE.sub(" ", text.lower()).strip().split()
+    # İ→I before lower: Python's str.lower matches the JVM ('i' +
+    # combining dot), so the fold keeps this kernel in lockstep with
+    # the batch twin's portable normalizer (text.py::_fold_i)
+    toks = _NORM_RE.sub(" ", text.replace("İ", "I").lower()).strip().split()
     if not toks:
         return None
     nc = max(len(" ".join(toks)), 1)  # == normalized text length
@@ -242,7 +245,8 @@ def _iter_shingles(text, n: int):
     tokens(null) likewise produces no shingles, so such docs pass."""
     if not isinstance(text, str):
         return
-    toks = _NORM_RE.sub(" ", text.lower()).strip().split()
+    # İ→I fold mirrors the batch normalizer (text.py::_fold_i)
+    toks = _NORM_RE.sub(" ", text.replace("İ", "I").lower()).strip().split()
     for i in range(len(toks) - n + 1):
         yield " ".join(toks[i : i + n])
 
