@@ -41,7 +41,15 @@ STOPWORDS: dict[str, list[str]] = {
 # JVM and utf8proc is otherwise out of contract; normalize upstream
 # for non-Latin corpora.)
 def _fold_i(col: Column) -> Column:
-    return F.translate(col, "İ", "I")
+    # guarded: translate builds a full copy of every string, and the
+    # normalizers run it on every tokenize call — a contains() scan
+    # skips the copy for the (overwhelmingly İ-free) common case.
+    # Callers pass plain attribute refs, so the triple reference is
+    # free. Semantically identical to an unconditional translate (the
+    # DuckDB twins keep that form — oracle runtime doesn't matter).
+    return F.when(
+        col.contains("İ"), F.translate(col, "İ", "I")
+    ).otherwise(col)
 
 
 def norm_text(col: Column) -> Column:
