@@ -115,6 +115,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs. Cap semantics (pinned by
+    tests/test_skew_corpus.py): a band bucket larger than
+    LSH_BUCKET_CAP is DROPPED, not expanded — an m-member bucket
+    emits m²/2 pairs, and buckets that hot are boilerplate/templated
+    content by construction; byte-identical copies are exact dedup's
+    job (dedup_exact flags all of them on the same corpus)."""
     docs = t(spark, sf_dir, "documents")
     sh = doc_shingles(docs, "text", 2)
     sig = minhash_signature(sh, NUM_PERM)
