@@ -124,7 +124,12 @@ def resize_images(df: DataFrame, width: int, height: int, id_col: str = "doc_id"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            thumbs = [_resample(bytes(p) or b"\x00") for p in pdf["payload"]]
+            # NULL payload → 1-byte stand-in (deterministic thumb),
+            # not a kernel crash
+            thumbs = [
+                _resample(b"\x00" if p is None else (bytes(p) or b"\x00"))
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -154,6 +159,8 @@ def sample_frames(df: DataFrame, n_frames: int, id_col: str = "doc_id") -> DataF
         for pdf in batches:
             ids, idxs, frames, digests = [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:  # NULL payload → no frames
+                    continue
                 payload = bytes(payload)
                 k = min(n_frames, max(len(payload), 1))
                 step = max(len(payload) // k, 1)
@@ -181,17 +188,32 @@ def extract_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            dims = [_decode_dims(p) for p in payloads]
+            # NULL payloads (e.g. encode(NULL text)) propagate to NULL
+            # metadata, mirroring the oracle's SQL NULL semantics —
+            # one NULL doc must not kill a 100 TB pass
+            payloads = [
+                None if p is None else bytes(p) for p in pdf["payload"]
+            ]
+            dims = [
+                (None, None, None) if p is None else _decode_dims(p)
+                for p in payloads
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": [len(p) for p in payloads],
-                    "magic": [bytes(p[:4]).hex() for p in payloads],
+                    "n_bytes": [
+                        None if p is None else len(p) for p in payloads
+                    ],
+                    "magic": [
+                        None if p is None else p[:4].hex() for p in payloads
+                    ],
                     "format": [d[0] for d in dims],
                     "width": [d[1] for d in dims],
                     "height": [d[2] for d in dims],
-                    "content_sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+                    "content_sha256": [
+                        None if p is None else hashlib.sha256(p).hexdigest()
+                        for p in payloads
+                    ],
                 }
             )
 
@@ -247,20 +269,40 @@ def extract_audio_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            probed = [probe_audio(p) for p in payloads]
+            # NULL payloads propagate to NULL metadata (the catalog's
+            # builder coalesces NULL text, but the API contract is
+            # NULL-in → NULL-out, same as extract_meta)
+            payloads = [
+                None if p is None else bytes(p) for p in pdf["payload"]
+            ]
+            probed = [None if p is None else probe_audio(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": [len(p) for p in payloads],
+                    "n_bytes": [
+                        None if p is None else len(p) for p in payloads
+                    ],
                     "format": [t[0] if t else None for t in probed],
-                    "sample_rate": [t[1] if t else 0 for t in probed],
-                    "channels": [t[2] if t else 0 for t in probed],
-                    "bits": [t[3] if t else 0 for t in probed],
-                    "n_samples": [t[4] if t else 0 for t in probed],
+                    "sample_rate": [
+                        (t[1] if t else 0) if p is not None else None
+                        for p, t in zip(payloads, probed)
+                    ],
+                    "channels": [
+                        (t[2] if t else 0) if p is not None else None
+                        for p, t in zip(payloads, probed)
+                    ],
+                    "bits": [
+                        (t[3] if t else 0) if p is not None else None
+                        for p, t in zip(payloads, probed)
+                    ],
+                    "n_samples": [
+                        (t[4] if t else 0) if p is not None else None
+                        for p, t in zip(payloads, probed)
+                    ],
                     "duration_ms": [
-                        t[4] * 1000 // t[1] if t and t[1] else 0
-                        for t in probed
+                        (t[4] * 1000 // t[1] if t and t[1] else 0)
+                        if p is not None else None
+                        for p, t in zip(payloads, probed)
                     ],
                 }
             )
@@ -324,19 +366,34 @@ def extract_video_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            probed = [probe_video(p) for p in payloads]
+            # NULL payload → NULL metadata row (see extract_audio_meta)
+            payloads = [
+                None if p is None else bytes(p) for p in pdf["payload"]
+            ]
+            probed = [None if p is None else probe_video(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": [len(p) for p in payloads],
+                    "n_bytes": [
+                        None if p is None else len(p) for p in payloads
+                    ],
                     "format": [t[0] if t else None for t in probed],
-                    "width": [t[1] if t else 0 for t in probed],
-                    "height": [t[2] if t else 0 for t in probed],
-                    "n_frames": [t[5] if t else 0 for t in probed],
+                    "width": [
+                        (t[1] if t else 0) if p is not None else None
+                        for p, t in zip(payloads, probed)
+                    ],
+                    "height": [
+                        (t[2] if t else 0) if p is not None else None
+                        for p, t in zip(payloads, probed)
+                    ],
+                    "n_frames": [
+                        (t[5] if t else 0) if p is not None else None
+                        for p, t in zip(payloads, probed)
+                    ],
                     "duration_ms": [
-                        t[4] * 1000 // t[3] if t and t[3] else 0
-                        for t in probed
+                        (t[4] * 1000 // t[3] if t and t[3] else 0)
+                        if p is not None else None
+                        for p, t in zip(payloads, probed)
                     ],
                 }
             )

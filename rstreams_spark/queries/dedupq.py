@@ -295,7 +295,11 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreter time). CC is the per-round-checkpointed hybrid
     (invariants 10/11).
     """
-    emb = t(spark, sf_dir, "embeddings")
+    emb_all = t(spark, sf_dir, "embeddings")
+    # NULL vectors excluded by contract (same as ivf_topk; mirrored in
+    # the oracle's hashed/norms CTEs): they can never pair (NULL
+    # cosine) and would crash the fit kernels
+    emb = emb_all.where(F.col("embedding").isNotNull())
     # cells ∝ corpus size keeps within-cell pair work LINEAR in n
     # (pairs ≈ n · target/2, not n²/cells): the count() is a parquet
     # footer metadata read, not a data scan. The fit and assignment
@@ -303,13 +307,18 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so per-vector distance work is O(√cells), not O(cells) — the
     # r5 probe showed the flat fit's O(n·cells) passes dominating
     # the decade step once cells grew with n.
-    n = emb.count()
-    if n == 0:
-        # a fully-filtered / empty snapshot is a valid input with a
+    # cell sizing uses the UNFILTERED footer-metadata count (a
+    # non-null-filtered count would scan the embedding column at
+    # 100 TB just to size the index; NULL rows inflating the cell
+    # count is harmless) — the oracle's LIMIT subquery mirrors this
+    n = emb_all.count()
+    if n == 0 or emb.isEmpty():
+        # an empty (or all-NULL) snapshot is a valid input with a
         # well-defined answer (no clusters) — short-circuit before the
         # fit, whose zero-centroid index would otherwise crash the
         # Arrow assign kernel. Schema matches the non-empty path and
-        # the oracle's natural empty result.
+        # the oracle's natural empty result. isEmpty is a limit(1)
+        # probe job, not a scan.
         return emb.select(
             F.col("vec_id").cast("long").alias("vec_id"),
             F.col("vec_id").cast("long").alias("cluster_id"),
@@ -877,6 +886,10 @@ def ivf_topk(
     vecs = (
         t(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
+        # NULL vectors are excluded from similarity search by contract
+        # (mirrored in the oracle): they can never rank (NULL cosine)
+        # and would crash the numpy assign kernel / poison the fit
+        .where(F.col("embedding").isNotNull())
         .withColumn("v_norm", l2_norm(F.col("embedding")))
         .localCheckpoint(eager=False)
     )
@@ -1400,7 +1413,7 @@ _SQL_IVF_ROUNDS, _SQL_IVF_FINAL = _sql_ivf_lloyd()
 def _sql_ivf_assign(limit_expr: str) -> str:
     return f"""hashed as (
           select vec_id, embedding, {sql_h64("vec_id::varchar")} as h
-          from embeddings
+          from embeddings where embedding is not null
         ),
         cents0 as (
           select row_number() over (order by h, vec_id) - 1 as cell,
@@ -1408,7 +1421,8 @@ def _sql_ivf_assign(limit_expr: str) -> str:
           from (select * from hashed order by h, vec_id limit {limit_expr})
         ),
         norms as (
-          select vec_id, embedding, {_SQL_IVF_NORM} as v_norm from embeddings
+          select vec_id, embedding, {_SQL_IVF_NORM} as v_norm
+          from embeddings where embedding is not null
         ),
         {_SQL_IVF_ROUNDS},
         assigned as (
@@ -1492,7 +1506,7 @@ def _sql_ivf_assign2(cells_expr: str, nc_expr: str) -> str:
     rounds, final = _sql_ivf_lloyd2(nc_expr)
     return f"""hashed as (
           select vec_id, embedding, {sql_h64("vec_id::varchar")} as h
-          from embeddings
+          from embeddings where embedding is not null
         ),
         cents0 as materialized (
           select row_number() over (order by h, vec_id) - 1 as cell,
@@ -1500,7 +1514,8 @@ def _sql_ivf_assign2(cells_expr: str, nc_expr: str) -> str:
           from (select * from hashed order by h, vec_id limit {cells_expr})
         ),
         norms as materialized (
-          select vec_id, embedding, {_SQL_IVF_NORM} as v_norm from embeddings
+          select vec_id, embedding, {_SQL_IVF_NORM} as v_norm
+          from embeddings where embedding is not null
         ),
         {rounds},
         gseedF as materialized (
@@ -1540,6 +1555,10 @@ def _sql_ivf_assign2(cells_expr: str, nc_expr: str) -> str:
         )"""
 
 
+# cell sizing counts ALL rows (mirrors the Spark side's unfiltered
+# footer-metadata count — a non-null-filtered count would have to
+# scan the embedding column at 100 TB just to size the index; a few
+# NULL rows inflating the cell count is harmless)
 _SQL_CELLS_ADAPTIVE = (
     f"(select greatest({IVF_CELLS}, least({SEMANTIC_CELL_MAX}, "
     f"(count(*) + {SEMANTIC_CELL_TARGET - 1}) // {SEMANTIC_CELL_TARGET})) "

@@ -1,0 +1,93 @@
+"""NULL-column robustness: documents with NULL text/lang and
+embeddings with NULL vectors are valid inputs (a real corpus always
+has them), and every query must both survive them and agree with its
+DuckDB oracle on them. The full-catalog probe that produced this
+subset ran 101/101 green after three fixes:
+
+- extract_meta crashed on the NULL payload that encode(NULL text)
+  produces — it now NULL-propagates per column, mirroring the
+  oracle's SQL NULL semantics (audio/video builders coalesce NULL
+  text instead, per the r6 digest-domain fix; their probe kernels
+  are NULL-hardened for API use anyway);
+- semantic_clusters / ivf_topk crashed in the numpy assign kernels
+  (np.array over a column containing NULL vectors is inhomogeneous)
+  — NULL embeddings are now excluded by contract on BOTH sides
+  (they can never pair/rank: NULL cosine), with cell sizing kept on
+  the unfiltered footer-metadata count.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from rstreams_spark.queries import ORACLES, REGISTRY
+
+TABLES = "region nation customer supplier part orders lineitem events".split()
+
+SUBSET = [
+    "multimodal_meta", "audio_meta", "video_meta",
+    "semantic_clusters", "ivf_topk", "ann_topk", "ann_lsh_topk",
+    "embedding_cosine_dup", "embedding_dim_stats", "embedding_quantize",
+    "dedup_exact", "dedup_minhash", "lang_id", "text_quality",
+    "token_count", "source_mix", "budget_sample",
+]
+
+
+@pytest.fixture(scope="module")
+def null_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_nulls")
+    src = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"copy (select * from '{src}/{t}.parquet')"
+            f" to '{d}/{t}.parquet' (format parquet)"
+        )
+    con.sql(
+        f"""copy (
+          select doc_id, source,
+                 case when doc_id % 10 = 3 then NULL else text end as text,
+                 case when doc_id % 17 = 5 then NULL else lang end as lang
+          from '{src}/documents.parquet'
+        ) to '{d}/documents.parquet' (format parquet)"""
+    )
+    con.sql(
+        f"""copy (
+          select vec_id, label,
+                 case when vec_id % 11 = 7 then NULL else embedding end
+                   as embedding
+          from '{src}/embeddings.parquet'
+        ) to '{d}/embeddings.parquet' (format parquet)"""
+    )
+    con.close()
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def oracle(null_dir):
+    con = duckdb.connect()
+    for t in TABLES + ["documents", "embeddings"]:
+        con.sql(f"create view {t} as select * from '{null_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_null_columns_match_oracle(spark, null_dir, oracle, name):
+    sdf = REGISTRY[name](spark, null_dir).toPandas()
+    odf = oracle.sql(ORACLES[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf), f"{name}: {len(sdf)} vs {len(odf)}"
+    a, b = _canon(sdf), _canon(odf)
+    eq = (a == b) | (a.isna() & b.isna())
+    assert bool(eq.all().all()), f"{name}: value mismatch on NULL corpus"
