@@ -160,21 +160,39 @@ def asof_join(
     tiebreakers their relative order is undefined.
     """
     tbs = list(right_tiebreakers)
+    # JOIN-key semantics: NULL keys never match (SQL NULL = NULL is
+    # false). The window composition would otherwise collect every
+    # NULL-key row into one partition and happily "match" them —
+    # dropping NULL-key RIGHT rows restores join semantics, while
+    # NULL-key LEFT rows still ride their (right-free) partition and
+    # emit with NULL fills, as a left join must.
+    right = right.where(F.col(key).isNotNull())
+    # the carried state is ONE struct per right row (values + match
+    # ts), NOT per-value columns: the struct wrapper is non-NULL for
+    # every right row even when individual values are NULL, so the
+    # ignorenulls fill below skips only left rows — a genuinely
+    # NULL-valued right row still matches (and yields NULL), exactly
+    # like a true ASOF join. Per-value fills instead skipped NULLs
+    # (stale value carried past a NULL-valued event) and could mix
+    # values from DIFFERENT right rows.
+    row_struct = F.struct(
+        *[F.col(v).alias(v) for v in right_vals],
+        F.col(right_ts).alias("__rt"),
+    )
+    row_type = right.select(row_struct.alias("s")).schema["s"].dataType
     l_tagged = left.select(
         F.col(key), F.col(left_ts).alias("__t"), F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}") for v in right_vals],
+        F.lit(None).cast(row_type).alias("__r_row"),
         *[F.lit(None).cast(right.schema[tb].dataType).alias(f"__tb_{tb}") for tb in tbs],
         *[F.col(c) for c in left.columns if c not in (key, left_ts)],
     )
     r_tagged = right.select(
         F.col(key), F.col(right_ts).alias("__t"), F.lit(0).alias("__is_left"),
-        *[F.col(v).alias(f"__r_{v}") for v in right_vals],
+        row_struct.alias("__r_row"),
         *[F.col(tb).alias(f"__tb_{tb}") for tb in tbs],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in (key, left_ts)],
     )
-    r_tagged = r_tagged.withColumn("__rt", F.col("__t"))
-    l_tagged = l_tagged.withColumn("__rt", F.lit(None).cast(r_tagged.schema["__rt"].dataType))
 
     unioned = l_tagged.unionByName(r_tagged)
     # rights sort before lefts at equal timestamps → at-or-before;
@@ -184,10 +202,11 @@ def asof_join(
     w = Window.partitionBy(key).orderBy(
         "__t", "__is_left", *[f"__tb_{tb}" for tb in tbs]
     ).rowsBetween(Window.unboundedPreceding, 0)
+    matched = F.last("__r_row", ignorenulls=True).over(w)
     filled = unioned.select(
         "*",
-        *[F.last(f"__r_{v}", ignorenulls=True).over(w).alias(f"r_{v}") for v in right_vals],
-        F.last("__rt", ignorenulls=True).over(w).alias("__match_t"),
+        *[matched[v].alias(f"r_{v}") for v in right_vals],
+        matched["__rt"].alias("__match_t"),
     )
     out = filled.where(F.col("__is_left") == 1)
     if tolerance:

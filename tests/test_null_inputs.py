@@ -91,3 +91,81 @@ def test_null_columns_match_oracle(spark, null_dir, oracle, name):
     a, b = _canon(sdf), _canon(odf)
     eq = (a == b) | (a.isna() & b.isna())
     assert bool(eq.all().all()), f"{name}: value mismatch on NULL corpus"
+
+
+# second corpus: NULLs in the FACT tables — join keys (user_id),
+# measures (value, l_discount, l_quantity, o_totalprice). This is
+# the probe that caught asof_join treating NULL join keys as a
+# matchable group (SQL NULL = NULL never matches) and carrying
+# per-value fills past genuinely NULL-valued right rows.
+FACT_SUBSET = [
+    "asof_enrich", "latest_per_key", "tumbling_window", "lag_window",
+    "interval_join", "fold_count", "value_percentiles",
+    "tpch_q1", "tpch_q6", "orders_rollup", "tpch_q11",
+]
+
+
+@pytest.fixture(scope="module")
+def fact_null_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_nulls_fact")
+    src = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part documents"
+              " embeddings").split():
+        con.sql(
+            f"copy (select * from '{src}/{t}.parquet')"
+            f" to '{d}/{t}.parquet' (format parquet)"
+        )
+    con.sql(
+        f"""copy (
+          select * replace (
+            case when event_id % 13 = 4 then NULL else user_id end
+              as user_id,
+            case when event_id % 19 = 6 then NULL else value end as value)
+          from '{src}/events.parquet'
+        ) to '{d}/events.parquet' (format parquet)"""
+    )
+    con.sql(
+        f"""copy (
+          select * replace (
+            case when (l_orderkey * 10 + l_linenumber) % 23 = 7
+                 then NULL else l_discount end as l_discount,
+            case when (l_orderkey * 10 + l_linenumber) % 29 = 9
+                 then NULL else l_quantity end as l_quantity)
+          from '{src}/lineitem.parquet'
+        ) to '{d}/lineitem.parquet' (format parquet)"""
+    )
+    con.sql(
+        f"""copy (
+          select * replace (
+            case when o_orderkey % 31 = 3 then NULL else o_totalprice end
+              as o_totalprice)
+          from '{src}/orders.parquet'
+        ) to '{d}/orders.parquet' (format parquet)"""
+    )
+    con.close()
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def fact_oracle(fact_null_dir):
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part documents embeddings"
+              " events lineitem orders").split():
+        con.sql(
+            f"create view {t} as select * from"
+            f" '{fact_null_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", FACT_SUBSET)
+def test_fact_nulls_match_oracle(spark, fact_null_dir, fact_oracle, name):
+    sdf = REGISTRY[name](spark, fact_null_dir).toPandas()
+    odf = fact_oracle.sql(ORACLES[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf), f"{name}: {len(sdf)} vs {len(odf)}"
+    a, b = _canon(sdf), _canon(odf)
+    eq = (a == b) | (a.isna() & b.isna())
+    assert bool(eq.all().all()), f"{name}: value mismatch on fact-NULL corpus"
