@@ -169,10 +169,12 @@ def session_window(
     """Gap-based sessions per key (beyond the reference's fixed
     windows — the natural next window type for event analytics).
 
-    Spark merges consecutive events while each arrives strictly
-    before ``previous + gap``; still a single grouped aggregation —
-    one shuffle on key, session merging happens inside the sort-based
-    session aggregation operator.
+    Spark merges consecutive events while each arrives at or before
+    ``previous + gap`` — INCLUSIVE at the boundary (probed on
+    Spark 4: an event exactly gap after the previous one extends the
+    session; the upstream docs suggest a strict bound). Still a
+    single grouped aggregation — one shuffle on key, session merging
+    happens inside the sort-based session aggregation operator.
     """
     keys = [key] if isinstance(key, str) else list(key)
     win = F.session_window(F.col(ts), gap)

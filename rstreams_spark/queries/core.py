@@ -1207,8 +1207,12 @@ SQL_ORACLES = {
     "session_window": f"""
         with marked as (
           select user_id, ts, value,
+                 -- STRICT >: Spark's session_window merges an event
+                 -- landing exactly at previous + gap (probed on
+                 -- Spark 4; its docs suggest otherwise) — split only
+                 -- strictly beyond the gap
                  case when lag(ts) over w is null
-                        or ts >= lag(ts) over w + interval 1 hour
+                        or ts > lag(ts) over w + interval 1 hour
                       then 1 else 0 end as new_session
           from events
           window w as (partition by user_id order by ts)

@@ -150,3 +150,38 @@ def test_rollup_candles_equals_direct(spark):
             ) for r in df.collect()
         }
     assert key(rolled) == key(direct("3 seconds"))
+
+
+def test_session_window_gap_boundary_is_inclusive(spark):
+    """An event landing EXACTLY gap after the previous one extends
+    the session (probed Spark 4 behavior; its docs suggest a strict
+    bound) — and the DuckDB oracle's lag-cumsum construction must
+    split only strictly beyond the gap. Continuous timestamps never
+    hit this; a quantized-timestamp corpus did (r6)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from rstreams_spark.operators import windows as W
+
+    df = spark.createDataFrame(
+        [("u", "2020-01-01 00:00:00", 1.0),
+         ("u", "2020-01-01 01:00:00", 2.0),   # exactly gap later: merge
+         ("u", "2020-01-01 02:00:01", 3.0)],  # 1s beyond gap: split
+        "user_id string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = W.session_window(df, "user_id", "ts", "1 hour",
+                           F.count("*").alias("n"))
+    assert sorted(r["n"] for r in out.collect()) == [1, 2]
+    oracle_sessions = duckdb.sql("""
+        with e(ts) as (values (timestamp '2020-01-01 00:00:00'),
+                              (timestamp '2020-01-01 01:00:00'),
+                              (timestamp '2020-01-01 02:00:01')),
+        marked as (
+          select ts, case when lag(ts) over (order by ts) is null
+                            or ts > lag(ts) over (order by ts)
+                               + interval 1 hour
+                          then 1 else 0 end as ns from e)
+        select count(*) filter (ns = 1) from marked
+    """).fetchone()[0]
+    assert oracle_sessions == 2
