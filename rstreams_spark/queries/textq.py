@@ -493,13 +493,20 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # in-plan key-domain guard (cf. brute_topk's probe cap):
             # assert_true raises the moment a document has ≥1e6 spans
             # (≥16M tokens), where doc_id·1e6+idx keys would collide
-            # across documents and silently corrupt keeper selection;
-            # isNull() keeps every legal row
+            # across documents and silently corrupt keeper selection —
+            # AND the moment doc_id itself outgrows the composite-key
+            # domain (~9.2e12 ids; an r6 probe with 2^62 ids hit a raw
+            # ANSI long-overflow here — loud either way, but this
+            # message says what to do). isNull() keeps every legal row
             F.assert_true(
-                F.col("span_idx") < _SPAN_KEY_MUL,
+                (F.col("span_idx") < _SPAN_KEY_MUL)
+                & (F.col("doc_id") <= (2**63 - 1) // _SPAN_KEY_MUL - 1)
+                & (F.col("doc_id") >= 0),
                 F.lit(
-                    "span_dedup: span_idx exceeds the 1e6 key domain; "
-                    "raise _SPAN_KEY_MUL for multi-16M-token documents"
+                    "span_dedup: (doc_id, span_idx) outside the "
+                    "doc_id*1e6+idx key domain (span_idx < 1e6, "
+                    "0 <= doc_id < 9.2e12); raise _SPAN_KEY_MUL / "
+                    "re-key doc ids for corpora beyond it"
                 ),
             ).isNull()
         )
