@@ -79,6 +79,22 @@ def stream_lag_window(
         )
         out: dict = {}
         if len(whole):
+            # NULL values cannot ride this operator: the buffers are
+            # float arrays, and Spark's applyInPandasWithState output
+            # decoder rejects NULL array elements outright (probed:
+            # even a hand-built array<double> with one None dies with
+            # "Value at index is null" in the Arrow accessor), so the
+            # batch twin's NULL-in-buffer semantics are unreachable
+            # live. Fail with the contract instead of a JVM decode
+            # crash; filter or coalesce NULL values upstream.
+            for c in cols:
+                if whole[c].isna().any():
+                    raise ValueError(
+                        f"stream_lag_window: NULL values in '{c}' — "
+                        "the live lag buffer cannot carry NULLs "
+                        "(applyInPandasWithState arrays reject NULL "
+                        "elements); filter or coalesce upstream"
+                    )
             b = len(bufs[0])
             n = len(whole)
             # vectorized sliding buffer: no per-row Python loop (the

@@ -1515,3 +1515,66 @@ def test_stream_dedup_exact_against_corpus(spark, tmp_path):
         r["doc_id"] for r in spark.sql("select doc_id from inc_dedup_out").collect()
     )
     assert kept == [2, 5]
+
+
+def test_stream_lag_window_null_values_fail_actionably(spark, tmp_path):
+    """NULL values cannot cross applyInPandasWithState array output
+    (probed: Spark's Arrow decoder rejects NULL array elements), so
+    the live lag buffer's batch-parity NULL semantics are
+    unreachable — the kernel must fail with the contract message,
+    not a JVM decode crash. NULL KEYS are fine (own group)."""
+    from pyspark.sql import functions as F
+
+    from rstreams_spark.streaming.stateful import stream_lag_window
+
+    df = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:00", 1.0),
+         (1, "2020-01-01 00:00:10", None),
+         (1, "2020-01-01 00:00:20", 3.0)],
+        "user_id bigint, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "in")
+    df.write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    out = stream_lag_window(sdf, "user_id", "ts", 2, "v")
+    q = (
+        out.writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    try:
+        with pytest.raises(Exception, match="NULL values|cannot carry"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_stream_lag_window_null_key_forms_own_group(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from rstreams_spark.streaming.stateful import stream_lag_window
+
+    df = spark.createDataFrame(
+        [(None, "2020-01-01 00:00:30", 4.0),
+         (None, "2020-01-01 00:00:40", 5.0),
+         (1, "2020-01-01 00:00:50", 6.0),
+         (1, "2020-01-01 00:01:00", 7.0)],
+        "user_id bigint, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "in")
+    df.write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    out = stream_lag_window(sdf, "user_id", "ts", 2, "v")
+    q = (
+        out.writeStream.format("memory").queryName("nullkey_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r["user_id"], tuple(r["values"]))
+        for r in spark.sql("select * from nullkey_probe").collect()
+    }
+    assert rows == {(None, (4.0, 5.0)), (1, (6.0, 7.0))}
