@@ -117,7 +117,12 @@ def chunk_timeout(
     (invariants #8/#9; real checkpoint dir on a cluster).
     """
     order = [F.col(c) for c in order_by]
-    e = F.unix_timestamp(F.col(ts_col))
+    # floor toward -inf (NOT unix_timestamp's trunc-toward-zero): the
+    # silence-gap diffs must match the oracle's floor(epoch(ts)) on
+    # pre-1970 instants too (queries/_util.py::epoch rationale)
+    e = F.floor(
+        F.col(ts_col).cast("timestamp").cast("double")
+    ).cast("long")
     if not partition_by and (not order_by or order_by[0] != ts_col):
         # the distributed boundary gap test takes each shard's MAX
         # event time as its last row — only true in event-time order

@@ -22,9 +22,18 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def epoch(col: Column) -> Column:
-    """Timestamp → whole epoch seconds (bigint) — engine-portable
-    output form for event-time columns (DuckDB: floor(epoch(ts)))."""
-    return F.unix_timestamp(col)
+    """Timestamp → whole epoch seconds (bigint): the second CONTAINING
+    the instant, i.e. floor toward -inf — engine-portable (DuckDB:
+    floor(epoch(ts))). NOT unix_timestamp: that truncates sub-seconds
+    toward zero, which lands pre-1970 instants one second late
+    (1964-…58.778 → …59; an r6 probe with a -60y corpus diverged on
+    every ts_epoch output). cast-to-double is micros/1e6 in BOTH
+    engines — bit-identical, and exact-floor for |epoch| ≲ 142 years
+    of 1970 (2^52 µs); beyond that both engines still floor the same
+    double. The intermediate cast("timestamp") maps TIMESTAMP_NTZ
+    through the (UTC-pinned) session zone — NTZ has no direct double
+    cast."""
+    return F.floor(col.cast("timestamp").cast("double")).cast("long")
 
 
 # DuckDB text fragments mirroring rstreams_spark.functions.text —

@@ -48,3 +48,27 @@ def test_serde_roundtrip(spark):
         "key", from_bytes(F.col("raw"), "value struct<sym string, px double>").alias("v")
     ).collect()[0]
     assert back["v"]["value"]["sym"] == "TSLA"
+
+
+def test_epoch_floors_pre_1970_instants(spark):
+    """epoch() is the second CONTAINING the instant (floor toward
+    -inf), matching the oracle's floor(epoch(ts)) — unix_timestamp
+    instead truncates toward zero and lands pre-1970 fractional
+    instants one second late (caught by an r6 probe that shifted the
+    events corpus 60 years back; every ts_epoch output diverged)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from rstreams_spark.queries._util import epoch
+
+    cases = ["1964-01-01 00:09:58.778549", "1964-01-01 00:09:58",
+             "1985-06-01 12:00:00.5", "1969-12-31 23:59:59.999999"]
+    df = spark.createDataFrame([(c,) for c in cases], "ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    got = [r[0] for r in df.select(epoch(F.col("ts"))).collect()]
+    vals = ", ".join(f"(timestamp '{c}')" for c in cases)
+    want = [r[0] for r in duckdb.sql(
+        f"select cast(floor(epoch(ts)) as bigint) from (values {vals}) v(ts)"
+    ).fetchall()]
+    assert got == want
+    assert got[3] == -1  # the second containing ...:59.999999
