@@ -643,11 +643,23 @@ def incremental_dedup_exact(
     from .text import md5_fingerprint
 
     fp = new_docs.withColumn("__fp", md5_fingerprint(F.col(text_col)))
+    # min-id keeper via struct-argmin, NOT a min+join-back: the join
+    # back on __fp silently LOST the NULL-fingerprint group (md5 of
+    # NULL text; NULL keys never equi-join) while GROUP BY had kept
+    # it — the oracle's group-then-not-exists keeps one NULL-fp doc,
+    # and so must this (torture-corpus probe, r6). One join fewer too.
+    others = [c for c in new_docs.columns if c != id_col]
     batch_first = (
         fp.groupBy("__fp")
-        .agg(F.min(id_col).alias(id_col))
-        .join(fp, ["__fp", id_col])
+        .agg(F.min(F.struct(id_col, *others)).alias("__r"))
+        .select(
+            "__fp",
+            F.col(f"__r.{id_col}").alias(id_col),
+            *[F.col(f"__r.{c}").alias(c) for c in others],
+        )
     )
+    # left_anti keeps NULL-__fp rows (no NULL match) — same as the
+    # oracle's NOT EXISTS on an equality predicate
     fresh = batch_first.join(
         seen_fps.select(F.col("fp").alias("__fp")), "__fp", "left_anti"
     )

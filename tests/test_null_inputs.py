@@ -169,3 +169,21 @@ def test_fact_nulls_match_oracle(spark, fact_null_dir, fact_oracle, name):
     a, b = _canon(sdf), _canon(odf)
     eq = (a == b) | (a.isna() & b.isna())
     assert bool(eq.all().all()), f"{name}: value mismatch on fact-NULL corpus"
+
+
+def test_incremental_dedup_keeps_one_null_fp_doc(spark):
+    """md5(NULL text) is a NULL fingerprint; GROUP BY keeps it as one
+    group but the old min+join-back keeper silently LOST it (NULL
+    keys never equi-join). The struct-argmin keeper retains exactly
+    one NULL-text doc, matching the oracle's group-then-NOT-EXISTS
+    (torture-corpus regression, r6)."""
+    from rstreams_spark.functions.dedup import incremental_dedup_exact
+
+    batch = spark.createDataFrame(
+        [(4, None), (8, None), (12, "real text")],
+        "doc_id bigint, text string",
+    )
+    seen = spark.createDataFrame([("deadbeef",)], "fp string")
+    fresh, _ = incremental_dedup_exact(batch, seen)
+    rows = {(r["doc_id"], r["text"]) for r in fresh.collect()}
+    assert rows == {(4, None), (12, "real text")}
