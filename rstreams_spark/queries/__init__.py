@@ -48,10 +48,18 @@ _FRONT = [
     #   but re-verifying because the aggregation algebra is new —
     "tpch_q8", "tpch_q15", "tpch_q17", "tpch_q19", "tpch_q22",
     "orders_rollup",
+    # — CHANGED late this round (probe campaign): session_window's
+    #   oracle gap-boundary fix, fold_count's micros avg, the NULL-
+    #   vector exclusion in the two k-means paths — semantic-logic
+    #   changes outrank stale-stable entries (tumbling_window,
+    #   stream_table_join, candles_rollup, split_routes slip to r7;
+    #   each is replica-green at sf0.01+sf0.1 multiple times this
+    #   session) —
+    "session_window", "fold_count", "semantic_clusters", "ivf_topk",
     # — the rest of the r5 complement: core StreamExt long tail —
-    "wordcount", "tumbling_window",
-    "stream_table_join", "asof_enrich", "candles_rollup",
-    "split_routes", "pattern_followed_by", "salted_sum",
+    "wordcount",
+    "asof_enrich",
+    "pattern_followed_by", "salted_sum",
     # — TPC-H set last driver-checked in r4 (q1-q21 below also carry
     #   the micros-sum rewrite) —
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q14",
