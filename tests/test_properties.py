@@ -532,3 +532,27 @@ def test_bloom_gate_property_no_false_negatives(spark, train, evald):
     # probabilistically absent (the fixture test bounds FPR on
     # realistic data; random corpora at the m=1024 floor can fill
     # the filter enough to over-drop occasionally, by design)
+
+
+@given(
+    st.binary(max_size=96),
+    st.sampled_from([
+        b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF89a", b"BM",
+        b"RIFF", b"fLaC", b"\x00\x00\x00\x18ftypisom",
+    ]),
+)
+@settings(max_examples=300, deadline=None)
+def test_container_probes_never_raise_on_garbage(tail, magic):
+    """A 100 TB corpus contains truncated and corrupt payloads; the
+    pure-Python container header probes must classify or decline
+    (None / stub), never raise — a raising probe inside mapInPandas
+    kills the whole pass for one bad file. Fuzzes random bytes and
+    valid magics glued to garbage, including truncations."""
+    from rstreams_spark.functions.audiohdr import probe_audio
+    from rstreams_spark.functions.imagehdr import probe_image
+    from rstreams_spark.functions.videohdr import probe_video
+
+    for payload in (magic + tail, (magic + tail)[: len(magic) // 2], tail):
+        probe_image(payload)
+        probe_audio(payload)
+        probe_video(payload)
