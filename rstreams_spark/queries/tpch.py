@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import sql_mhi, sql_mlo, sql_msum, sql_mtot, t
+from ._util import epoch, sql_mhi, sql_mlo, sql_msum, sql_mtot, t
 
 Q1_CUTOFF = "2001-08-06"
 Q3_DATE = "1998-03-15"
@@ -161,7 +161,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(
             "l_orderkey",
-            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            epoch(F.col("o_orderdate")).alias("o_orderdate_epoch"),
             "o_orderpriority",
             "revenue",
         )
@@ -259,7 +259,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey", "c_name", "o_orderkey",
-            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            epoch(F.col("o_orderdate")).alias("o_orderdate_epoch"),
             "o_totalprice", "total_qty",
         )
     )
