@@ -145,12 +145,16 @@ def main() -> None:
         streaming["stateful_err"] = f"{type(exc).__name__}: {exc}"[:300]
     print(f"# streaming: {streaming}", file=sys.stderr)
 
+    # The final stdout line must stay compact (~2 KB): the driver captures
+    # only a tail of stdout, and r6's line with per-query "draws" grew to
+    # ~5 KB and truncated past the capture window (BENCH_r06 parsed:null).
+    # Medians only here; raw draws persist in bench_history.jsonl and the
+    # stderr per-query comments above.
     payload = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
-        "queries": times,
-        "draws": draws,
+        "queries": {k: round(v, 3) for k, v in times.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "streaming": streaming,
     }
@@ -172,7 +176,7 @@ def main() -> None:
     except Exception:
         rev = None
     try:
-        hist = dict(payload, ts=int(time.time()), commit=rev)
+        hist = dict(payload, draws=draws, ts=int(time.time()), commit=rev)
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_history.jsonl"), "a"
@@ -184,7 +188,12 @@ def main() -> None:
     time.sleep(0.5)  # let straggling JVM log lines land before the JSON
     # leading newline: if an interleaved JVM log line left an unterminated
     # stdout fragment, the JSON still starts at column 0 of its own line
-    sys.stdout.write("\n" + json.dumps(payload) + "\n")
+    line = json.dumps(payload)
+    if len(line) > 2500:  # loud guard: never outgrow the tail capture again
+        print(f"# WARNING: bench JSON line is {len(line)} bytes (>2500); "
+              "the driver's stdout tail capture may truncate it",
+              file=sys.stderr)
+    sys.stdout.write("\n" + line + "\n")
     sys.stdout.flush()
     # skip Python/JVM teardown entirely: shutdown-hook stacks (state
     # store abort noise) must not interleave after the JSON line
