@@ -351,16 +351,22 @@ LSH_BITS = 6
 _PLANES = hyperplanes(LSH_BITS, 64)
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN: the approximate scale path. Probes only
-    compare against corpus vectors in their own bucket — the
-    candidate set shrinks ~2^bits×; recall trades against bits.
+def _ann_lsh_impl(
+    spark: SparkSession, sf_dir: str, probe_mod: int, shuffle: bool
+) -> DataFrame:
+    """Shared LSH-bucketed ANN body behind both physical probe-join
+    strategies. The *values* are identical either way (same folds,
+    same rank ties); only the join's physical shape differs:
 
-    The probe frame is broadcast, so it carries ``cap_probes``'s
-    in-plan assert_true guard (same defense as ``brute_topk``):
-    probes are user-query-sized by contract, and a corpus-derived
-    probe set that grows past the cap fails loudly instead of
-    shipping a multi-GB broadcast at 100× scale."""
+    - ``shuffle=False`` (``ann_lsh_topk``): probes are broadcast
+      behind ``cap_probes``'s in-plan assert_true guard — the
+      user-query-sized probe contract (SURVEY §6).
+    - ``shuffle=True`` (``ann_lsh_topk_shuffle``): the documented
+      corpus-scale fallback — NO cap, NO broadcast; both sides
+      shuffle on the bucket key (``shuffle_hash`` hint, probe side
+      builds the hash table). This is the physical plan a
+      corpus-vs-corpus probe set needs at 100 TB: partition-local
+      hash joins on the LSH bucket, never a multi-GB broadcast."""
     from pyspark.sql.window import Window as W
 
     from ..functions.similarity import MAX_PROBES, cap_probes, dot, l2_norm
@@ -372,17 +378,25 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per invariant 9 the scan + bucket/norm folds would otherwise
     # plan twice — lazy localCheckpoint materializes them once
     vecs = vecs.localCheckpoint(eager=False)
-    probes = vecs.where(F.col("vec_id") % 50 == 0).select(
+    probes = vecs.where(F.col("vec_id") % probe_mod == 0).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("p_emb"),
         F.col("bucket").alias("p_bucket"),
         F.col("v_norm").alias("p_norm"),
     )
-    probes = cap_probes(probes, MAX_PROBES, "probe_id", "ann_lsh_topk")
+    if shuffle:
+        joined = vecs.join(
+            probes.hint("shuffle_hash"), F.col("bucket") == F.col("p_bucket")
+        )
+    else:
+        probes = cap_probes(probes, MAX_PROBES, "probe_id", "ann_lsh_topk")
+        joined = vecs.join(
+            F.broadcast(probes), F.col("bucket") == F.col("p_bucket")
+        )
     # norms hoisted above the join: identical doubles (pure fold),
     # one dot product per candidate pair instead of three
     scored = (
-        vecs.join(F.broadcast(probes), F.col("bucket") == F.col("p_bucket"))
+        joined
         .where(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id", "vec_id",
@@ -402,6 +416,34 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: the approximate scale path. Probes only
+    compare against corpus vectors in their own bucket — the
+    candidate set shrinks ~2^bits×; recall trades against bits.
+
+    The probe frame is broadcast, so it carries ``cap_probes``'s
+    in-plan assert_true guard (same defense as ``brute_topk``):
+    probes are user-query-sized by contract, and a corpus-derived
+    probe set that grows past the cap fails loudly instead of
+    shipping a multi-GB broadcast at 100× scale. Probe sets past the
+    cap belong on ``ann_lsh_topk_shuffle``."""
+    return _ann_lsh_impl(spark, sf_dir, probe_mod=50, shuffle=False)
+
+
+def ann_lsh_topk_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale probe fallback `cap_probes` points at: same
+    LSH-bucketed ANN values, but the probe side rides a SHUFFLED hash
+    join on the bucket key instead of a broadcast — uncapped, so a
+    probe set as large as the corpus still plans as partition-local
+    hash joins (the 100 TB shape for corpus-vs-corpus search). The
+    catalog entry uses a denser probe set (vec_id % 20) than the
+    broadcast entry both to exercise a distinct result and to mark
+    the intended regime; tests/test_probe_shuffle.py drives a
+    full-corpus probe set (probe_mod=1) through BOTH paths and
+    asserts the broadcast one fails loudly while this one answers."""
+    return _ann_lsh_impl(spark, sf_dir, probe_mod=20, shuffle=True)
 
 
 IVF_CELLS = 16
@@ -857,7 +899,8 @@ def ivf_fit2(emb: DataFrame, cells: int) -> DataFrame:
 
 
 def ivf_topk(
-    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE,
+    probe_mod: int = 50, shuffle: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: an inverted index of IVF_CELLS Voronoi cells
     (deterministic sampled-Lloyd centroids — ``ivf_fit``; replaces
@@ -897,17 +940,20 @@ def ivf_topk(
     # assigns) read the materialized frame, not parquet re-scans
     cents = ivf_fit(vecs)
     assigned = ivf_assign_np(vecs, cents)
-    probes = vecs.where(F.col("vec_id") % 50 == 0).select(
+    probes = vecs.where(F.col("vec_id") % probe_mod == 0).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("p_emb"),
         F.col("v_norm").alias("p_norm"),
     )
-    # probe_cells (broadcast below) inherits this bound: capping the
-    # probe frame up front bounds both probe-sized broadcasts
-    probes = cap_probes(probes, MAX_PROBES, "probe_id", "ivf_topk")
+    if not shuffle:
+        # probe_cells (broadcast below) inherits this bound: capping
+        # the probe frame up front bounds both probe-sized broadcasts
+        probes = cap_probes(probes, MAX_PROBES, "probe_id", "ivf_topk")
     wc = Window.partitionBy("probe_id").orderBy(
         F.col("__d2").asc(), F.col("cell").asc()
     )
+    # cell routing broadcasts CENTS (a `cells`-row frame — always
+    # tiny), never the probe frame: scale-safe in both modes
     probe_cells = (
         probes.crossJoin(F.broadcast(cents))
         .withColumn("__d2", _l2sq(F.col("p_emb"), F.col("centroid")))
@@ -915,8 +961,18 @@ def ivf_topk(
         .where(F.col("__cr") <= nprobe)
         .select("probe_id", "p_emb", "p_norm", F.col("cell").alias("p_cell"))
     )
+    if shuffle:
+        # corpus-scale probe fallback: both sides shuffle on the cell
+        # key (probe side builds the hash table) — no probe broadcast
+        joined = assigned.join(
+            probe_cells.hint("shuffle_hash"), F.col("cell") == F.col("p_cell")
+        )
+    else:
+        joined = assigned.join(
+            F.broadcast(probe_cells), F.col("cell") == F.col("p_cell")
+        )
     scored = (
-        assigned.join(F.broadcast(probe_cells), F.col("cell") == F.col("p_cell"))
+        joined
         .where(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id", "vec_id",
@@ -932,6 +988,18 @@ def ivf_topk(
         .where(F.col("rank") <= ANN_K)
         .select("probe_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def ivf_topk_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale probe fallback for the IVF index: identical
+    values to ``ivf_topk`` (same fit, same folds, same ranks), but
+    the probe→cell routed frame joins the assigned corpus via a
+    SHUFFLED hash join on the cell key — uncapped, no probe
+    broadcast. Only the `cells`-row centroid table is ever broadcast.
+    Denser probe set (vec_id % 20) marks the intended regime;
+    tests/test_probe_shuffle.py proves the broadcast path fails
+    loudly at full-corpus probes while this path answers."""
+    return ivf_topk(spark, sf_dir, probe_mod=20, shuffle=True)
 
 
 def minhash_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1255,8 +1323,10 @@ QUERIES = {
     "semantic_clusters": semantic_clusters,
     "ann_topk": ann_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_lsh_topk_shuffle": ann_lsh_topk_shuffle,
     "embedding_quantize": embedding_quantize,
     "ivf_topk": ivf_topk,
+    "ivf_topk_shuffle": ivf_topk_shuffle,
     "minhash_lsh_topk": minhash_lsh_topk,
     "multimodal_meta": multimodal_meta,
     "audio_meta": audio_meta,
@@ -1571,8 +1641,11 @@ _SQL_NC_ADAPTIVE = (
     f"// {SEMANTIC_CELL_TARGET})))) as bigint)) from embeddings)"
 )
 
-SQL_ORACLES = {
-    "ivf_topk": f"""
+def _sql_ivf_topk(probe_mod: int) -> str:
+    """One oracle body for both physical variants: the Spark
+    broadcast/shuffle split is physical-plan-only, so the twin SQL
+    differs solely in the probe-set modulus."""
+    return f"""
         with {_sql_ivf_assign(str(IVF_CELLS))},
         probe_cells as (
           select probe_id, p_emb, p_norm, cell as p_cell from (
@@ -1583,7 +1656,7 @@ SQL_ORACLES = {
                      order by {_sql_d2("n.embedding", "m.centroid")} asc,
                               m.cell asc) as rn
             from norms n cross join {_SQL_IVF_FINAL} m
-            where n.vec_id % 50 = 0
+            where n.vec_id % {probe_mod} = 0
           ) where rn <= {IVF_NPROBE}
         ),
         scored as (
@@ -1600,13 +1673,16 @@ SQL_ORACLES = {
         )
         select probe_id, vec_id, cos as cosine, rank
         from ranked where rank <= {ANN_K}
-    """,
-    "ann_lsh_topk": f"""
+    """
+
+
+def _sql_ann_lsh_topk(probe_mod: int) -> str:
+    return f"""
         with bk as (
           select vec_id, embedding, {_sql_bucket()} as bucket from embeddings
         ), scored as (
           select b.vec_id as probe_id, a.vec_id as vec_id, {_SQL_COS} as cos
-          from bk a join (select * from bk where vec_id % 50 = 0) b
+          from bk a join (select * from bk where vec_id % {probe_mod} = 0) b
             on a.bucket = b.bucket
           where a.vec_id != b.vec_id
         ), ranked as (
@@ -1617,7 +1693,14 @@ SQL_ORACLES = {
         )
         select probe_id, vec_id, cos as cosine, rank
         from ranked where rank <= {ANN_K}
-    """,
+    """
+
+
+SQL_ORACLES = {
+    "ivf_topk": _sql_ivf_topk(50),
+    "ivf_topk_shuffle": _sql_ivf_topk(20),
+    "ann_lsh_topk": _sql_ann_lsh_topk(50),
+    "ann_lsh_topk_shuffle": _sql_ann_lsh_topk(20),
     "dedup_ngram_jaccard": f"""
         with {_sql_shingles(3)},
         shf as (
