@@ -23,9 +23,41 @@ from pyspark.sql.window import Window
 __all__ = [
     "dot", "l2_norm", "cosine", "cosine_pairs", "cosine_pairs_np",
     "brute_topk", "cap_probes", "hyperplanes", "lsh_bucket",
+    "stack_f64",
 ]
 
 MAX_PROBES = 1024
+
+
+def stack_f64(values, ids, caller: str):
+    """Build the float64 (rows × dims) matrix every Arrow kernel
+    needs, with a TARGETED error on ragged (mixed-dimension) inputs:
+    a bare ``np.array(list(...))`` raises numpy's opaque
+    "inhomogeneous shape" ValueError, while the JVM twins' zip_with
+    dot silently yields NULL and drops the pair — dimension mismatch
+    is corrupt data either way, so the kernels are deliberately
+    STRICTER and name the offending ids (same policy as the
+    zero-norm/NaN strictness note in ``cosine_pairs_np``).
+
+    ``values``/``ids`` are aligned sequences (pandas columns ok);
+    NULL vectors must already be filtered (callers do)."""
+    import numpy as np
+
+    lens = [len(v) for v in values]
+    if lens and len(set(lens)) > 1:
+        from collections import Counter
+
+        common = Counter(lens).most_common(1)[0][0]
+        bad = [i for i, (v, n) in enumerate(zip(values, lens)) if n != common]
+        bad_ids = [ids[i] if ids is not None else i for i in bad][:10]
+        raise ValueError(
+            f"{caller}: mixed embedding dimensions {sorted(set(lens))} "
+            f"in one kernel batch — ids with non-majority dims "
+            f"(first 10): {bad_ids}; embeddings must share one "
+            "dimensionality (the JVM twin would silently NULL these "
+            "pairs — filter or re-embed upstream)"
+        )
+    return np.array(list(values), dtype=np.float64)
 
 
 def cap_probes(
@@ -253,7 +285,7 @@ def cosine_pairs_np(
             )
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy()
-        V = np.array(list(pdf[vec_col]), dtype=np.float64)
+        V = stack_f64(list(pdf[vec_col]), ids, "cosine_pairs_np")
         acc = np.zeros((m, m))
         nacc = np.zeros(m)
         for d in range(V.shape[1]):

@@ -21,6 +21,7 @@ from ..functions.dedup import (
 )
 from ..functions.similarity import (
     brute_topk, cosine_pairs, cosine_pairs_np, hyperplanes, lsh_bucket,
+    stack_f64,
 )
 from ._util import SQL_TOKS, sql_h64, t
 
@@ -528,6 +529,65 @@ def _lloyd_mean(members: DataFrame) -> DataFrame:
     )
 
 
+def _lloyd_mean_np(assigned: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Arrow/numpy twin of the ``collect_list``+``_lloyd_mean`` JVM
+    stage. **NOT wired into the fit — measured and rejected (r7).**
+    The r6 verdict hypothesized the fit's remaining ~2 s was the
+    interpreted mean fold; head-to-head timing (warmed session,
+    3 draws, both SFs) says otherwise — IVF_MEAN_CAP bounds the fold
+    at ≤512×dims adds per cell, so the JVM fold is cheap, and the
+    extra Python stage round trip costs MORE than it saves:
+    semantic_clusters sf0.1 median 3.64 s (JVM) vs 4.56 s (Arrow),
+    sf1 6.55 vs 8.56; ivf_topk sf0.1 1.73 vs 2.18. The fit keeps the
+    JVM fold; this kernel stays as the bit-exact-parity-tested
+    alternative (see PERF.md "Lloyd mean kernel") for regimes where
+    a much larger member cap or dim count would tip the balance —
+    re-measure before wiring it in.
+
+    FP parity is EXACT, same argument as the sibling kernels: the
+    accumulator adds members one at a time in vec_id order with a
+    0.0-init head (``acc = acc + M[i]`` — elementwise across dims,
+    exactly the ``zip_with`` add), the member list caps at
+    IVF_MEAN_CAP *after* the vec_id sort (== ``slice(array_sort(...),
+    1, cap)``), and the division by the capped member count happens
+    once per dim on the identical operands. ``_lloyd_mean`` stays as
+    the all-JVM expression and parity oracle
+    (tests/test_skew_similarity.py asserts row-level equality).
+
+    NULL embeddings raise (the JVM twin would emit a NULL centroid —
+    poison either way; fit callers filter NULLs by contract), and
+    ragged dimensions raise the targeted ``stack_f64`` error."""
+    import numpy as np
+    import pandas as pd
+
+    def mean_kernel(pdf):
+        if pdf[vec_col].isna().any():
+            bad = pdf.loc[pdf[vec_col].isna(), "vec_id"].tolist()[:10]
+            raise ValueError(
+                f"_lloyd_mean_np: NULL embedding(s) reached the Lloyd "
+                f"mean (vec_ids {bad}) — the fit contract excludes "
+                "NULL vectors; filter upstream"
+            )
+        pdf = pdf.sort_values("vec_id").head(IVF_MEAN_CAP)
+        M = stack_f64(list(pdf[vec_col]), pdf["vec_id"].to_numpy(),
+                      "_lloyd_mean_np")
+        acc = np.zeros(M.shape[1], dtype=np.float64)  # the 0.0 head
+        for i in range(M.shape[0]):
+            acc = acc + M[i]
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "centroid": [(acc / float(M.shape[0])).tolist()],
+            }
+        )
+
+    return (
+        assigned.select("vec_id", vec_col, "cell")
+        .groupBy("cell")
+        .applyInPandas(mean_kernel, "cell int, centroid array<double>")
+    )
+
+
 def ivf_fit(emb: DataFrame, cells: int = IVF_CELLS) -> DataFrame:
     """Deterministic, oracle-reproducible IVF centroids (cell,
     centroid): seeds = the ``cells`` corpus vectors with the smallest
@@ -636,7 +696,11 @@ def ivf_assign_np(
             # the smallest cell id (cell_ids is sorted)
             out = np.full(len(pdf), cell_ids[0], dtype=np.int64)
             if valid.any():
-                V = np.array(list(pdf.loc[valid, vec_col]), dtype=np.float64)
+                V = stack_f64(
+                    list(pdf.loc[valid, vec_col]),
+                    pdf.loc[valid, "vec_id"].to_numpy(),
+                    "ivf_assign_np",
+                )
                 acc = np.zeros((V.shape[0], C.shape[0]))
                 for d in range(V.shape[1]):
                     diff = V[:, d, None] - C[None, :, d]
@@ -838,7 +902,11 @@ def ivf_assign2_np(
             valid = pdf[vec_col].notna().to_numpy()
             out = np.full(len(pdf), null_cell, dtype=np.int64)
             if valid.any():
-                V = np.array(list(pdf.loc[valid, vec_col]), dtype=np.float64)
+                V = stack_f64(
+                    list(pdf.loc[valid, vec_col]),
+                    pdf.loc[valid, "vec_id"].to_numpy(),
+                    "ivf_assign2_np",
+                )
                 dg = _d2(V, G)
                 gstar = g_ids[np.argmin(dg, axis=1)]
                 dc = _d2(V, C)

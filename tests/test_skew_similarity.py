@@ -418,3 +418,84 @@ def test_decontaminate_fuzzy_contract(spark):
         assert src[r["doc_id"]] != DECON_EVAL_SOURCE   # train side only
         assert src[r["eval_id"]] == DECON_EVAL_SOURCE  # matched an eval doc
         assert r["jaccard"] >= DECON_FUZZY_TAU
+
+
+def test_np_lloyd_mean_matches_jvm(spark):
+    """_lloyd_mean_np (the Arrow fit mean, r7) must reproduce the
+    JVM collect_list+fold mean BIT-exactly: member-sequential adds
+    in vec_id order with a 0.0 head, cap after the sort, one divide
+    by the capped count. Any double mismatch is a kernel bug, not FP
+    noise — so compare raw float bits, not approx."""
+    import struct
+
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    from rstreams_spark.queries._util import t
+    from rstreams_spark.queries.dedupq import (
+        IVF_MEAN_CAP, _lloyd_mean, _lloyd_mean_np, ivf_assign_np, ivf_fit,
+    )
+
+    emb = t(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    cents = ivf_fit(emb)
+    assigned = ivf_assign_np(emb, cents).localCheckpoint(eager=False)
+    members = (
+        assigned.groupBy("cell")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("vec_id"), F.col("embedding")))
+                ),
+                1, IVF_MEAN_CAP,
+            ).alias("__sl")
+        )
+    )
+
+    def bits(rows):
+        return {
+            r["cell"]: tuple(struct.pack("<d", v) for v in r["centroid"])
+            for r in rows
+        }
+
+    jvm = bits(_lloyd_mean(members).collect())
+    np_ = bits(_lloyd_mean_np(assigned).collect())
+    assert jvm == np_ and len(jvm) > 1
+
+
+def test_np_kernels_ragged_dims_raise_targeted(spark):
+    """Mixed-dimension embeddings in one kernel batch raise the
+    targeted stack_f64 error naming offending ids — never numpy's
+    opaque 'inhomogeneous shape' (ADVICE r6)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from rstreams_spark.functions.similarity import cosine_pairs_np
+
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0], bucket=0),
+            Row(vec_id=2, embedding=[0.0, 1.0], bucket=0),
+            Row(vec_id=3, embedding=[1.0, 0.0, 0.0], bucket=0),
+        ]
+    )
+    with pytest.raises(Exception, match="mixed embedding dimensions"):
+        cosine_pairs_np(vecs, 0.0).collect()
+
+
+def test_np_lloyd_mean_null_embedding_raises(spark):
+    """NULL embeddings reaching the Lloyd mean fail loudly (the JVM
+    twin would silently emit a NULL centroid — poison either way)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from rstreams_spark.queries.dedupq import _lloyd_mean_np
+
+    assigned = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 2.0], cell=0),
+            Row(vec_id=2, embedding=None, cell=0),
+        ],
+        "vec_id bigint, embedding array<double>, cell int",
+    )
+    with pytest.raises(Exception, match="NULL embedding"):
+        _lloyd_mean_np(assigned).collect()
