@@ -640,7 +640,20 @@ def incremental_dedup_exact(
     (bucket/partition the seen table by fp prefix on a real lake and
     the lookup co-locates instead of shuffling the batch).
     """
+    from pyspark.sql import types as T
+
     from .text import md5_fingerprint
+
+    def _orderable(dt) -> bool:
+        # mirrors Catalyst's RowOrdering.isOrderable: maps are not
+        # orderable; arrays/structs inherit from their element/fields
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
 
     fp = new_docs.withColumn("__fp", md5_fingerprint(F.col(text_col)))
     # min-id keeper via struct-argmin, NOT a min+join-back: the join
@@ -648,16 +661,28 @@ def incremental_dedup_exact(
     # NULL text; NULL keys never equi-join) while GROUP BY had kept
     # it — the oracle's group-then-not-exists keeps one NULL-fp doc,
     # and so must this (torture-corpus probe, r6). One join fewer too.
+    # The struct carries only ORDERABLE columns (min() rejects e.g.
+    # MapType at analysis); non-orderable ones join back on the kept
+    # id — an id-keyed (unique, non-NULL by contract) join, so the
+    # NULL-fp group still survives (ADVICE r6: generality regression
+    # vs the old join-back form for map-typed schemas).
+    dtypes = {f.name: f.dataType for f in new_docs.schema.fields}
     others = [c for c in new_docs.columns if c != id_col]
+    ordered = [c for c in others if _orderable(dtypes[c])]
+    unordered = [c for c in others if not _orderable(dtypes[c])]
     batch_first = (
         fp.groupBy("__fp")
-        .agg(F.min(F.struct(id_col, *others)).alias("__r"))
+        .agg(F.min(F.struct(id_col, *ordered)).alias("__r"))
         .select(
             "__fp",
             F.col(f"__r.{id_col}").alias(id_col),
-            *[F.col(f"__r.{c}").alias(c) for c in others],
+            *[F.col(f"__r.{c}").alias(c) for c in ordered],
         )
     )
+    if unordered:
+        batch_first = batch_first.join(
+            new_docs.select(id_col, *unordered), id_col, "inner"
+        ).select("__fp", id_col, *others)  # restore column order
     # left_anti keeps NULL-__fp rows (no NULL match) — same as the
     # oracle's NOT EXISTS on an equality predicate
     fresh = batch_first.join(

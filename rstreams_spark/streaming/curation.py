@@ -14,6 +14,22 @@ same char accounting (count × gram length over normalized length),
 same multiplication-only keep thresholds — so the two
 implementations cross-check each other (tests assert row-level
 equality against the batch/oracle-verified query).
+
+Decontamination gates, in the order users should reach for them:
+
+1. ``stream_decontaminate_ngrams_native`` — the DEFAULT. Tokenize +
+   n-gram assembly + xxhash64-InSet membership all inside
+   whole-stage codegen; no Python per row. Eval shards up to
+   ``EVAL_GRAM_MAX`` distinct grams.
+2. ``stream_decontaminate_ngrams_bloom`` — past the InSet budget:
+   k getbit probes against one packed-long array literal, O(1)
+   per-trigger planning, ~8M-gram capacity, ~5e-4 FPR (false
+   positives over-drop — the safe direction).
+3. ``stream_decontaminate_ngrams`` — the exact-Python-set fallback
+   for tiny shards / debugging: per-row gram generator against a
+   broadcast frozenset; keeps are byte-identical to the batch
+   oracle with zero hash-collision caveat, but it pays Python per
+   row — not the ingest hot path.
 """
 
 from __future__ import annotations
@@ -256,7 +272,16 @@ def stream_decontaminate_ngrams(
     eval_grams,  # broadcast from eval_gram_broadcast
     text_col: str = "text",
 ) -> DataFrame:
-    """Live train/eval decontamination — the streaming counterpart of
+    """Exact-Python-set decontamination gate — the TINY-SHARD
+    FALLBACK, not the default: prefer
+    ``stream_decontaminate_ngrams_native`` (whole-stage-codegen
+    InSet, no Python per row) and, past its budget,
+    ``stream_decontaminate_ngrams_bloom`` (see the module docstring's
+    gate ladder). This variant keeps byte-exact parity with the batch
+    oracle (no hash step at all), which makes it the cross-check and
+    debug path.
+
+    Live train/eval decontamination — the streaming counterpart of
     ``queries.dedupq.decontaminate_ngrams`` as an INGEST-TIME gate:
     any document sharing a word n-gram with the broadcast eval set
     (built by ``eval_gram_broadcast``, which fixes ``n``) is dropped
@@ -279,8 +304,15 @@ def stream_decontaminate_ngrams(
     return df.mapInPandas(run, schema)
 
 
-EVAL_GRAM_MAX = 2_000_000  # InSet literal budget — eval shards are
-#                            benchmark-sized by contract (≪ corpus)
+EVAL_GRAM_MAX = 500_000  # InSet literal budget. Deliberately modest
+# (ADVICE r6): the isin() list crosses py4j as plan literals and —
+# under Structured Streaming's per-microbatch re-analysis — that
+# marshalling + hash-set rebuild recurs EVERY trigger, so a
+# 2M-literal budget taxed latency-sensitive small-batch streams.
+# 500k literals keep per-trigger planning in the tens-of-ms band;
+# larger eval shards belong on the Bloom gate
+# (eval_gram_bloom/stream_decontaminate_ngrams_bloom: one packed
+# array literal, O(1) per-trigger planning, ~8M-gram capacity).
 
 
 def eval_gram_hashes(spark, eval_docs: DataFrame, text_col: str = "text",

@@ -44,6 +44,12 @@ def stream_lag_window(
     oldest → newest. Rows within a microbatch are processed in global
     ``ts`` order across Arrow chunks; buffers carry across batches
     via GroupState — bounded at ``lag`` × columns doubles per key.
+
+    NULL **or NaN** values cannot ride the live buffer: the state
+    arrays reject NULL elements, and pandas stores SQL NULL as NaN
+    in float columns, so the two are indistinguishable at this layer
+    — both raise the same 'NULL or NaN values' error (the batch twin
+    buffers NaN; live callers must filter/coalesce both upstream).
     """
     cols = [value_col] if isinstance(value_col, str) else list(value_col)
     # single-column keeps the original "values" name; multi-column
@@ -86,14 +92,21 @@ def stream_lag_window(
             # "Value at index is null" in the Arrow accessor), so the
             # batch twin's NULL-in-buffer semantics are unreachable
             # live. Fail with the contract instead of a JVM decode
-            # crash; filter or coalesce NULL values upstream.
+            # crash; filter or coalesce NULL values upstream. NaN
+            # rides the same guard BY CONSTRUCTION: pandas stores SQL
+            # NULL as NaN in float columns, so isna() cannot tell the
+            # two apart at this layer — a legitimate NaN double (which
+            # the batch twin would buffer) is rejected with the same
+            # message. Indistinguishable here; documented contract.
             for c in cols:
                 if whole[c].isna().any():
                     raise ValueError(
-                        f"stream_lag_window: NULL values in '{c}' — "
-                        "the live lag buffer cannot carry NULLs "
-                        "(applyInPandasWithState arrays reject NULL "
-                        "elements); filter or coalesce upstream"
+                        f"stream_lag_window: NULL or NaN values in "
+                        f"'{c}' — the live lag buffer cannot carry "
+                        "them (applyInPandasWithState arrays reject "
+                        "NULL elements, and pandas folds NaN and SQL "
+                        "NULL together in float columns); filter or "
+                        "coalesce upstream"
                     )
             b = len(bufs[0])
             n = len(whole)

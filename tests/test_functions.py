@@ -374,6 +374,33 @@ def test_incremental_dedup_exact(spark):
     assert again.count() == 0
 
 
+def test_incremental_dedup_exact_map_column(spark):
+    """Non-orderable columns (MapType) ride along: min() rejects
+    them inside the argmin struct, so they join back on the kept id
+    instead — same keeps, same min-id winners, NULL-text group
+    included (ADVICE r6: the struct-argmin rewrite had regressed
+    map-typed schemas that the old join-back form accepted)."""
+    from rstreams_spark.functions.dedup import incremental_dedup_exact
+
+    batch = spark.createDataFrame(
+        [
+            (12, "twice in batch", {"src": "b"}),
+            (11, "twice in batch", {"src": "a"}),  # 11 wins
+            (13, "genuinely new", {"src": "c"}),
+            (15, None, {"src": "n2"}),
+            (14, None, {"src": "n1"}),             # NULL-fp group: 14 wins
+        ],
+        "doc_id bigint, text string, meta map<string,string>",
+    )
+    seen = spark.createDataFrame([], "fp string")
+    fresh, fresh_fps = incremental_dedup_exact(batch, seen)
+    rows = {r["doc_id"]: r["meta"] for r in fresh.collect()}
+    assert sorted(rows) == [11, 13, 14]
+    # the map column carries the KEPT row's value, not a random dup's
+    assert rows[11] == {"src": "a"} and rows[14] == {"src": "n1"}
+    assert fresh.columns == ["doc_id", "text", "meta"]
+
+
 def test_empty_input_edge_cases(spark):
     """Operators degrade to empty output, not errors, on empty
     inputs — at scale a filtered-out partition/day is routine."""

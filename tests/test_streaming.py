@@ -1542,7 +1542,38 @@ def test_stream_lag_window_null_values_fail_actionably(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ck")).start()
     )
     try:
-        with pytest.raises(Exception, match="NULL values|cannot carry"):
+        with pytest.raises(Exception, match="NULL or NaN values"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_stream_lag_window_nan_values_fail_same_guard(spark, tmp_path):
+    """A legitimate NaN double (which the BATCH twin happily buffers)
+    rides the same guard: pandas stores SQL NULL as NaN in float
+    columns, so isna() cannot tell the two apart at this layer — the
+    documented contract is that BOTH are rejected with the same
+    actionable message (ADVICE r6)."""
+    from pyspark.sql import functions as F
+
+    from rstreams_spark.streaming.stateful import stream_lag_window
+
+    df = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:00", 1.0),
+         (1, "2020-01-01 00:00:10", float("nan")),
+         (1, "2020-01-01 00:00:20", 3.0)],
+        "user_id bigint, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "in")
+    df.write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    out = stream_lag_window(sdf, "user_id", "ts", 2, "v")
+    q = (
+        out.writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    try:
+        with pytest.raises(Exception, match="NULL or NaN values"):
             q.processAllAvailable()
     finally:
         q.stop()
