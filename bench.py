@@ -54,6 +54,10 @@ HEADLINERS = [
     "decontaminate_fuzzy", "video_meta", "budget_sample",
     # r5: UCR-style z-normalized subsequence search over events
     "ts_similarity_topk",
+    # r7: the corpus-scale probe fallbacks — same ANN values on a
+    # shuffled hash join (uncapped probe side); benched so the
+    # shuffle path's cost stays visible next to the broadcast path
+    "ann_lsh_topk_shuffle", "ivf_topk_shuffle",
 ]
 
 
