@@ -33,6 +33,17 @@ EXPECTED_DIVERGENCES: dict[tuple[str, str], str] = {
         "the grand-total row — engine semantics, pinned in "
         "tests/test_empty_inputs.py"
     ),
+    ("big_ids", "span_dedup"): (
+        "doc_ids at 2^62 exceed the doc_id*1e6+span_idx composite-key "
+        "domain; the in-plan guard raises the actionable re-key message "
+        "BY DESIGN (the r6 'guard upgraded' contract) instead of "
+        "silently overflowing"
+    ),
+    ("torture", "span_dedup"): (
+        "same composite-key guard: the torture corpus shifts doc_ids "
+        "to 2^61, outside the span-key domain — loud failure is the "
+        "documented behavior"
+    ),
 }
 
 
