@@ -160,6 +160,22 @@ CLASSES: dict[str, dict] = {
         "embeddings": "select * replace (0 as label) from t",
         "customer": "select * replace ('BUILDING' as c_mktsegment) from t",
     },
+    "hot_keys": {
+        # fact-join skew: 90% of lineitem rows land on ONE orderkey
+        # and 90% of events on ONE user — the shape AQE skew-join and
+        # the salted aggregation paths exist for; also duplicates the
+        # hot orderkey across orders-side join probes
+        "lineitem": (
+            "select * replace ("
+            " case when l_linenumber % 10 != 0 then 1::bigint"
+            " else l_orderkey end as l_orderkey) from t"
+        ),
+        "events": (
+            "select * replace ("
+            " case when event_id % 10 != 0 then 1::bigint"
+            " else user_id end as user_id) from t"
+        ),
+    },
     # --- everything at once ----------------------------------------------
     "torture": {
         "documents": (
