@@ -61,6 +61,29 @@ HEADLINERS = [
 ]
 
 
+def build_payload(times: dict, sf: str, streaming: dict, errors: dict) -> dict:
+    """The single stdout artifact line, kept COMPACT by construction:
+    the driver captures only a tail of stdout, and r6's line with
+    per-query raw draws grew to ~5 KB and truncated past the capture
+    window (BENCH_r06 parsed:null). Medians only, rounded to 3 dp;
+    raw draws persist in bench_history.jsonl and stderr comments.
+    tests/test_lib_utils.py bounds the serialized size."""
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in times.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "streaming": streaming,
+    }
+    if errors:
+        # a partial sum must never read as a speedup: flag the
+        # headline value invalid whenever any query errored
+        payload["errors"] = errors
+        payload["valid"] = False
+    return payload
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -149,24 +172,7 @@ def main() -> None:
         streaming["stateful_err"] = f"{type(exc).__name__}: {exc}"[:300]
     print(f"# streaming: {streaming}", file=sys.stderr)
 
-    # The final stdout line must stay compact (~2 KB): the driver captures
-    # only a tail of stdout, and r6's line with per-query "draws" grew to
-    # ~5 KB and truncated past the capture window (BENCH_r06 parsed:null).
-    # Medians only here; raw draws persist in bench_history.jsonl and the
-    # stderr per-query comments above.
-    payload = {
-        "metric": "headline_queries_total_wall",
-        "value": round(sum(times.values()), 3),
-        "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in times.items()},
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "streaming": streaming,
-    }
-    if errors:
-        # a partial sum must never read as a speedup: flag the
-        # headline value invalid whenever any query errored
-        payload["errors"] = errors
-        payload["valid"] = False
+    payload = build_payload(times, sf, streaming, errors)
     # append-only per-run history so regressions surface as numbers
     # (r02→r03 archaeology was only possible via PERF.md prose);
     # tools/bench_diff.py prints the per-query delta of the last two

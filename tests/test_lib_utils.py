@@ -72,3 +72,34 @@ def test_epoch_floors_pre_1970_instants(spark):
     ).fetchall()]
     assert got == want
     assert got[3] == -1  # the second containing ...:59.999999
+
+
+def test_bench_payload_stays_under_driver_tail_capture():
+    """The ONE driver-facing r6 breakage: the bench stdout JSON line
+    outgrew the driver's tail capture (~5 KB with raw draws) and
+    BENCH_r06 parsed as null. Pin the compact-by-construction bound:
+    a full-catalog payload with worst-case float widths serializes
+    well under 2.5 KB."""
+    import json
+
+    from bench import HEADLINERS, build_payload
+
+    times = {name: 123.456789 for name in HEADLINERS}
+    streaming = {
+        "offered_rows_per_sec": 8_000_000,
+        "processed_rows_per_sec": 7_885_658,
+        "runs": [8_553_100, 8_008_008, 6_294_256],
+        "run_batches": [4, 4, 4],
+        "total_rows": 24_000_000,
+        "batches": 4,
+        "stateful_rows_per_batch": 2_000_000,
+        "stateful_processed_rows_per_sec": 1_126_761,
+        "stateful_runs": [857_510, 1_011_293, 1_046_390],
+        "stateful_run_batches": [4, 4, 4],
+        "stateful_batches": 4,
+    }
+    line = json.dumps(build_payload(times, "0.1", streaming, {}))
+    assert len(line) < 2500, f"bench artifact line is {len(line)} bytes"
+    payload = json.loads(line)
+    assert "draws" not in payload
+    assert len(payload["queries"]) == len(HEADLINERS)
