@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "dot", "l2_norm", "cosine", "cosine_pairs", "cosine_pairs_np",
     "brute_topk", "cap_probes", "hyperplanes", "lsh_bucket",
-    "stack_f64",
+    "lsh_topk", "stack_f64",
 ]
 
 MAX_PROBES = 1024
@@ -121,6 +121,70 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
         )
         bucket = bit if bucket is None else bucket + bit
     return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    shuffle: bool = False,
+    max_probes: int = MAX_PROBES,
+) -> DataFrame:
+    """Sign-LSH bucketed cosine top-k as a LIBRARY surface: rank the
+    ``k`` most-cosine-similar corpus vectors per probe, comparing only
+    within shared LSH buckets (candidate set shrinks ~2^bits×). The
+    catalog's ``ann_lsh_topk``/``ann_lsh_topk_shuffle`` entries are
+    this composition with the corpus-derived probe sets; user code
+    calls it directly on its own (id, embedding) frames.
+
+    Physical strategy per the probe-set contract (SURVEY §6):
+
+    - ``shuffle=False``: probe side broadcasts behind ``cap_probes``'s
+      in-plan guard — for user-query-sized probe sets (≤ max_probes).
+    - ``shuffle=True``: both sides shuffle on the bucket key
+      (``shuffle_hash`` hint, probe side builds the hash table),
+      uncapped — the corpus-scale probe shape.
+
+    Output: (probe_id, id_col, cosine, rank). Cosines are sequential
+    JVM folds with norms hoisted above the join (one dot per candidate
+    pair); ranking ties break on the corpus id. A probe never matches
+    itself when both frames share ids (``id != probe_id``); NULL
+    buckets (NULL embeddings) match nothing on either side."""
+    from pyspark.sql.window import Window as W
+
+    pre = lambda df: df.select(  # noqa: E731 — tiny local shaping fn
+        F.col(id_col), F.col(vec_col)
+    ).withColumn("__bkt", lsh_bucket(F.col(vec_col), planes)).withColumn(
+        "__nrm", l2_norm(F.col(vec_col))
+    )
+    c = pre(corpus)
+    p = pre(probes).select(
+        F.col(id_col).alias(probe_id_col),
+        F.col(vec_col).alias("__p_vec"),
+        F.col("__bkt").alias("__p_bkt"),
+        F.col("__nrm").alias("__p_nrm"),
+    )
+    if shuffle:
+        joined = c.join(p.hint("shuffle_hash"), F.col("__bkt") == F.col("__p_bkt"))
+    else:
+        p = cap_probes(p, max_probes, probe_id_col, "lsh_topk")
+        joined = c.join(F.broadcast(p), F.col("__bkt") == F.col("__p_bkt"))
+    scored = joined.where(F.col(id_col) != F.col(probe_id_col)).select(
+        probe_id_col, id_col,
+        (dot(F.col(vec_col), F.col("__p_vec"))
+         / (F.col("__nrm") * F.col("__p_nrm"))).alias("cosine"),
+    )
+    w = W.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(probe_id_col, id_col, "cosine",
+                F.col("rank").cast("long").alias("rank"))
+    )
 
 
 def dot(a: Column, b: Column) -> Column:

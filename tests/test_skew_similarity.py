@@ -499,3 +499,26 @@ def test_np_lloyd_mean_null_embedding_raises(spark):
     )
     with pytest.raises(Exception, match="NULL embedding"):
         _lloyd_mean_np(assigned).collect()
+
+
+def test_lsh_topk_library_matches_catalog(spark):
+    """The library lsh_topk composition must return row-identical
+    results to the catalog's ann_lsh_topk entries in BOTH physical
+    modes — one ranked-join definition, two surfaces."""
+    from conftest import SF_SMOKE
+
+    from rstreams_spark.functions.similarity import lsh_topk
+    from rstreams_spark.queries._util import t
+    from rstreams_spark.queries.dedupq import ANN_K, _PLANES, _ann_lsh_impl
+
+    emb = t(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    probes = emb.where(F.col("vec_id") % 50 == 0)
+    for shuffle in (False, True):
+        lib = sorted(
+            lsh_topk(emb, probes, ANN_K, _PLANES, shuffle=shuffle).collect()
+        )
+        cat = sorted(
+            _ann_lsh_impl(spark, SF_SMOKE, probe_mod=50, shuffle=shuffle)
+            .collect()
+        )
+        assert lib == cat and len(lib) > 0
