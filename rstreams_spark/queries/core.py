@@ -20,6 +20,18 @@ DAY = 86400
 HOP = 21600  # 6 hours
 
 
+def _tev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with NULL instants dropped at entry. A NULL ts has no
+    position on the time axis: Spark sorts NULLs FIRST ascending,
+    DuckDB LAST, and F.window/session_window silently drop them —
+    so every time-ordered/time-bucketed catalog query filters
+    `ts IS NOT NULL` at entry on BOTH engines (oracle twin adds
+    `where ts is not null`). Mirrors invariant 15 (NULL join keys
+    never match) and Structured Streaming's own NULL-event-time
+    behavior; pinned by the null_ts probe class (r7)."""
+    return t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+
+
 def map_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     return (
@@ -76,7 +88,7 @@ def skip_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     reading: a stable ordinal filter over the DISTRIBUTED global
     ordinal (range shards + per-shard offset stitch,
     ``operators.stateless.ordinal``) — no single-task sort."""
-    ev = t(spark, sf_dir, "events")
+    ev = _tev(spark, sf_dir)
     return (
         stateless.ordinal(ev, ["ts", "event_id"])
         .where(F.col("__ord").between(1000, 1099))
@@ -96,7 +108,7 @@ def take_while(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distributed ordinal + one-row min-stop broadcast)."""
     from ..model import RStream
 
-    ev = t(spark, sf_dir, "events")
+    ev = _tev(spark, sf_dir)
     out = RStream(ev, key="user_id", ts="ts").take_while(
         F.col("value") <= TAKE_WHILE_V, ["ts", "event_id"]
     )
@@ -112,7 +124,7 @@ def skip_while(spark: SparkSession, sf_dir: str) -> DataFrame:
     included)."""
     from ..model import RStream
 
-    ev = t(spark, sf_dir, "events")
+    ev = _tev(spark, sf_dir)
     out = RStream(ev, key="user_id", ts="ts").skip_while(
         F.col("value") <= TAKE_WHILE_V, ["ts", "event_id"]
     )
@@ -126,7 +138,7 @@ def cycle_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators.stateless.cycle_index``): round-robin slot
     assignment over the ordered stream, aggregated per slot — the
     deterministic batch reading of an infinite repeat."""
-    ev = t(spark, sf_dir, "events")
+    ev = _tev(spark, sf_dir)
     return (
         stateless.cycle_index(ev, 7, ["ts", "event_id"])
         .groupBy(F.col("__cycle").cast("long").alias("slot"))
@@ -141,7 +153,7 @@ def cycle_take(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def merge_take(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = _tev(spark, sf_dir)
     cols = ["event_id", "user_id", "ts", "value"]
     clicks = ev.where(F.col("event_type") == "click").select(*cols)
     views = ev.where(F.col("event_type") == "view").select(*cols)
@@ -154,7 +166,7 @@ def merge_take(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def chunk_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = _tev(spark, sf_dir)
     chunked = stateless.chunk(ev, 500, order_by=["ts", "event_id"])
     return chunked.groupBy(F.col("__chunk").alias("chunk")).agg(
         F.count("*").alias("n"),
@@ -173,7 +185,7 @@ def chunk_fold_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks close at 200 rows or a 30-minute silence gap, folded like
     ``chunk_fold``. See ``operators.stateless.chunk_timeout`` for the
     event-time determinism argument."""
-    ev = t(spark, sf_dir, "events")
+    ev = _tev(spark, sf_dir)
     chunked = stateless.chunk_timeout(
         ev, CHUNK_TIMEOUT_SIZE, CHUNK_TIMEOUT_GAP, "ts",
         order_by=["ts", "event_id"],
@@ -204,7 +216,7 @@ def asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched with the latest prior-or-equal view's value per user.
     Oracle uses DuckDB's native ASOF LEFT JOIN — the operator's
     window-fill composition must reproduce it exactly."""
-    ev = t(spark, sf_dir, "events")
+    ev = _tev(spark, sf_dir)
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id", "value"
     )
@@ -332,7 +344,7 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lag_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = _tev(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         ev.select(
@@ -832,7 +844,7 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     end; zero-variance (flat) windows are excluded by an exact
     ``> 0`` comparison on the identically-computed variance.
     """
-    ev = t(spark, sf_dir, "events")
+    ev = _tev(spark, sf_dir)
     series = ev.groupBy("user_id").agg(
         F.transform(
             F.array_sort(
@@ -967,7 +979,7 @@ _CANDLES_CTE = f"""
 with e as (
   select event_type, value, ts, event_id,
          cast(floor(epoch(ts)/{DAY})*{DAY} as bigint) as ws
-  from events
+  from events where ts is not null
 ), r as (
   select *,
          row_number() over (partition by event_type, ws order by ts, event_id) rf,
@@ -990,7 +1002,7 @@ SQL_ORACLES = {
         with series as (
           select user_id,
                  list(value::double order by ts, event_id) as vals
-          from events group by user_id
+          from events where ts is not null group by user_id
         ),
         q0 as (
           select vals[1:{TSM_W}] as qp from series
@@ -1061,13 +1073,13 @@ SQL_ORACLES = {
         select event_id, user_id, {_E} as ts_epoch, value
         from (
           select *, row_number() over (order by ts, event_id) - 1 as ord
-          from events
+          from events where ts is not null
         ) where ord between 1000 and 1099
     """,
     "take_while": f"""
         with o as (
           select *, row_number() over (order by ts, event_id) - 1 as ord
-          from events
+          from events where ts is not null
         ),
         stop as (select min(ord) as s from o where value > {TAKE_WHILE_V})
         select event_id, user_id, {_E} as ts_epoch, value
@@ -1076,7 +1088,7 @@ SQL_ORACLES = {
     "skip_while": f"""
         with o as (
           select *, row_number() over (order by ts, event_id) - 1 as ord
-          from events
+          from events where ts is not null
         ),
         stop as (select min(ord) as s from o where value > {TAKE_WHILE_V})
         select event_id, user_id, {_E} as ts_epoch, value
@@ -1088,22 +1100,23 @@ SQL_ORACLES = {
                min({_E}) as min_ts_epoch, max({_E}) as max_ts_epoch
         from (
           select *, row_number() over (order by ts, event_id) - 1 as ord
-          from events
+          from events where ts is not null
         ) group by 1
     """,
     "merge_take": f"""
         select event_id, user_id, {_E} as ts_epoch, value
         from (
           select * from (
-            select event_id, user_id, ts, value from events where event_type = 'click'
+            select event_id, user_id, ts, value from events where event_type = 'click' and ts is not null
             union all
-            select event_id, user_id, ts, value from events where event_type = 'view'
+            select event_id, user_id, ts, value from events where event_type = 'view' and ts is not null
           ) order by ts, event_id limit 100
         )
     """,
     "chunk_fold": f"""
         with o as (
           select *, row_number() over (order by ts, event_id) - 1 as ord from events
+          where ts is not null
         )
         select cast(floor(ord / 500.0) as bigint) as chunk,
                count(*) as n, round(sum(value), 2) as sum_value,
@@ -1112,7 +1125,7 @@ SQL_ORACLES = {
     """,
     "chunk_fold_timeout": f"""
         with o as (
-          select *, {_E} as e from events
+          select *, {_E} as e from events where ts is not null
         ),
         b as (
           select *, case when e - lag(e) over (order by ts, event_id)
@@ -1148,7 +1161,7 @@ SQL_ORACLES = {
         select event_type,
                cast(floor(epoch(ts)/{DAY})*{DAY} as bigint) as window_start_epoch,
                count(*) as n, round(sum(value), 2) as sum_value
-        from events group by 1, 2
+        from events where ts is not null group by 1, 2
     """,
     "tumbling_window_gapfill": f"""
         with base as (
@@ -1174,7 +1187,7 @@ SQL_ORACLES = {
           select event_type, value,
                  unnest([cast(floor(epoch(ts)/{HOP})*{HOP} - k*{HOP} as bigint)
                          for k in range(0, {DAY // HOP})]) as ws
-          from events
+          from events where ts is not null
         )
         select event_type, ws as window_start_epoch,
                count(*) as n, round(sum(value), 2) as sum_value
@@ -1214,7 +1227,7 @@ SQL_ORACLES = {
                  case when lag(ts) over w is null
                         or ts > lag(ts) over w + interval 1 hour
                       then 1 else 0 end as new_session
-          from events
+          from events where ts is not null
           window w as (partition by user_id order by ts)
         ), sessions as (
           select user_id, ts, value,
@@ -1233,7 +1246,7 @@ SQL_ORACLES = {
                  lag(value, 2) over w as v_2,
                  lag(value, 1) over w as v_1,
                  value as v_0
-          from events
+          from events where ts is not null
           window w as (partition by user_id order by ts, event_id)
         ) where v_2 is not null
     """,
@@ -1272,11 +1285,11 @@ SQL_ORACLES = {
     "asof_enrich": f"""
         with p as (
           select user_id, ts, event_id, value from events
-          where event_type = 'purchase'
+          where event_type = 'purchase' and ts is not null
         ),
         v as (
           select user_id, ts, max(value) as view_value from events
-          where event_type = 'view' group by 1, 2
+          where event_type = 'view' and ts is not null group by 1, 2
         )
         select p.user_id,
                {SQL_EPOCH.format(c='p.ts')} as ts_epoch,

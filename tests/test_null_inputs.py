@@ -187,3 +187,79 @@ def test_incremental_dedup_keeps_one_null_fp_doc(spark):
     fresh, _ = incremental_dedup_exact(batch, seen)
     rows = {(r["doc_id"], r["text"]) for r in fresh.collect()}
     assert rows == {(4, None), (12, "real text")}
+
+
+# third corpus: NULL event TIMES (the null_ts probe class, r7).
+# A NULL instant has no position on the time axis: Spark sorts NULLs
+# FIRST ascending where DuckDB sorts them LAST, and F.window/
+# session_window silently drop them while epoch-arithmetic oracles
+# kept a NULL group — 15 catalog divergences when first probed.
+# Contract (core.py::_tev): every time-ordered/time-bucketed catalog
+# query drops ts IS NULL at entry on BOTH engines.
+TS_NULL_SUBSET = [
+    "tumbling_window", "hopping_window", "session_window",
+    "candles", "candles_rollup", "strat_classify",
+    "lag_window", "asof_enrich",
+    "chunk_fold", "chunk_fold_timeout", "take_while", "skip_while",
+    "cycle_take", "merge_take", "skip_take", "ts_similarity_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def ts_null_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_nulls_ts")
+    src = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part documents"
+              " embeddings orders lineitem").split():
+        con.sql(
+            f"copy (select * from '{src}/{t}.parquet')"
+            f" to '{d}/{t}.parquet' (format parquet)"
+        )
+    con.sql(
+        f"""copy (
+          select * replace (
+            case when event_id % 9 = 2 then NULL else ts end as ts)
+          from '{src}/events.parquet'
+        ) to '{d}/events.parquet' (format parquet)"""
+    )
+    con.close()
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def ts_null_oracle(ts_null_dir):
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part documents embeddings"
+              " events lineitem orders").split():
+        con.sql(
+            f"create view {t} as select * from"
+            f" '{ts_null_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", TS_NULL_SUBSET)
+def test_ts_nulls_match_oracle(spark, ts_null_dir, ts_null_oracle, name):
+    sdf = REGISTRY[name](spark, ts_null_dir).toPandas()
+    odf = ts_null_oracle.sql(ORACLES[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf), f"{name}: {len(sdf)} vs {len(odf)}"
+    a, b = _canon(sdf), _canon(odf)
+    eq = (a == b) | (a.isna() & b.isna())
+    assert bool(eq.all().all()), f"{name}: value mismatch on NULL-ts corpus"
+
+
+def test_null_instants_dropped_at_entry(spark, ts_null_dir, ts_null_oracle):
+    """The entry filter is the contract, not an accident of window
+    semantics: tumbling_window's output counts cover exactly the
+    non-NULL-ts rows, and no NULL window-start group appears."""
+    from rstreams_spark.queries.core import tumbling_window as q
+
+    pdf = q(spark, ts_null_dir).toPandas()
+    assert not pdf["window_start_epoch"].isna().any()
+    n_live = ts_null_oracle.sql(
+        "select count(ts) from events"
+    ).fetchone()[0]
+    assert int(pdf["n"].sum()) == n_live

@@ -84,6 +84,42 @@ CLASSES: dict[str, dict] = {
             " as event_type) from t"
         ),
     },
+    "null_ts": {
+        # NULL event times + NULL date columns: every window/session/
+        # asof/gapfill operator and date-filtered TPC-H query must
+        # agree with the oracle on where NULL instants go (grouped?
+        # dropped? own partition?) — never probed before r7
+        "events": (
+            "select * replace ("
+            " case when event_id % 9 = 2 then NULL else ts end as ts)"
+            " from t"
+        ),
+        "orders": (
+            "select * replace ("
+            " case when o_orderkey % 11 = 3 then NULL else o_orderdate end"
+            " as o_orderdate) from t"
+        ),
+        "lineitem": (
+            "select * replace ("
+            " case when l_orderkey % 13 = 4 then NULL else l_shipdate end"
+            " as l_shipdate) from t"
+        ),
+    },
+    "exotic_ws": {
+        # invariant 14's divergence class: Java \s includes \x0B,
+        # RE2/DuckDB's does not; U+00A0/U+2003 are non-ASCII spaces.
+        # Tokenizers must split identically on every engine — the
+        # explicit WS_PATTERN classes are the contract under test
+        "documents": (
+            "select * replace (case doc_id % 6"
+            " when 0 then replace(text, ' ', chr(11))"       # vertical tab
+            " when 1 then replace(text, ' ', chr(9))"        # tab
+            " when 2 then replace(text, ' ', chr(13) || chr(10))"  # crlf
+            " when 3 then replace(text, ' ', chr(160))"      # nbsp U+00A0
+            " when 4 then replace(text, ' ', chr(8195))"     # em space U+2003
+            " else text end as text) from t"
+        ),
+    },
     # --- timestamp quantization (boundary + tie collisions) --------------
     "ts_quant60": {
         "events": (
