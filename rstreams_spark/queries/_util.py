@@ -59,15 +59,27 @@ def sql_h64(s: str, salt: int = 0) -> str:
 # hi/lo overflow ceiling; values < 2^63 cast to the same double as
 # Spark's long→double. `//` (DuckDB) and `div` (Spark) both truncate,
 # and every numerator here is non-negative where it matters (L ≥ 0).
+def _sql_fin(expr: str, inner: str) -> str:
+    """``inner`` when ``expr`` is NULL or finite, else a loud error —
+    the twin of tpch._finite_or_raise (same message, so the engines
+    fail identically on out-of-domain non-finite measures)."""
+    return (
+        f"case when ({expr}) is null or isfinite(({expr})) then {inner}"
+        f" else cast(error('non-finite measure in exact micros sum: '"
+        f" || ({expr})::varchar) as bigint) end"
+    )
+
+
 def sql_mhi(expr: str) -> str:
-    return f"sum(cast(floor(({expr})) as bigint))"
+    return f"sum({_sql_fin(expr, f'cast(floor(({expr})) as bigint)')})"
 
 
 def sql_mlo(expr: str) -> str:
-    return (
-        f"sum(cast(floor((({expr}) - floor(({expr}))) * 1000000.0 + 0.5)"
-        " as bigint))"
+    inner = (
+        f"cast(floor((({expr}) - floor(({expr}))) * 1000000.0 + 0.5)"
+        " as bigint)"
     )
+    return f"sum({_sql_fin(expr, inner)})"
 
 
 def sql_msum(expr: str, nd: int = 2) -> str:

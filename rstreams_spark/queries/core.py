@@ -534,8 +534,18 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The true value is 4dp-exact — 2dp data × ≤2dp fraction (q·(n-1)
     has an exact 2-decimal fractional part for q ∈ {.5,.9,.99}) —
     so rounding the aggregate at 6dp sits ≥5e-7 from every boundary
-    while the engines' ~1e-13 noise cannot flip it."""
-    ev = t(spark, sf_dir, "events")
+    while the engines' ~1e-13 noise cannot flip it.
+
+    Non-finite values are excluded by contract (oracle twin:
+    `isfinite`): quantiles over a set containing NaN are ill-defined
+    and the engines disagree (Spark sorts NaN greatest and
+    interpolates; DuckDB's quantile_cont propagates NaN) — profile
+    the finite distribution, as numpy's nanpercentile does. NULLs
+    pass through (both engines ignore them identically)."""
+    ev = t(spark, sf_dir, "events").where(
+        F.col("value").isNull()
+        | (~F.isnan("value") & (F.abs("value") < F.lit(float("inf"))))
+    )
     return ev.groupBy("event_type").agg(
         F.round(F.percentile("value", 0.5), 6).alias("p50"),
         F.round(F.percentile("value", 0.9), 6).alias("p90"),
@@ -619,8 +629,17 @@ HIST_BIN = 25.0
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram per event_type (profiling op):
     bin = floor(value/width). Pure groupBy — single shuffle of
-    (type, bin) partials regardless of SF."""
-    ev = t(spark, sf_dir, "events")
+    (type, bin) partials regardless of SF.
+
+    Non-finite values cannot be binned and are excluded by contract
+    (oracle twin: `isfinite`) — without the filter Spark silently
+    bins NaN at 0 and Inf at Long.MaxValue while DuckDB raises a
+    cast error (nonfinite probe class, r7). NULL values keep their
+    NULL-bin group (both engines agree)."""
+    ev = t(spark, sf_dir, "events").where(
+        F.col("value").isNull()
+        | (~F.isnan("value") & (F.abs("value") < F.lit(float("inf"))))
+    )
     return (
         ev.groupBy(
             "event_type",
@@ -1339,7 +1358,9 @@ SQL_ORACLES = {
                round(quantile_cont(value, 0.5), 6) as p50,
                round(quantile_cont(value, 0.9), 6) as p90,
                round(quantile_cont(value, 0.99), 6) as p99
-        from events group by event_type
+        from events
+        where value is null or isfinite(value)
+        group by event_type
     """,
     "gap_detect": f"""
         select user_id, prev_ts_epoch, ts_epoch,
@@ -1394,6 +1415,7 @@ SQL_ORACLES = {
           select event_type,
                  cast(floor(value / {HIST_BIN}) as bigint) as bin
           from events
+          where value is null or isfinite(value)
         )
         group by 1, 2
     """,

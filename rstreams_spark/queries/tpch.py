@@ -62,16 +62,43 @@ def _col(c) -> F.Column:
 # equal values < 2^63 cast to the same double).
 
 
+def _finite_or_raise(col: F.Column, out: F.Column) -> F.Column:
+    """``out`` when ``col`` is finite, else a loud per-row error.
+
+    Spark's floor() is NOT ANSI-guarded: floor(NaN) is silently 0 and
+    floor(Inf) is silently Long.MaxValue — a single NaN measure
+    would contribute zero to an "exact" micros sum with NO error at
+    all, and one Inf corrupts the total unless a second one happens
+    to overflow the long sum (nonfinite probe class, r7). Non-finite
+    measures are out of the exact-rounding domain by contract:
+    sanitize upstream. The DuckDB twins raise the same message
+    (_util.sql_mhi/sql_mlo). One codegen'd branch per row — free
+    next to the floor/multiply it guards."""
+    finite = ~F.isnan(col) & (F.abs(col) < F.lit(float("inf")))
+    return F.when(finite | col.isNull(), out).otherwise(
+        F.raise_error(
+            F.format_string(
+                "non-finite measure in exact micros sum: %s",
+                col.cast("string"),
+            )
+        )
+    )
+
+
 def _hi(c) -> F.Column:
     """Whole-units long of a ≤6dp-exact per-row double (floor)."""
-    return F.floor(_col(c))
+    col = _col(c)
+    return _finite_or_raise(col, F.floor(col))
 
 
 def _lo(c) -> F.Column:
     """Non-negative micros remainder (long ∈ [0, 1e6)) of the same."""
     col = _col(c)
-    return F.floor((col - F.floor(col)) * F.lit(1000000.0) + F.lit(0.5)).cast(
-        "long"
+    return _finite_or_raise(
+        col,
+        F.floor((col - F.floor(col)) * F.lit(1000000.0) + F.lit(0.5)).cast(
+            "long"
+        ),
     )
 
 

@@ -1,0 +1,129 @@
+"""Non-finite measures (the nonfinite probe class, r7): NaN/±Inf
+land in real corpora via parser junk and upstream overflow.
+
+Two contracts pinned here:
+
+1. The exact-micros-sum domain EXCLUDES non-finite measures, loudly
+   and on BOTH engines. Spark's unguarded floor() is the trap:
+   floor(NaN) is silently 0 (a NaN row contributes NOTHING to an
+   "exact" sum, no error) and floor(Inf) is silently Long.MaxValue
+   (corrupts the total; only crashes if a second one overflows the
+   long sum — tpch_q20 returned wrong numbers silently when first
+   probed). tpch._finite_or_raise and _util._sql_fin raise the same
+   actionable message instead.
+2. Profiling aggregates that cannot place a non-finite value
+   (value_histogram bins, value_percentiles quantiles) exclude them
+   by contract on both engines; NULLs keep their engine-identical
+   behavior (NULL bin group / ignored by quantiles).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from rstreams_spark.queries import ORACLES, REGISTRY
+
+GUARD_MSG = "non-finite measure in exact micros sum"
+
+COPY_TABLES = (
+    "region nation customer supplier part orders documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def nonfinite_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_nonfinite")
+    src = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in COPY_TABLES:
+        con.sql(
+            f"copy (select * from '{src}/{t}.parquet')"
+            f" to '{d}/{t}.parquet' (format parquet)"
+        )
+    con.sql(
+        f"""copy (
+          select * replace (
+            case when event_id % 19 = 3 then 'NaN'::double
+                 when event_id % 23 = 5 then 'Infinity'::double
+                 when event_id % 29 = 7 then '-Infinity'::double
+            else value end as value)
+          from '{src}/events.parquet'
+        ) to '{d}/events.parquet' (format parquet)"""
+    )
+    con.sql(
+        f"""copy (
+          select * replace (
+            case when l_orderkey % 31 = 3 then 'NaN'::double
+            else l_quantity end as l_quantity)
+          from '{src}/lineitem.parquet'
+        ) to '{d}/lineitem.parquet' (format parquet)"""
+    )
+    con.close()
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def nonfinite_oracle(nonfinite_dir):
+    con = duckdb.connect()
+    for t in (*COPY_TABLES, "events", "lineitem"):
+        con.sql(
+            f"create view {t} as select * from"
+            f" '{nonfinite_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return (
+        df.sort_values(by=list(df.columns))
+        .reset_index(drop=True)
+        .round(6)
+    )
+
+
+@pytest.mark.parametrize("name", ["fold_count", "tpch_q1"])
+def test_micros_guard_raises_on_both_engines(
+    spark, nonfinite_dir, nonfinite_oracle, name
+):
+    with pytest.raises(Exception, match=GUARD_MSG):
+        REGISTRY[name](spark, nonfinite_dir).toPandas()
+    with pytest.raises(Exception, match=GUARD_MSG):
+        nonfinite_oracle.sql(ORACLES[name]).df()
+
+
+@pytest.mark.parametrize("name", ["value_histogram", "value_percentiles"])
+def test_profiling_aggs_exclude_nonfinite(
+    spark, nonfinite_dir, nonfinite_oracle, name
+):
+    sdf = REGISTRY[name](spark, nonfinite_dir).toPandas()
+    odf = nonfinite_oracle.sql(ORACLES[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf), f"{name}: {len(sdf)} vs {len(odf)}"
+    a, b = _canon(sdf), _canon(odf)
+    eq = (a == b) | (a.isna() & b.isna())
+    assert bool(eq.all().all()), f"{name}: value mismatch"
+
+
+def test_micros_split_null_passthrough_and_finite_identity(spark):
+    """NULL measures must NOT trip the guard (sum skips them, as
+    before), and finite values must produce the identical hi/lo
+    split the unguarded form did."""
+    from pyspark.sql import functions as F
+
+    from rstreams_spark.queries.tpch import _hi, _lo
+
+    df = spark.createDataFrame(
+        [(1.25,), (None,), (-2.75,)], "x double"
+    )
+    rows = df.select(
+        _hi("x").alias("h"), _lo("x").alias("l")
+    ).orderBy(F.col("h").asc_nulls_last()).collect()
+    assert [(r["h"], r["l"]) for r in rows] == [
+        (-3, 250000),
+        (1, 250000),
+        (None, None),
+    ]

@@ -120,6 +120,44 @@ CLASSES: dict[str, dict] = {
             " else text end as text) from t"
         ),
     },
+    "all_null_cols": {
+        # ENTIRE columns NULL (vs the partial-NULL classes): zero
+        # finite groups, an empty vocabulary, no embeddable vectors.
+        # Catches group-vanishing and empty-domain divergences that
+        # partial NULLs can't (some group always survives there)
+        "documents": (
+            "select * replace ("
+            " NULL::varchar as text, NULL::varchar as lang,"
+            " NULL::varchar as source) from t"
+        ),
+        "embeddings": (
+            "select * replace (NULL::float[] as embedding) from t"
+        ),
+        "events": (
+            "select * replace (NULL::varchar as event_type,"
+            " NULL::double as value) from t"
+        ),
+    },
+    "nonfinite": {
+        # IEEE specials in measures: NaN/±Inf land in real corpora
+        # via parser junk and upstream overflow. Sum/round/sort/
+        # group/percentile behavior must agree with the oracle
+        # wherever a non-finite value flows
+        "events": (
+            "select * replace ("
+            " case when event_id % 19 = 3 then 'NaN'::double"
+            "      when event_id % 23 = 5 then 'Infinity'::double"
+            "      when event_id % 29 = 7 then '-Infinity'::double"
+            " else value end as value) from t"
+        ),
+        "lineitem": (
+            "select * replace ("
+            " case when l_orderkey % 31 = 3 then 'NaN'::double"
+            " else l_quantity end as l_quantity,"
+            " case when l_orderkey % 37 = 5 then 'Infinity'::double"
+            " else l_extendedprice end as l_extendedprice) from t"
+        ),
+    },
     # --- timestamp quantization (boundary + tie collisions) --------------
     "ts_quant60": {
         "events": (

@@ -46,6 +46,24 @@ EXPECTED_DIVERGENCES: dict[tuple[str, str], str] = {
     ),
 }
 
+# (class, query) pairs where BOTH engines must raise the same guard
+# message (a positive contract, stronger than an expected
+# divergence): non-finite measures are out of the exact-micros-sum
+# domain, and both tpch._finite_or_raise and _util._sql_fin raise
+# this exact message instead of silently corrupting the sum
+# (Spark's unguarded floor(NaN) is 0, floor(Inf) is Long.MaxValue).
+# An entry passes if both engines raise with the substring, OR both
+# succeed with matching values (e.g. a filter dropped every poisoned
+# row at this SF); anything asymmetric fails.
+_MICROS_GUARD = "non-finite measure in exact micros sum"
+EXPECTED_RAISE: dict[tuple[str, str], str] = {
+    ("nonfinite", q): _MICROS_GUARD
+    for q in (
+        "fold_count tpch_q1 tpch_q3 tpch_q6 tpch_q8 tpch_q9 tpch_q11"
+        " tpch_q14 tpch_q15 tpch_q17 tpch_q19 tpch_q20"
+    ).split()
+}
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -77,19 +95,40 @@ def main() -> int:
         failures = []
         expected = []
         for name in names:
+            raise_sub = EXPECTED_RAISE.get((cls, name))
+            sdf = serr = odf = oerr = None
             try:
                 sdf = qs[name](spark, d).toPandas()
-                if name not in oracles:
-                    continue
+            except Exception as ex:
+                serr = ex
+            if name not in oracles:
+                if serr is not None:
+                    failures.append(
+                        (name, f"EXCEPTION {type(serr).__name__}:"
+                               f" {str(serr)[:200]}"))
+                continue
+            try:
                 odf = con.sql(oracles[name]).df()
+            except Exception as ex:
+                oerr = ex
+            if serr is not None or oerr is not None:
+                if (raise_sub is not None
+                        and serr is not None and oerr is not None
+                        and raise_sub in str(serr)
+                        and raise_sub in str(oerr)):
+                    why = None  # matched guard raise on BOTH engines
+                else:
+                    who = "spark" if serr is not None else "oracle"
+                    ex = serr if serr is not None else oerr
+                    why = (f"EXCEPTION({who}) {type(ex).__name__}:"
+                           f" {str(ex)[:200]}")
+            else:
                 ok = (
                     sorted(sdf.columns) == sorted(odf.columns)
                     and len(sdf) == len(odf)
                     and canon(sdf).equals(canon(odf))
                 )
                 why = None if ok else "mismatch"
-            except Exception as ex:
-                why = f"EXCEPTION {type(ex).__name__}: {str(ex)[:200]}"
             if why:
                 if (cls, name) in EXPECTED_DIVERGENCES:
                     expected.append(name)
