@@ -9,7 +9,7 @@ Expected steady state: every class PASSes. Known, documented
 exceptions are listed in EXPECTED_DIVERGENCES — a run flags anything
 outside that list.
 
-Wall clock: the full matrix (16 classes × full catalog) is ~1-1.5 h;
+Wall clock: the full matrix (20 classes × full catalog) is ~1.5-2 h;
 use --classes/--queries while iterating on one bug class.
 """
 
