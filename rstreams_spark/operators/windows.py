@@ -127,7 +127,7 @@ def hopping_window(
 
 
 def rollup_candles(
-    candles: DataFrame, key: str | Sequence[str], size: str
+    candles: DataFrame, key: str | Sequence[str], size: str, *extra: Column
 ) -> DataFrame:
     """Hierarchical OHLCV rollup: coarser candles from finer candles.
 
@@ -142,24 +142,33 @@ def rollup_candles(
 
     Input: a frame produced by ``tumbling_window``-style candle
     queries with columns (key…, window_start, window_end, open, high,
-    low, close, volume, n_trades). ``size`` must be a multiple of the
-    input candle width.
+    low, close, [volume,] n_trades). ``size`` must be a multiple of
+    the input candle width. ``volume`` re-sums when present; pass
+    ``extra`` aggregates for any additional partial columns the finer
+    level carries (e.g. hi/lo micros-sum parts, which re-combine
+    EXACTLY as long sums where a raw double re-sum would be
+    order-dependent — see queries/core.py::candles_rollup).
     """
     keys = [key] if isinstance(key, str) else list(key)
     win = F.window(F.col("window_start"), size)
+    vol = (
+        [F.sum("volume").alias("volume")]
+        if "volume" in candles.columns else []
+    )
     out = candles.groupBy(*keys, win.alias("window")).agg(
         F.min_by("open", F.col("window_start")).alias("open"),
         F.max("high").alias("high"),
         F.min("low").alias("low"),
         F.max_by("close", F.col("window_start")).alias("close"),
-        F.sum("volume").alias("volume"),
+        *vol,
         F.sum("n_trades").alias("n_trades"),
+        *extra,
     )
     return out.select(
         *keys,
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
-        "open", "high", "low", "close", "volume", "n_trades",
+        *[c for c in out.columns if c not in (*keys, "window")],
     )
 
 

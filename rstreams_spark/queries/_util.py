@@ -60,12 +60,15 @@ def sql_h64(s: str, salt: int = 0) -> str:
 # Spark's long→double. `//` (DuckDB) and `div` (Spark) both truncate,
 # and every numerator here is non-negative where it matters (L ≥ 0).
 def _sql_fin(expr: str, inner: str) -> str:
-    """``inner`` when ``expr`` is NULL or finite, else a loud error —
+    """``inner`` when ``expr`` is NULL or in the micros-sum domain
+    (finite, |x| < 1e9 — NaN/Inf compare false), else a loud error —
     the twin of tpch._finite_or_raise (same message, so the engines
-    fail identically on out-of-domain non-finite measures)."""
+    fail identically on out-of-domain measures)."""
     return (
-        f"case when ({expr}) is null or isfinite(({expr})) then {inner}"
-        f" else cast(error('non-finite measure in exact micros sum: '"
+        f"case when ({expr}) is null or abs(({expr})) < 1000000000.0"
+        f" then {inner}"
+        f" else cast(error('measure outside exact micros-sum domain"
+        f" (finite, |x| < 1e9 required): '"
         f" || ({expr})::varchar) as bigint) end"
     )
 

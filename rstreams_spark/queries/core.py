@@ -13,8 +13,8 @@ from pyspark.sql.window import Window
 
 from ..functions.text import hash64, tokens
 from ..operators import joins, stateless, table, windows
-from ._util import SQL_EPOCH, SQL_TOKS, epoch, sql_h64, sql_mtot, t
-from .tpch import _msum_parts, _mtot_d
+from ._util import SQL_EPOCH, SQL_TOKS, epoch, sql_h64, sql_msum, sql_mtot, t
+from .tpch import _hi, _lo, _mround, _msum_parts, _mtot_d
 
 DAY = 86400
 HOP = 21600  # 6 hours
@@ -50,7 +50,6 @@ def fold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
             # exact micros total → ONE double division: value is
             # 2dp-exact, so the rational avg CAN land exactly on a 4dp
             # half-boundary where each engine's double-sum noise
@@ -61,7 +60,7 @@ def fold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("value").alias("__cn"),
         )
         .select(
-            "event_type", "n", "sum_value",
+            "event_type", "n", _mround("v").alias("sum_value"),
             F.round(_mtot_d("v") / F.col("__cn"), 4).alias("avg_value"),
         )
     )
@@ -170,9 +169,12 @@ def chunk_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunked = stateless.chunk(ev, 500, order_by=["ts", "event_id"])
     return chunked.groupBy(F.col("__chunk").alias("chunk")).agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        *_msum_parts("value", "v"),
         F.min(epoch(F.col("ts"))).alias("min_ts_epoch"),
         F.max(epoch(F.col("ts"))).alias("max_ts_epoch"),
+    ).select(
+        "chunk", "n", _mround("v").alias("sum_value"),
+        "min_ts_epoch", "max_ts_epoch",
     )
 
 
@@ -195,9 +197,12 @@ def chunk_fold_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__chunk").alias("chunk"),
     ).agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        *_msum_parts("value", "v"),
         F.min(epoch(F.col("ts"))).alias("min_ts_epoch"),
         F.max(epoch(F.col("ts"))).alias("max_ts_epoch"),
+    ).select(
+        "session", "chunk", "n", _mround("v").alias("sum_value"),
+        "min_ts_epoch", "max_ts_epoch",
     )
 
 
@@ -248,13 +253,13 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "1 day",
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        *_msum_parts("value", "v"),
     )
     return out.select(
         "event_type",
         epoch(F.col("window_start")).alias("window_start_epoch"),
         "n",
-        "sum_value",
+        _mround("v").alias("sum_value"),
     )
 
 
@@ -272,14 +277,14 @@ def tumbling_window_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "1 day",
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        *_msum_parts("value", "v"),
         gap_fill=True,
     )
     return out.select(
         "event_type",
         epoch(F.col("window_start")).alias("window_start_epoch"),
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
-        "sum_value",
+        _mround("v").alias("sum_value"),
     )
 
 
@@ -292,13 +297,13 @@ def hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1 day",
         "6 hours",
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        *_msum_parts("value", "v"),
     )
     return out.select(
         "event_type",
         epoch(F.col("window_start")).alias("window_start_epoch"),
         "n",
-        "sum_value",
+        _mround("v").alias("sum_value"),
     )
 
 
@@ -314,14 +319,14 @@ def hopping_window_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1 day",
         "6 hours",
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        *_msum_parts("value", "v"),
         gap_fill=True,
     )
     return out.select(
         "event_type",
         epoch(F.col("window_start")).alias("window_start_epoch"),
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
-        "sum_value",
+        _mround("v").alias("sum_value"),
     )
 
 
@@ -333,13 +338,13 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "1 hour",
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        *_msum_parts("value", "v"),
     )
     return out.select(
         "user_id",
         epoch(F.col("session_start")).alias("session_start_epoch"),
         "n",
-        "sum_value",
+        _mround("v").alias("sum_value"),
     )
 
 
@@ -418,9 +423,12 @@ def stream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _candles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _candles_df(
+    spark: SparkSession, sf_dir: str, with_volume: bool = True
+) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     order = F.struct("ts", "event_id")
+    vol_aggs = _msum_parts("value", "v") if with_volume else []
     out = windows.tumbling_window(
         ev,
         "event_type",
@@ -430,13 +438,14 @@ def _candles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("high"),
         F.min("value").alias("low"),
         F.max_by("value", order).alias("close"),
-        F.round(F.sum("value"), 2).alias("volume"),
+        *vol_aggs,
         F.count("*").alias("n_trades"),
     )
+    vol_cols = [_mround("v").alias("volume")] if with_volume else []
     return out.select(
         "event_type",
         epoch(F.col("window_start")).alias("window_start_epoch"),
-        "open", "high", "low", "close", "volume", "n_trades",
+        "open", "high", "low", "close", *vol_cols, "n_trades",
     )
 
 
@@ -459,21 +468,28 @@ def candles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("high"),
         F.min("value").alias("low"),
         F.max_by("value", order).alias("close"),
-        F.sum("value").alias("volume"),  # unrounded: round once at the top
+        # micros parts instead of a raw double sum: long partials
+        # re-sum EXACTLY through the lattice (the double form was
+        # order-dependent once magnitudes mix — invariant 19), and
+        # the domain guard rides the fine level; round once at the top
+        *_msum_parts("value", "v"),
         F.count("*").alias("n_trades"),
     )
-    day = windows.rollup_candles(fine, "event_type", "1 day")
+    day = windows.rollup_candles(
+        fine, "event_type", "1 day",
+        F.sum("__h_v").alias("__h_v"), F.sum("__l_v").alias("__l_v"),
+    )
     return day.select(
         "event_type",
         epoch(F.col("window_start")).alias("window_start_epoch"),
         "open", "high", "low", "close",
-        F.round("volume", 2).alias("volume"),
+        _mround("v").alias("volume"),
         F.col("n_trades").cast("long").alias("n_trades"),
     )
 
 
 def strat_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _candles_df(spark, sf_dir)
+    c = _candles_df(spark, sf_dir, with_volume=False)
     top = F.greatest("open", "close")
     bottom = F.least("open", "close")
     w = Window.partitionBy("event_type").orderBy("window_start_epoch")
@@ -517,7 +533,9 @@ def range_band_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = joins.range_join(ev, "value", ranges, "lo", "hi", RANGE_CELL)
     return joined.groupBy("range_id", "lo", "hi").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        *_msum_parts("value", "v"),
+    ).select(
+        "range_id", "lo", "hi", "n", _mround("v").alias("sum_value"),
     )
 
 
@@ -536,15 +554,17 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     so rounding the aggregate at 6dp sits ≥5e-7 from every boundary
     while the engines' ~1e-13 noise cannot flip it.
 
-    Non-finite values are excluded by contract (oracle twin:
-    `isfinite`): quantiles over a set containing NaN are ill-defined
-    and the engines disagree (Spark sorts NaN greatest and
-    interpolates; DuckDB's quantile_cont propagates NaN) — profile
-    the finite distribution, as numpy's nanpercentile does. NULLs
-    pass through (both engines ignore them identically)."""
+    Values outside the profilable domain are excluded by contract
+    (same `abs(value) < 1e18` compare as value_histogram, mirrored
+    in the oracle): quantiles over NaN are ill-defined and the
+    engines disagree (Spark sorts NaN greatest and interpolates;
+    DuckDB's quantile_cont propagates NaN), and near-1e308
+    magnitudes make the engines' different interpolation SHAPES
+    diverge through (hi-lo) overflow — profile the finite
+    distribution, as numpy's nanpercentile does. NULLs pass through
+    (both engines ignore them identically)."""
     ev = t(spark, sf_dir, "events").where(
-        F.col("value").isNull()
-        | (~F.isnan("value") & (F.abs("value") < F.lit(float("inf"))))
+        F.col("value").isNull() | (F.abs("value") < F.lit(1e18))
     )
     return ev.groupBy("event_type").agg(
         F.round(F.percentile("value", 0.5), 6).alias("p50"),
@@ -612,13 +632,16 @@ def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dt") > 0)
     )
     out = rows.groupBy("event_type", "day").agg(
-        F.round(F.sum(F.col("value") * F.col("dt")), 2).alias("wsum"),
+        # micros parts of the value*dt PRODUCT (2dp-exact value x
+        # integer seconds stays 2dp-exact; the domain guard rides
+        # along, invariant 19)
+        *_msum_parts(F.col("value") * F.col("dt"), "w"),
         F.round(F.sum("dt"), 2).alias("tsum"),
         F.count("*").alias("n_obs"),
     )
     return out.select(
         "event_type", "day",
-        (F.col("wsum") / F.col("tsum")).alias("twap"),
+        (_mround("w") / F.col("tsum")).alias("twap"),
         "n_obs",
     )
 
@@ -631,14 +654,16 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin = floor(value/width). Pure groupBy — single shuffle of
     (type, bin) partials regardless of SF.
 
-    Non-finite values cannot be binned and are excluded by contract
-    (oracle twin: `isfinite`) — without the filter Spark silently
-    bins NaN at 0 and Inf at Long.MaxValue while DuckDB raises a
-    cast error (nonfinite probe class, r7). NULL values keep their
-    NULL-bin group (both engines agree)."""
+    Values that cannot be binned are excluded by contract: NaN/±Inf
+    have no bin, and beyond |value| ~ 1e18 the bin index exceeds a
+    long (Spark's unguarded floor silently saturates at
+    Long.MaxValue while DuckDB raises a cast error — nonfinite +
+    huge_values probe classes, r7). ONE `abs(value) < 1e18` compare
+    covers all of it (NaN compares false on both engines); the
+    oracle twin mirrors it. NULL values keep their NULL-bin group
+    (both engines agree)."""
     ev = t(spark, sf_dir, "events").where(
-        F.col("value").isNull()
-        | (~F.isnan("value") & (F.abs("value") < F.lit(float("inf"))))
+        F.col("value").isNull() | (F.abs("value") < F.lit(1e18))
     )
     return (
         ev.groupBy(
@@ -770,9 +795,10 @@ def salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-robust two-phase aggregation as a catalog query: the
     salted plan must produce the IDENTICAL totals a plain groupBy
     (the oracle) produces — salting changes the physical
-    distribution, never the algebra. Doubles are summed in a
-    nondeterministic order either way (shuffle order), so the value
-    columns are counts and a 2-dp-rounded sum, same as fold_count."""
+    distribution, never the algebra. The sum rides hi/lo micros
+    partials (invariant 2/19): long partials re-combine exactly
+    across salt shards in any order, where a double re-sum would be
+    shuffle-order-dependent."""
     from ..operators.skew import SaltedAgg, salted_agg
 
     ev = t(spark, sf_dir, "events")
@@ -781,7 +807,12 @@ def salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         [
             SaltedAgg.count("n"),
-            SaltedAgg.sum("value", "sum_value"),
+            # hi/lo micros partials: LONG sums re-combine exactly
+            # across the salt shards (a double re-sum would be
+            # order-dependent), and invariant 19's domain guard
+            # rides phase 1
+            SaltedAgg(F.sum(_hi("value")), F.sum, "__h_v"),
+            SaltedAgg(F.sum(_lo("value")), F.sum, "__l_v"),
             SaltedAgg.min("value", "min_value"),
             SaltedAgg.max("value", "max_value"),
         ],
@@ -790,7 +821,7 @@ def salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_type", "n",
-        F.round("sum_value", 2).alias("sum_value"),
+        _mround("v").alias("sum_value"),
         "min_value", "max_value",
     )
 
@@ -994,7 +1025,16 @@ QUERIES = {
 }
 
 _E = SQL_EPOCH.format(c="ts")
-_CANDLES_CTE = f"""
+
+
+def _candles_cte(volume: bool = True) -> str:
+    """The daily-candles oracle CTE. ``volume=False`` mirrors the
+    Spark side's ``_candles_df(with_volume=False)``: strat_classify
+    never consumes volume, so neither engine may carry the guarded
+    micros sum through a column it would then drop (whether an
+    engine prunes an unused error() column is not a contract)."""
+    vol = f"         {sql_msum('value')} as volume,\n" if volume else ""
+    return f"""
 with e as (
   select event_type, value, ts, event_id,
          cast(floor(epoch(ts)/{DAY})*{DAY} as bigint) as ws
@@ -1010,8 +1050,7 @@ with e as (
          max(value) as high,
          min(value) as low,
          max(case when rl = 1 then value end) as close,
-         round(sum(value), 2) as volume,
-         count(*) as n_trades
+{vol}         count(*) as n_trades
   from r group by event_type, ws
 )
 """
@@ -1079,7 +1118,7 @@ SQL_ORACLES = {
     """,
     "fold_count": f"""
         select event_type, count(*) as n,
-               round(sum(value), 2) as sum_value,
+               {sql_msum('value')} as sum_value,
                round({sql_mtot("value")} / count(value), 4) as avg_value
         from events group by event_type
     """,
@@ -1138,7 +1177,7 @@ SQL_ORACLES = {
           where ts is not null
         )
         select cast(floor(ord / 500.0) as bigint) as chunk,
-               count(*) as n, round(sum(value), 2) as sum_value,
+               count(*) as n, {sql_msum('value')} as sum_value,
                min({_E}) as min_ts_epoch, max({_E}) as max_ts_epoch
         from o group by 1
     """,
@@ -1164,7 +1203,7 @@ SQL_ORACLES = {
         )
         select session,
                cast(floor(ord / {CHUNK_TIMEOUT_SIZE}.0) as bigint) as chunk,
-               count(*) as n, round(sum(value), 2) as sum_value,
+               count(*) as n, {sql_msum('value')} as sum_value,
                min(e) as min_ts_epoch, max(e) as max_ts_epoch
         from c group by 1, 2
     """,
@@ -1179,14 +1218,14 @@ SQL_ORACLES = {
     "tumbling_window": f"""
         select event_type,
                cast(floor(epoch(ts)/{DAY})*{DAY} as bigint) as window_start_epoch,
-               count(*) as n, round(sum(value), 2) as sum_value
+               count(*) as n, {sql_msum('value')} as sum_value
         from events where ts is not null group by 1, 2
     """,
     "tumbling_window_gapfill": f"""
         with base as (
           select event_type,
                  cast(floor(epoch(ts)/{DAY})*{DAY} as bigint) as ws,
-                 count(*) as n, round(sum(value), 2) as sum_value
+                 count(*) as n, {sql_msum('value')} as sum_value
           from events where value >= {GAPFILL_TAU} group by 1, 2
         ),
         span as (
@@ -1209,7 +1248,7 @@ SQL_ORACLES = {
           from events where ts is not null
         )
         select event_type, ws as window_start_epoch,
-               count(*) as n, round(sum(value), 2) as sum_value
+               count(*) as n, {sql_msum('value')} as sum_value
         from expanded group by 1, 2
     """,
     "hopping_window_gapfill": f"""
@@ -1221,7 +1260,7 @@ SQL_ORACLES = {
         ),
         base as (
           select event_type, ws, count(*) as n,
-                 round(sum(value), 2) as sum_value
+                 {sql_msum('value')} as sum_value
           from expanded group by 1, 2
         ),
         span as (
@@ -1256,7 +1295,7 @@ SQL_ORACLES = {
         )
         select user_id,
                {SQL_EPOCH.format(c='min(ts)')} as session_start_epoch,
-               count(*) as n, round(sum(value), 2) as sum_value
+               count(*) as n, {sql_msum('value')} as sum_value
         from sessions group by user_id, session_id
     """,
     "lag_window": f"""
@@ -1316,14 +1355,14 @@ SQL_ORACLES = {
         from p asof left join v
           on p.user_id = v.user_id and v.ts <= p.ts
     """,
-    "candles": _CANDLES_CTE + """
+    "candles": _candles_cte() + """
         select * from candles
     """,
     # the rollup is logically the direct daily aggregation — same SQL
-    "candles_rollup": _CANDLES_CTE + """
+    "candles_rollup": _candles_cte() + """
         select * from candles
     """,
-    "strat_classify": _CANDLES_CTE + """
+    "strat_classify": _candles_cte(volume=False) + """
         , lagged as (
           select event_type, window_start_epoch, open, close,
                  greatest(open, close) as top, least(open, close) as bottom,
@@ -1349,7 +1388,7 @@ SQL_ORACLES = {
           from range({N_RANGES}) t(i)
         )
         select range_id, lo, hi, count(*) as n,
-               round(sum(value), 2) as sum_value
+               {sql_msum('value')} as sum_value
         from events join r on value >= lo and value <= hi
         group by range_id, lo, hi
     """,
@@ -1359,7 +1398,7 @@ SQL_ORACLES = {
                round(quantile_cont(value, 0.9), 6) as p90,
                round(quantile_cont(value, 0.99), 6) as p99
         from events
-        where value is null or isfinite(value)
+        where value is null or abs(value) < 1e18
         group by event_type
     """,
     "gap_detect": f"""
@@ -1403,7 +1442,7 @@ SQL_ORACLES = {
           from rows where next_ts is not null
         )
         select event_type, day,
-               round(sum(value * dt), 2) / round(sum(dt), 2) as twap,
+               {sql_msum('value * dt')} / round(sum(dt), 2) as twap,
                count(*) as n_obs
         from d where dt > 0
         group by 1, 2
@@ -1415,7 +1454,7 @@ SQL_ORACLES = {
           select event_type,
                  cast(floor(value / {HIST_BIN}) as bigint) as bin
           from events
-          where value is null or isfinite(value)
+          where value is null or abs(value) < 1e18
         )
         group by 1, 2
     """,
@@ -1489,9 +1528,9 @@ SQL_ORACLES = {
         from seen join first on seen.user_id = first.user_id
         group by 1, 2
     """,
-    "salted_sum": """
+    "salted_sum": f"""
         select event_type, count(*) as n,
-               round(sum(value), 2) as sum_value,
+               {sql_msum('value')} as sum_value,
                min(value) as min_value, max(value) as max_value
         from events group by event_type
     """,

@@ -62,23 +62,33 @@ def _col(c) -> F.Column:
 # equal values < 2^63 cast to the same double).
 
 
+MICROS_DOMAIN = 1e9  # |x| bound for unambiguous hi/lo recovery
+
+
 def _finite_or_raise(col: F.Column, out: F.Column) -> F.Column:
-    """``out`` when ``col`` is finite, else a loud per-row error.
+    """``out`` when ``col`` is in the micros-sum domain (finite,
+    |x| < 1e9), else a loud per-row error.
 
     Spark's floor() is NOT ANSI-guarded: floor(NaN) is silently 0 and
     floor(Inf) is silently Long.MaxValue — a single NaN measure
     would contribute zero to an "exact" micros sum with NO error at
     all, and one Inf corrupts the total unless a second one happens
-    to overflow the long sum (nonfinite probe class, r7). Non-finite
-    measures are out of the exact-rounding domain by contract:
+    to overflow the long sum (nonfinite probe class, r7). Beyond
+    |x| ≈ 1e9 the hi/lo recovery itself turns ambiguous (see the
+    design note above) — a finite 1e15 junk row would silently
+    degrade the exactness claim, and floor(1e300) overflows the long
+    asymmetrically between engines (huge_values probe class). One
+    ``abs(x) < 1e9`` compare covers NaN, ±Inf and the domain (NaN
+    compares false on both engines); out-of-domain measures raise —
     sanitize upstream. The DuckDB twins raise the same message
     (_util.sql_mhi/sql_mlo). One codegen'd branch per row — free
-    next to the floor/multiply it guards."""
-    finite = ~F.isnan(col) & (F.abs(col) < F.lit(float("inf")))
-    return F.when(finite | col.isNull(), out).otherwise(
+    next to the floor/multiply it guards (PERF.md)."""
+    in_domain = F.abs(col) < F.lit(MICROS_DOMAIN)
+    return F.when(in_domain | col.isNull(), out).otherwise(
         F.raise_error(
             F.format_string(
-                "non-finite measure in exact micros sum: %s",
+                "measure outside exact micros-sum domain"
+                " (finite, |x| < 1e9 required): %s",
                 col.cast("string"),
             )
         )

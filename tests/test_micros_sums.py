@@ -27,8 +27,9 @@ from hypothesis import strategies as st
 from rstreams_spark.queries._util import sql_msum, sql_mtot
 
 # ≤6dp-exact values as doubles: scaled integers over the full signed
-# domain the design note claims (|x| ≤ ~1e9 units)
-micros_int = st.integers(min_value=-(10**15), max_value=10**15)
+# domain the guard admits (|x| < 1e9 units — invariant 19's domain
+# bound rejects the 1e9 boundary itself on both engines)
+micros_int = st.integers(min_value=-(10**15) + 1, max_value=10**15 - 1)
 
 
 def _hilo(x: float) -> tuple[int, int]:
@@ -108,13 +109,16 @@ def test_half_boundary_convention(vals, nd, expect):
 
 
 def test_long_sum_overflow_fails_loudly(spark):
-    """The design note's safety claim: past the hi/lo headroom the
-    long sums must RAISE (ANSI), never wrap silently — a wrapped sum
-    would round to a confidently-wrong aggregate at 100 TB."""
+    """The design note's safety claim, now two layers deep: a value
+    past the hi/lo domain trips invariant 19's per-row guard BEFORE
+    any sum can wrap (the ANSI long-sum overflow remains the backstop
+    for row-COUNT-driven overflow at >9.2e12 in-domain rows, which no
+    unit test can drive) — either way it RAISES, never wraps silently
+    into a confidently-wrong aggregate at 100 TB."""
     from rstreams_spark.queries.tpch import _msum_parts
 
     df = spark.createDataFrame(
         [(8.0e18,), (8.0e18,)], "x double"
     ).agg(*_msum_parts("x", "v"))
-    with pytest.raises(Exception, match="(?i)overflow|ARITHMETIC"):
+    with pytest.raises(Exception, match="exact micros-sum domain"):
         df.collect()

@@ -25,7 +25,7 @@ import pytest
 
 from rstreams_spark.queries import ORACLES, REGISTRY
 
-GUARD_MSG = "non-finite measure in exact micros sum"
+GUARD_MSG = "exact micros-sum domain"
 
 COPY_TABLES = (
     "region nation customer supplier part orders documents embeddings"
@@ -110,7 +110,7 @@ def test_profiling_aggs_exclude_nonfinite(
 
 def test_micros_split_null_passthrough_and_finite_identity(spark):
     """NULL measures must NOT trip the guard (sum skips them, as
-    before), and finite values must produce the identical hi/lo
+    before), and in-domain values must produce the identical hi/lo
     split the unguarded form did."""
     from pyspark.sql import functions as F
 
@@ -127,3 +127,23 @@ def test_micros_split_null_passthrough_and_finite_identity(spark):
         (1, 250000),
         (None, None),
     ]
+
+
+def test_micros_split_rejects_out_of_domain_magnitude(spark):
+    """A FINITE 1e15 is outside the micros domain too (hi/lo
+    recovery ambiguity): the guard must raise, same message as
+    NaN/Inf, on both engines."""
+    import duckdb as _d
+
+    from rstreams_spark.queries._util import sql_mhi
+    from rstreams_spark.queries.tpch import _hi
+
+    df = spark.createDataFrame([(1e15,)], "x double")
+    with pytest.raises(Exception, match=GUARD_MSG):
+        df.select(_hi("x")).collect()
+    con = _d.connect()
+    try:
+        with pytest.raises(Exception, match=GUARD_MSG):
+            con.sql(f"select {sql_mhi('x')} from (values (1e15)) t(x)").df()
+    finally:
+        con.close()

@@ -158,6 +158,26 @@ CLASSES: dict[str, dict] = {
             " else l_extendedprice end as l_extendedprice) from t"
         ),
     },
+    "huge_values": {
+        # finite but out-of-domain magnitudes (1e12..1e300): beyond
+        # |x| ~ 1e9 the micros hi/lo recovery turns ambiguous, and
+        # floor(1e300) overflows a long asymmetrically between
+        # engines — the domain guard must raise on BOTH instead
+        "events": (
+            "select * replace ("
+            " case when event_id % 19 = 3 then 1e12"
+            "      when event_id % 23 = 5 then -1e15"
+            "      when event_id % 29 = 7 then 1e300"
+            " else value end as value) from t"
+        ),
+        "lineitem": (
+            "select * replace ("
+            " case when l_orderkey % 31 = 3 then 1e13"
+            " else l_quantity end as l_quantity,"
+            " case when l_orderkey % 37 = 5 then -1e300"
+            " else l_extendedprice end as l_extendedprice) from t"
+        ),
+    },
     # --- timestamp quantization (boundary + tie collisions) --------------
     "ts_quant60": {
         "events": (

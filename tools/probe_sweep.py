@@ -9,7 +9,7 @@ Expected steady state: every class PASSes. Known, documented
 exceptions are listed in EXPECTED_DIVERGENCES — a run flags anything
 outside that list.
 
-Wall clock: the full matrix (20 classes × full catalog) is ~1.5-2 h;
+Wall clock: the full matrix (21 classes × full catalog) is ~1.5-2 h;
 use --classes/--queries while iterating on one bug class.
 """
 
@@ -48,20 +48,31 @@ EXPECTED_DIVERGENCES: dict[tuple[str, str], str] = {
 
 # (class, query) pairs where BOTH engines must raise the same guard
 # message (a positive contract, stronger than an expected
-# divergence): non-finite measures are out of the exact-micros-sum
-# domain, and both tpch._finite_or_raise and _util._sql_fin raise
-# this exact message instead of silently corrupting the sum
-# (Spark's unguarded floor(NaN) is 0, floor(Inf) is Long.MaxValue).
+# divergence): non-finite or |x| >= 1e9 measures are out of the
+# exact-micros-sum domain, and both tpch._finite_or_raise and
+# _util._sql_fin raise this exact message instead of silently
+# corrupting the sum (Spark's unguarded floor(NaN) is 0, floor(Inf)
+# is Long.MaxValue, and a finite 1e15 silently degrades exactness).
 # An entry passes if both engines raise with the substring, OR both
 # succeed with matching values (e.g. a filter dropped every poisoned
 # row at this SF); anything asymmetric fails.
-_MICROS_GUARD = "non-finite measure in exact micros sum"
+_MICROS_GUARD = "exact micros-sum domain"
+_MICROS_QUERIES = (
+    "fold_count tpch_q1 tpch_q3 tpch_q6 tpch_q8 tpch_q9 tpch_q11"
+    " tpch_q14 tpch_q15 tpch_q17 tpch_q19 tpch_q20"
+    # the rounded value-sum family rides the same guard since the
+    # huge_values class proved plain double sums silently
+    # order-diverge past 2^53 (absorption): windows, candles,
+    # chunk folds, twap, salted/banded sums
+    " tumbling_window tumbling_window_gapfill hopping_window"
+    " hopping_window_gapfill session_window candles candles_rollup"
+    " chunk_fold chunk_fold_timeout twap_daily salted_sum"
+    " range_band_count"
+).split()
 EXPECTED_RAISE: dict[tuple[str, str], str] = {
-    ("nonfinite", q): _MICROS_GUARD
-    for q in (
-        "fold_count tpch_q1 tpch_q3 tpch_q6 tpch_q8 tpch_q9 tpch_q11"
-        " tpch_q14 tpch_q15 tpch_q17 tpch_q19 tpch_q20"
-    ).split()
+    (cls, q): _MICROS_GUARD
+    for cls in ("nonfinite", "huge_values")
+    for q in _MICROS_QUERIES
 }
 
 
