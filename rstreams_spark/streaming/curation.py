@@ -47,7 +47,8 @@ from ..queries.textq import (
 
 __all__ = [
     "stream_quality_repetition", "stream_source_mix",
-    "stream_budget_sample", "eval_gram_broadcast",
+    "stream_budget_sample", "stream_sanitize_measures",
+    "eval_gram_broadcast",
     "stream_decontaminate_ngrams", "eval_gram_hashes",
     "stream_decontaminate_ngrams_native",
     "eval_gram_bloom", "stream_decontaminate_ngrams_bloom",
@@ -222,6 +223,61 @@ def stream_budget_sample(
             timeoutConf="NoTimeout",
         )
     )
+
+
+MEASURE_DOMAIN = 1e9  # the batch engine's exact micros-sum bound
+
+
+def stream_sanitize_measures(
+    df: DataFrame,
+    cols,
+    bound: float = MEASURE_DOMAIN,
+    mode: str = "drop",
+) -> DataFrame:
+    """Ingest gate for measure domains: keep rows whose measure
+    columns are NULL or finite with ``|x| < bound`` — the exact
+    domain the batch engine's micros sums enforce loudly (CLAUDE.md
+    invariant 19; queries/tpch.py::_finite_or_raise). Parser junk
+    (NaN/±Inf) and overflow garbage (1e15, 1e300) otherwise reach
+    stateful window sums as plain doubles, where absorption corrupts
+    carried state silently — the streaming twin of the batch
+    huge_values/nonfinite probe findings.
+
+    One ``abs(x) < bound`` comparison per column covers NaN, ±Inf
+    and magnitude (NaN compares false); pure whole-stage-codegen
+    filter — stateless, streaming-safe in append mode, no Python
+    per row, pipelines with the source scan at any scale.
+
+    ``mode="drop"`` thins junk out of the stream (curation
+    semantics, like the quality/decontamination gates);
+    ``mode="fail"`` raises the batch guard's message on the first
+    out-of-domain row, for pipelines where a corrupt producer must
+    STOP ingest rather than thin it.
+    """
+    from pyspark.sql import functions as F
+
+    if mode not in ("drop", "fail"):
+        raise ValueError(f"mode must be 'drop' or 'fail', got {mode!r}")
+    names = [cols] if isinstance(cols, str) else list(cols)
+    out = df
+    for c in names:
+        ok = F.col(c).isNull() | (F.abs(F.col(c)) < F.lit(float(bound)))
+        if mode == "drop":
+            out = out.where(ok)
+        else:
+            out = out.where(
+                F.when(ok, F.lit(True)).otherwise(
+                    F.raise_error(
+                        F.format_string(
+                            "measure outside exact micros-sum domain"
+                            f" (finite, |x| < {bound:g} required)"
+                            f" in column {c}: %s",
+                            F.col(c).cast("string"),
+                        )
+                    )
+                )
+            )
+    return out
 
 
 def eval_gram_broadcast(spark, eval_docs: DataFrame, text_col: str = "text",

@@ -1609,3 +1609,40 @@ def test_stream_lag_window_null_key_forms_own_group(spark, tmp_path):
         for r in spark.sql("select * from nullkey_probe").collect()
     }
     assert rows == {(None, (4.0, 5.0)), (1, (6.0, 7.0))}
+
+
+def test_stream_sanitize_measures_drop_and_fail(spark):
+    """The ingest measure gate enforces the batch engine's micros
+    domain (invariant 19) at the stream edge: drop mode thins
+    NaN/Inf/huge junk (NULLs pass), fail mode raises the batch
+    guard's message naming the column — and the plan is a stateless
+    codegen filter, legal on a readStream source."""
+    import pytest as _pt
+
+    from rstreams_spark.streaming.curation import stream_sanitize_measures
+
+    rows = [
+        (1, 10.5), (2, None), (3, float("nan")),
+        (4, float("inf")), (5, -1e15), (6, 999999999.99),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    kept = {
+        r["event_id"]
+        for r in stream_sanitize_measures(df, "value").collect()
+    }
+    assert kept == {1, 2, 6}  # NULL passes; NaN/Inf/1e15 drop; <1e9 keeps
+
+    with _pt.raises(Exception, match="exact micros-sum domain.*value"):
+        stream_sanitize_measures(df, ["value"], mode="fail").collect()
+
+    clean = df.where("event_id in (1, 2, 6)")
+    assert stream_sanitize_measures(
+        clean, "value", mode="fail"
+    ).count() == 3
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value as event_id", "cast(value as double) as value")
+    )
+    out = stream_sanitize_measures(stream, "value")
+    assert out.isStreaming
