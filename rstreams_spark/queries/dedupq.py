@@ -269,7 +269,10 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shape semantic dedup (Abbas et al. 2023, "SemDeDup:
     Data-efficient learning at web-scale through semantic
-    deduplication"): assign every embedding to its k-means cell via
+    deduplication"). Precondition: unique vec_ids — the iterative
+    fit is multiplicity-stable only on a set of vectors (duplicate
+    rows are upstream corruption; dedup_exact is the remedy;
+    dup_rows probe class, r7). Pipeline: assign every embedding to its k-means cell via
     the HIERARCHICAL index (``ivf_fit2``/``ivf_assign2`` — same
     deterministic seeds and bounded means as the ANN path's flat
     ``ivf_fit``, but every corpus pass routes through a ⌈√cells⌉
@@ -971,6 +974,13 @@ def ivf_topk(
     probe_mod: int = 50, shuffle: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: an inverted index of IVF_CELLS Voronoi cells
+
+    Precondition: vec_id is the vector's IDENTITY (unique). The
+    iterative fit's seed/centroid selection is multiplicity-stable
+    only under unique vec_ids — duplicate embedding rows are
+    upstream corruption (dedup_exact is the remedy; dup_rows probe
+    class, r7, documents the divergence).
+
     (deterministic sampled-Lloyd centroids — ``ivf_fit``; replaces
     the r3 MLlib KMeans whose trained centroids were oracle-opaque;
     recall at nprobe=2-3 is within a few points of the trained model

@@ -816,8 +816,17 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey")
     ps = (
         t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("p_partkey", "l_suppkey")
+        # LEFT SEMI, not inner: part_f is a FILTER, and semi-join set
+        # semantics keep the plan multiplicity-correct even if the
+        # dim carries duplicate rows (dup_rows probe, r7 — an inner
+        # join below the agg collapsed part multiplicity that the
+        # oracle's join above the agg preserved). Oracle twin: IN.
+        .join(
+            F.broadcast(part_f),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("p_partkey"), "l_suppkey")
         .agg(
             F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
         )
@@ -978,20 +987,26 @@ QUERIES = {
 SQL_ORACLES = {
     "tpch_q2": f"""
         with ps as (
+          -- IN = semi-join set semantics, mirroring the Spark side's
+          -- LEFT SEMI part filter (multiplicity-correct under
+          -- duplicate dim rows)
           select l_partkey, l_suppkey,
                  min(l_extendedprice / l_quantity) as supplycost
-          from lineitem group by l_partkey, l_suppkey
+          from lineitem
+          where l_partkey in (
+            select p_partkey from part
+            where p_type = '{Q2_TYPE}' and p_size = {Q2_SIZE})
+          group by l_partkey, l_suppkey
         ),
         el as (
-          select p_partkey, s_acctbal, s_name, n_name, supplycost,
+          select l_partkey as p_partkey, s_acctbal, s_name, n_name,
+                 supplycost,
                  min(supplycost) over (partition by l_partkey) as mc
           from ps
-          join part on l_partkey = p_partkey
           join supplier on l_suppkey = s_suppkey
           join nation on s_nationkey = n_nationkey
           join region on n_regionkey = r_regionkey
-          where r_name = '{Q2_REGION}' and p_type = '{Q2_TYPE}'
-            and p_size = {Q2_SIZE}
+          where r_name = '{Q2_REGION}'
         )
         select s_acctbal, s_name, n_name, p_partkey, supplycost
         from el where supplycost = mc

@@ -158,6 +158,16 @@ CLASSES: dict[str, dict] = {
             " else l_extendedprice end as l_extendedprice) from t"
         ),
     },
+    "dup_rows": {
+        # every table unioned with itself: byte-identical duplicate
+        # rows break every "unique key" assumption at once —
+        # duplicate (ts, event_id) sort ties, duplicate doc_ids into
+        # the dedup keepers, doubled join fan-out. Identical rows
+        # make tie order immaterial (any permutation yields the same
+        # multiset), so engines must agree everywhere
+        tbl: "select * from t union all select * from t"
+        for tbl in TABLES
+    },
     "huge_values": {
         # finite but out-of-domain magnitudes (1e12..1e300): beyond
         # |x| ~ 1e9 the micros hi/lo recovery turns ambiguous, and

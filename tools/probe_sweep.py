@@ -9,7 +9,7 @@ Expected steady state: every class PASSes. Known, documented
 exceptions are listed in EXPECTED_DIVERGENCES — a run flags anything
 outside that list.
 
-Wall clock: the full matrix (21 classes × full catalog) is ~1.5-2 h;
+Wall clock: the full matrix (22 classes × full catalog) is ~1.5-2 h;
 use --classes/--queries while iterating on one bug class.
 """
 
@@ -44,6 +44,19 @@ EXPECTED_DIVERGENCES: dict[tuple[str, str], str] = {
         "to 2^61, outside the span-key domain — loud failure is the "
         "documented behavior"
     ),
+    **{
+        ("dup_rows", q): (
+            "vec_id is the vector's IDENTITY: the iterative IVF/k-means "
+            "fit's seed and centroid selection is multiplicity-stable "
+            "only under unique vec_ids (duplicate rows shift seeds/"
+            "means differently through the Spark kernels vs the SQL "
+            "twin's CTEs). Duplicate embedding rows are upstream "
+            "corruption — dedup_exact/incremental_dedup_exact are the "
+            "provided remedy; documented precondition in the query "
+            "docstrings"
+        )
+        for q in ("ivf_topk", "ivf_topk_shuffle", "semantic_clusters")
+    },
 }
 
 # (class, query) pairs where BOTH engines must raise the same guard
