@@ -23,7 +23,7 @@ from ..functions.similarity import (
     brute_topk, cosine_pairs, cosine_pairs_np, hyperplanes, lsh_bucket,
     stack_f64,
 )
-from ._util import SQL_TOKS, sql_h64, t
+from ._util import SQL_TOKS, sql_h64, sql_msum, sql_mtot, t
 
 # r = NUM_PERM/BANDS = 4 rows per band. The r=2 config (16/8) looked
 # fine at sf0.1 but is a scale bug: band collision probability ~s²
@@ -1245,8 +1245,17 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     One narrow posexplode (pipelines with the scan) then ONE groupBy
     shuffle on (label, dim) whose cardinality is labels × dims —
     tiny and fixed regardless of corpus size, with map-side partial
-    aggregation doing almost all the work. Sums/means are rounded at
-    the aggregate only (invariant #2); min/max are exact.
+    aggregation doing almost all the work. min/max are exact.
+
+    Sum/mean ride the exact micros form over MICROS-QUANTIZED
+    components: float32-derived values are not decimal-exact, so a
+    plain double sum rounded at 4dp is order-dependent at scale (the
+    q5/huge_values failure class — Spark's partial-agg tree vs
+    DuckDB's sequential fold). floor(v*1e6 + 0.5) is bit-identical
+    IEEE on both engines; the ~5e-7 quantization is ~8x coarser than
+    float32's own ulp near 1 and immaterial for a 4dp/6dp profiling
+    stat, and the long sums are exact and order-independent at any
+    scale (invariants 2/19; the domain guard rides along).
     """
     vecs = t(spark, sf_dir, "embeddings")
     ex = vecs.select(
@@ -1254,12 +1263,18 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("embedding").alias("dim", "val"),
     ).select("label", F.col("dim").cast("long").alias("dim"),
              F.col("val").cast("double").alias("val"))
+    from .tpch import _mround, _msum_parts, _mtot_d
+
     return ex.groupBy("label", "dim").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("val"), 4).alias("sum_val"),
-        F.round(F.avg("val"), 6).alias("mean_val"),
+        *_msum_parts("val", "e"),
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
+    ).select(
+        "label", "dim", "n",
+        _mround("e", 4).alias("sum_val"),
+        F.round(_mtot_d("e") / F.col("n"), 6).alias("mean_val"),
+        "min_val", "max_val",
     )
 
 
@@ -1967,7 +1982,7 @@ SQL_ORACLES = {
         from tr join ev using (shingle)
         group by doc_id
     """,
-    "embedding_dim_stats": """
+    "embedding_dim_stats": f"""
         with ex0 as (
           select label, embedding,
                  unnest(range(1, len(embedding) + 1)) as i
@@ -1981,8 +1996,8 @@ SQL_ORACLES = {
         )
         select label, dim,
                count(*) as n,
-               round(sum(val), 4) as sum_val,
-               round(avg(val), 6) as mean_val,
+               {sql_msum('val', 4)} as sum_val,
+               round({sql_mtot('val')} / count(*), 6) as mean_val,
                min(val) as min_val,
                max(val) as max_val
         from ex
