@@ -639,6 +639,14 @@ def incremental_dedup_exact(
     |batch| + a fingerprint-keyed anti-join against the seen table
     (bucket/partition the seen table by fp prefix on a real lake and
     the lookup co-locates instead of shuffling the batch).
+
+    Precondition: ``id_col`` is UNIQUE and NON-NULL (the universal
+    doc-id contract, cf. the dup_rows probe posture elsewhere). It
+    matters concretely on the non-orderable-column path:
+    non-orderable (e.g. map) columns rejoin on the kept id, so a duplicated id
+    would silently duplicate kept rows and a NULL id would drop its
+    keeper. Schemas whose columns are all orderable never take that
+    join.
     """
     from pyspark.sql import types as T
 

@@ -153,14 +153,17 @@ def lsh_topk(
     JVM folds with norms hoisted above the join (one dot per candidate
     pair); ranking ties break on the corpus id. A probe never matches
     itself when both frames share ids (``id != probe_id``); NULL
-    buckets (NULL embeddings) match nothing on either side."""
+    buckets (NULL embeddings) match nothing on either side, and
+    ZERO-NORM vectors are dropped at entry on both sides — cosine is
+    undefined for them, and the NaN a 0/0 division yields would sort
+    GREATEST under desc on Spark, silently occupying top-k slots."""
     from pyspark.sql.window import Window as W
 
     pre = lambda df: df.select(  # noqa: E731 — tiny local shaping fn
         F.col(id_col), F.col(vec_col)
     ).withColumn("__bkt", lsh_bucket(F.col(vec_col), planes)).withColumn(
         "__nrm", l2_norm(F.col(vec_col))
-    )
+    ).where(F.col("__nrm") > 0)  # NULL norm (NULL vec) also drops here
     c = pre(corpus)
     p = pre(probes).select(
         F.col(id_col).alias(probe_id_col),

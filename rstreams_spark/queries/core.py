@@ -871,6 +871,12 @@ def split_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
 TSM_W = 8     # subsequence length
 TSM_K = 10    # global top-k matches
 TSM_QUERY_USER = 0  # the query pattern = this user's first window
+# In-plan ceiling on a single key's collected series (the cap_probes
+# discipline): the per-key retention contract is implicit in every
+# per-key window operator, but collect_list is the one place a hot
+# key with millions of events would OOM an executor SILENTLY at
+# 100× — fail loudly instead. ~100k doubles ≈ 800 KB per key.
+TSM_MAX_SERIES = 100_000
 
 
 def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -902,6 +908,20 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             lambda x: x["value"].cast("double"),
         ).alias("vals")
+    )
+    # in-plan retention guard (cap_probes discipline): a hot key past
+    # the cap fails with an actionable message instead of OOMing an
+    # executor at 100×; assert_true(...).isNull() keeps legal rows and
+    # survives column pruning. Mirrored in the DuckDB oracle twin.
+    series = series.where(
+        F.assert_true(
+            F.size("vals") <= TSM_MAX_SERIES,
+            F.lit(
+                f"ts_similarity_topk: series exceeds TSM_MAX_SERIES="
+                f"{TSM_MAX_SERIES}; per-key series are retention-bounded "
+                "by contract — trim retention or shard the key"
+            ),
+        ).isNull()
     )
     # feeds TWO consumers (qrow + wins): lazy-materialize per
     # invariant 9 so the events scan + collect_list agg plans once
@@ -1057,10 +1077,18 @@ with e as (
 
 SQL_ORACLES = {
     "ts_similarity_topk": f"""
-        with series as (
+        with series0 as (
           select user_id,
                  list(value::double order by ts, event_id) as vals
           from events where ts is not null group by user_id
+        ),
+        series as (
+          -- mirrors the Spark side's in-plan TSM_MAX_SERIES guard:
+          -- a series past the retention cap fails loudly here too
+          select user_id, vals from series0
+          where case when len(vals) <= {TSM_MAX_SERIES} then true
+                else error('ts_similarity_topk: series exceeds '
+                           'TSM_MAX_SERIES={TSM_MAX_SERIES}') end
         ),
         q0 as (
           select vals[1:{TSM_W}] as qp from series

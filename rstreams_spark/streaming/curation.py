@@ -269,9 +269,14 @@ def stream_sanitize_measures(
                 F.when(ok, F.lit(True)).otherwise(
                     F.raise_error(
                         F.format_string(
+                            # the column name rides as a %s ARGUMENT,
+                            # never f-string-interpolated into the
+                            # template — a '%' in a name would corrupt
+                            # the format spec
                             "measure outside exact micros-sum domain"
                             f" (finite, |x| < {bound:g} required)"
-                            f" in column {c}: %s",
+                            " in column %s: %s",
+                            F.lit(c),
                             F.col(c).cast("string"),
                         )
                     )

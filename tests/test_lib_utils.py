@@ -82,9 +82,11 @@ def test_bench_payload_stays_under_driver_tail_capture():
     well under 2.5 KB."""
     import json
 
-    from bench import HEADLINERS, build_payload
+    from bench import HEADLINERS, LONG_TAIL, build_payload
 
-    times = {name: 123.456789 for name in HEADLINERS}
+    # worst case is SPARK_GRAFT_BENCH_FULL=1: the whole 62-query list
+    full = HEADLINERS + LONG_TAIL
+    times = {name: 123.456789 for name in full}
     streaming = {
         "offered_rows_per_sec": 8_000_000,
         "processed_rows_per_sec": 7_885_658,
@@ -102,4 +104,4 @@ def test_bench_payload_stays_under_driver_tail_capture():
     assert len(line) < 2500, f"bench artifact line is {len(line)} bytes"
     payload = json.loads(line)
     assert "draws" not in payload
-    assert len(payload["queries"]) == len(HEADLINERS)
+    assert len(payload["queries"]) == len(full)

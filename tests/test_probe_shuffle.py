@@ -19,6 +19,14 @@ from conftest import SF_SMOKE
 
 SF01 = "/root/testdata/sf0.1"
 
+# sf0.1 is driver-generated; on hosts without it these tests SKIP like
+# the other env-gated tests rather than erroring (ADVICE r7)
+import os as _os
+
+pytestmark = pytest.mark.skipif(
+    not _os.path.isdir(SF01), reason="sf0.1 corpus absent on this host"
+)
+
 
 def test_lsh_broadcast_fails_loudly_on_corpus_probes(spark):
     """Full-corpus probe set through the BROADCAST path: the in-plan
