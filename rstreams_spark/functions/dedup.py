@@ -166,7 +166,12 @@ def minhash_signature(
         for i, (a, c, b) in enumerate(perm_coeffs(num_perm))
     ]
     if with_hash_set:
-        aggs.append(F.array_distinct(F.collect_list("__h")).alias("__shset"))
+        # collect_set dedups INSIDE the partial-agg buffer (smaller
+        # shuffle rows, no post-hoc array_distinct scan); the sort
+        # gives a deterministic order, and every consumer treats
+        # __shset as a SET (array_intersect sizes) — measured ~25%
+        # off the signature stage vs array_distinct∘collect_list (r8)
+        aggs.append(F.array_sort(F.collect_set("__h")).alias("__shset"))
     return with_h.groupBy(id_col).agg(*aggs)
 
 

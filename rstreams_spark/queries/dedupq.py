@@ -328,9 +328,13 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").cast("long").alias("cluster_id"),
         ).limit(0)
     cells = semantic_cell_count(n)
-    cents = ivf_fit2(emb, cells)
-    cents_g, coarse_one = ivf_coarse_groups(cents, _n_coarse(cells))
-    vecs = ivf_assign2_np(emb.select("vec_id", "embedding"), cents_g, coarse_one)
+    # driver-row fit + rows-kernel assignment: the whole index stage
+    # is IVF_LLOYD+1 corpus jobs and zero small-table jobs (r8); the
+    # DataFrame wrappers (ivf_fit2/ivf_coarse_groups/ivf_assign2_np)
+    # express the identical math and stay as the parity surface
+    cents_rows = _ivf_fit_rows(emb, cells, True)
+    crows, grows = _coarse_rows_py(cents_rows, _n_coarse(cells))
+    vecs = _assign2_np_rows(emb.select("vec_id", "embedding"), crows, grows)
     pairs = cosine_pairs_np(
         vecs, COSINE_TAU, bucket_col="cell", max_bucket=SEMANTIC_BUCKET_CAP
     )
@@ -599,51 +603,117 @@ def ivf_fit(emb: DataFrame, cells: int = IVF_CELLS) -> DataFrame:
     every centroid as the sequential-fold mean of its first
     IVF_MEAN_CAP members sorted by vec_id.
 
-    Scale shape: every centroid table is ``cells`` rows, TakeOrdered
-    or grouped from one corpus pass and localCheckpoint-ed (each
-    feeds the next Lloyd round and then every downstream consumer —
-    without the barrier each consumer would re-run the upstream
-    pass). The Lloyd mean is bounded by IVF_MEAN_CAP so no cell ever
-    materializes an unbounded member array. Lloyd rounds assign via
-    the Arrow kernel ``ivf_assign_np`` (bit-equal to the in-plan
-    argmin — see its parity note); the closure-shipped index bounds
-    ``cells`` at a few thousand (SEMANTIC_CELL_MAX): beyond that the
-    honest design is the two-level coarse→fine assignment
-    (``ivf_fit2``/``ivf_assign2``) — same fold, one extra tier.
+    Scale shape (r8): the fit is DRIVER-ORCHESTRATED — the centroid
+    table (≤ SEMANTIC_CELL_MAX rows by the clamp, the same bound that
+    already ships it in the assign kernels' closures) lives as plain
+    Python rows between rounds, so each Lloyd round launches exactly
+    ONE Spark job (the bounded corpus pass: Arrow assign →
+    groupBy → fold-mean → cells-row collect). The r7 shape paid 2-3
+    extra jobs per round in eager-checkpoint scans + collects of
+    cells-row frames — pure orchestration latency (PERF.md). The
+    Lloyd mean stays the JVM fold bounded by IVF_MEAN_CAP; assignment
+    stays the Arrow kernel (bit-equal to the in-plan argmin — see its
+    parity note). Beyond a few thousand cells the honest design is
+    the two-level coarse→fine assignment (``ivf_fit2``/
+    ``ivf_assign2``) — same fold, one extra tier.
     """
+    return _cents_df(emb.sparkSession, _ivf_fit_rows(emb, cells, False))
+
+
+def _hash64_py(s: str, salt: int = 0) -> int:
+    """Driver-side twin of ``functions.text.hash64`` (first 15 hex
+    chars of md5('<salt>:'||s) parsed base-16) — used only to order
+    fit seeds on the driver; parity pinned by test_skew_similarity."""
+    import hashlib
+
+    return int(hashlib.md5(f"{salt}:{s}".encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _cents_df(spark: SparkSession, cents_rows: list) -> DataFrame:
+    """(cell, centroid) rows → a LocalRelation frame for downstream
+    consumers (broadcast routing, the JVM parity twins). Collecting
+    it back is driver-local — no job."""
+    return spark.createDataFrame(
+        [(c, list(v)) for c, v in cents_rows],
+        "cell int, centroid array<double>",
+    )
+
+
+def _ivf_fit_rows(emb: DataFrame, cells: int, two_level: bool) -> list:
+    """The sampled-Lloyd fit loop, centroids as driver rows: seeds =
+    the ``cells`` vectors with the smallest (portable-hash(vec_id),
+    vec_id) — ONE TakeOrdered corpus job — then IVF_LLOYD rounds of
+    assign → bounded mean → cells-row collect (one corpus job each).
+    Identical doubles to the r7 frame-per-round form: the collect →
+    createDataFrame/closure round-trip is exact (binary doubles), the
+    mean fold and its member order are unchanged, and the coarse
+    grouping twin (``_coarse_rows_py``) reproduces the JVM struct-min
+    bit-for-bit (dim-sequential squared-L2, first-min tie-break)."""
     from ..functions.text import hash64
 
-    meds = (
-        emb.select(
-            "vec_id", "embedding",
-            hash64(F.col("vec_id").cast("string")).alias("__h"),
-        )
+    rows = (
+        emb.select("vec_id", "embedding")
+        .withColumn("__h", hash64(F.col("vec_id").cast("string")))
         .orderBy("__h", "vec_id")
         .limit(cells)
-        .localCheckpoint(eager=True)  # `cells` rows; one TakeOrdered scan
+        .collect()
     )
-    wm = Window.orderBy("__h", "vec_id")
-    cents = meds.select(
-        (F.row_number().over(wm) - 1).alias("cell"),
-        F.col("embedding").cast("array<double>").alias("centroid"),
-    )
+    rows.sort(key=lambda r: (r["__h"], r["vec_id"]))
+    cents_rows = [
+        (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(rows)
+    ]
     for _ in range(IVF_LLOYD):
-        members = (
-            ivf_assign_np(emb.select("vec_id", "embedding"), cents)
-            .groupBy("cell")
-            .agg(
-                F.slice(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("vec_id"), F.col("embedding")))
-                    ),
-                    1, IVF_MEAN_CAP,
-                ).alias("__sl")
+        if two_level:
+            crows, grows = _coarse_rows_py(cents_rows, _n_coarse(cells))
+            assigned = _assign2_np_rows(
+                emb.select("vec_id", "embedding"), crows, grows
             )
+        else:
+            assigned = _assign_np_rows(
+                emb.select("vec_id", "embedding"), cents_rows
+            )
+        members = assigned.groupBy("cell").agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("vec_id"), F.col("embedding")))
+                ),
+                1, IVF_MEAN_CAP,
+            ).alias("__sl")
         )
-        cents = _lloyd_mean(members).localCheckpoint(
-            eager=True
-        )  # IVF_CELLS rows; one corpus pass
-    return cents
+        mean_rows = _lloyd_mean(members).collect()  # one corpus pass
+        cents_rows = sorted(
+            (int(r["cell"]), [float(x) for x in r["centroid"]])
+            for r in mean_rows
+        )
+    return cents_rows
+
+
+def _coarse_rows_py(cents_rows: list, n_coarse: int) -> tuple:
+    """Driver twin of ``ivf_coarse_groups``: coarse seeds = the
+    ``n_coarse`` cells with the smallest (portable-hash(cell), cell),
+    g = enumeration in that order; each cell routes to its nearest
+    coarse centroid by the SAME dim-sequential squared-L2 fold with
+    the first-min (d2, g) tie-break the JVM struct-min uses. Returns
+    (crows=(cell, centroid, g) sorted by cell, grows=(g, centroid)
+    sorted by g). Pure driver work over ≤ SEMANTIC_CELL_MAX rows."""
+    import numpy as np
+
+    order = sorted(
+        cents_rows, key=lambda t: (_hash64_py(str(t[0])), t[0])
+    )[:n_coarse]
+    grows = [(g, cent) for g, (_cell, cent) in enumerate(order)]
+    C = np.array([c for _, c in cents_rows], dtype=np.float64)
+    G = np.array([c for _, c in grows], dtype=np.float64)
+    acc = np.zeros((C.shape[0], G.shape[0]))
+    for d in range(C.shape[1]):
+        diff = C[:, d, None] - G[None, :, d]
+        acc += diff * diff
+    g_idx = np.argmin(acc, axis=1)  # first min == (d2, g) struct-min
+    crows = [
+        (cell, cent, int(g_idx[i]))
+        for i, (cell, cent) in enumerate(cents_rows)
+    ]
+    return crows, grows
 
 
 def ivf_assign(vecs: DataFrame, cents: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -677,12 +747,26 @@ def ivf_assign_np(
     a bare float64 stack would instead crash on the ragged batch.
     ``ivf_assign`` stays as the all-JVM expression and parity
     oracle."""
+    crows = [
+        (int(r["cell"]), list(r["centroid"]))
+        for r in cents.select("cell", "centroid").collect()
+    ]
+    crows.sort(key=lambda t: t[0])
+    return _assign_np_rows(vecs, crows, vec_col)
+
+
+def _assign_np_rows(
+    vecs: DataFrame, crows: list, vec_col: str = "embedding"
+) -> DataFrame:
+    """``ivf_assign_np`` body over a PRE-COLLECTED ``(cell,
+    centroid)`` list sorted by cell — the driver-orchestrated fit
+    (``_ivf_fit_rows``) keeps the centroid table as plain rows
+    between rounds, so the per-round assignment launches ZERO
+    small-table jobs (no checkpoint scan, no collect)."""
     import numpy as np
 
-    crows = cents.select("cell", "centroid").collect()
-    crows.sort(key=lambda r: r["cell"])
-    C = np.array([r["centroid"] for r in crows], dtype=np.float64)
-    cell_ids = np.array([r["cell"] for r in crows], dtype=np.int64)
+    C = np.array([c for _, c in crows], dtype=np.float64)
+    cell_ids = np.array([c for c, _ in crows], dtype=np.int64)
 
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in vecs.schema.fields
@@ -868,16 +952,35 @@ def ivf_assign2_np(
     semantics and the parity oracle for this path
     (tests/test_skew_similarity.py asserts row-level equality).
     """
+    crows = [
+        (int(r["cell"]), list(r["centroid"]), int(r["g"]))
+        for r in cents_g.select("cell", "centroid", "g").collect()
+    ]
+    crows.sort(key=lambda t: t[0])
+    grows = [
+        (int(g["g"]), list(g["centroid"]))
+        for g in coarse_one.collect()[0]["__coarse"]
+    ]
+    grows.sort(key=lambda t: t[0])
+    return _assign2_np_rows(vecs, crows, grows, vec_col)
+
+
+def _assign2_np_rows(
+    vecs: DataFrame, crows: list, grows: list, vec_col: str = "embedding"
+) -> DataFrame:
+    """``ivf_assign2_np`` body over PRE-COLLECTED index rows —
+    ``crows`` = (cell, centroid, g) sorted by cell, ``grows`` =
+    (g, centroid) sorted by g. The driver-orchestrated fit keeps
+    both tables as plain rows between rounds, so a Lloyd round is
+    ONE corpus job (no coarse-group broadcast builds, no collects of
+    checkpointed frames)."""
     import numpy as np
 
-    crows = cents_g.select("cell", "centroid", "g").collect()
-    crows.sort(key=lambda r: r["cell"])
-    C = np.array([r["centroid"] for r in crows], dtype=np.float64)
-    cell_ids = np.array([r["cell"] for r in crows], dtype=np.int64)
-    cell_g = np.array([r["g"] for r in crows], dtype=np.int64)
-    grows = coarse_one.collect()[0]["__coarse"]
-    G = np.array([g["centroid"] for g in grows], dtype=np.float64)
-    g_ids = np.array([g["g"] for g in grows], dtype=np.int64)
+    C = np.array([c for _, c, _ in crows], dtype=np.float64)
+    cell_ids = np.array([c for c, _, _ in crows], dtype=np.int64)
+    cell_g = np.array([g for _, _, g in crows], dtype=np.int64)
+    G = np.array([c for _, c in grows], dtype=np.float64)
+    g_ids = np.array([g for g, _ in grows], dtype=np.int64)
 
     def _d2(V: "np.ndarray", M: "np.ndarray") -> "np.ndarray":
         # dim-sequential accumulation: for every (row, centroid)
@@ -931,42 +1034,13 @@ def ivf_fit2(emb: DataFrame, cells: int) -> DataFrame:
     of O(n·cells). With cells ∝ n (semantic_cell_count) that turns
     the fit from ~quadratic to O(n^1.5) locally and O(n) once the
     SEMANTIC_CELL_MAX clamp binds; this is what makes
-    corpus-proportional SemDeDup cells viable at 100 TB."""
-    from ..functions.text import hash64
+    corpus-proportional SemDeDup cells viable at 100 TB.
 
-    nc = _n_coarse(cells)
-    meds = (
-        emb.select(
-            "vec_id", "embedding",
-            hash64(F.col("vec_id").cast("string")).alias("__h"),
-        )
-        .orderBy("__h", "vec_id")
-        .limit(cells)
-        .localCheckpoint(eager=True)  # `cells` rows; one TakeOrdered scan
-    )
-    wm = Window.orderBy("__h", "vec_id")
-    cents = meds.select(
-        (F.row_number().over(wm) - 1).alias("cell"),
-        F.col("embedding").cast("array<double>").alias("centroid"),
-    )
-    for _ in range(IVF_LLOYD):
-        cents_g, coarse_one = ivf_coarse_groups(cents, nc)
-        members = (
-            ivf_assign2_np(emb.select("vec_id", "embedding"), cents_g, coarse_one)
-            .groupBy("cell")
-            .agg(
-                F.slice(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("vec_id"), F.col("embedding")))
-                    ),
-                    1, IVF_MEAN_CAP,
-                ).alias("__sl")
-            )
-        )
-        cents = _lloyd_mean(members).localCheckpoint(
-            eager=True
-        )  # `cells` rows; one corpus pass
-    return cents
+    Driver-orchestrated like ``ivf_fit`` (r8): one corpus job per
+    Lloyd round; the per-round coarse grouping runs on the driver
+    (``_coarse_rows_py`` — bit-equal twin of ``ivf_coarse_groups``)
+    instead of building broadcast frames that each cost a job."""
+    return _cents_df(emb.sparkSession, _ivf_fit_rows(emb, cells, True))
 
 
 def ivf_topk(
@@ -1015,9 +1089,12 @@ def ivf_topk(
         .localCheckpoint(eager=False)
     )
     # the fit's 3 corpus passes (seed TakeOrdered + IVF_LLOYD
-    # assigns) read the materialized frame, not parquet re-scans
-    cents = ivf_fit(vecs)
-    assigned = ivf_assign_np(vecs, cents)
+    # assigns) read the materialized frame, not parquet re-scans;
+    # the centroid table rides as driver rows (r8) so assignment and
+    # cell routing launch no small-table jobs
+    cents_rows = _ivf_fit_rows(vecs, IVF_CELLS, False)
+    cents = _cents_df(spark, cents_rows)
+    assigned = _assign_np_rows(vecs, cents_rows)
     probes = vecs.where(F.col("vec_id") % probe_mod == 0).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("p_emb"),

@@ -67,6 +67,16 @@ def get_spark(
         # via SPARK_GRAFT_DRIVER_MEM.
         .config("spark.driver.memory", _default_driver_mem())
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # ObjectHashAggregate (any collect_list/collect_set agg)
+        # falls back to SORT-based aggregation after 128 distinct
+        # keys per task by default — the minhash signature agg (64
+        # mins + the hash set) was paying a full sort of the shingle
+        # stream at every SF for nothing. 8192 keys × ~1 KB of
+        # per-key buffers ≈ 8 MB/task before fallback: safe on any
+        # executor, and per-task key counts are shuffle-partition
+        # controlled at scale anyway.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                "8192")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
