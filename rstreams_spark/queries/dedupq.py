@@ -659,6 +659,13 @@ def _ivf_fit_rows(emb: DataFrame, cells: int, two_level: bool) -> list:
         .collect()
     )
     rows.sort(key=lambda r: (r["__h"], r["vec_id"]))
+    bad = [r["vec_id"] for r in rows if r["embedding"] is None][:10]
+    if bad:  # same contract the assign/mean kernels enforce
+        raise ValueError(
+            f"ivf fit: NULL embedding(s) in the seed sample (vec_ids "
+            f"{bad}) — the fit contract excludes NULL vectors; filter "
+            "upstream (callers do: `embedding IS NOT NULL`)"
+        )
     cents_rows = [
         (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(rows)
     ]

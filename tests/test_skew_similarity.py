@@ -522,3 +522,37 @@ def test_lsh_topk_library_matches_catalog(spark):
             .collect()
         )
         assert lib == cat and len(lib) > 0
+
+
+def test_coarse_rows_py_matches_ivf_coarse_groups(spark):
+    """The driver-side coarse twin (`_coarse_rows_py`, the r8
+    driver-orchestrated fit's routing step) must reproduce the
+    DataFrame `ivf_coarse_groups` EXACTLY: same coarse seeds (hash
+    order), same per-cell g (dim-sequential d2 fold, (d2, g)
+    struct-min tie-break) — on centroids engineered to include an
+    exact distance TIE between two coarse centroids."""
+    from rstreams_spark.queries.dedupq import (
+        _coarse_rows_py, _n_coarse, ivf_coarse_groups,
+    )
+
+    # cell 4 sits exactly midway between cells 0 and 1 wherever both
+    # become coarse seeds -> tie must break to the smaller g
+    rows = [
+        (0, [0.0, 0.0]), (1, [2.0, 0.0]), (2, [10.0, 10.0]),
+        (3, [10.5, 10.0]), (4, [1.0, 0.0]), (5, [-3.0, 7.0]),
+        (6, [0.25, -0.5]),
+    ]
+    nc = _n_coarse(len(rows))
+    cents = spark.createDataFrame(rows, "cell int, centroid array<double>")
+    cents_g, coarse_one = ivf_coarse_groups(cents, nc)
+    df_crows = {
+        r["cell"]: (tuple(r["centroid"]), r["g"])
+        for r in cents_g.collect()
+    }
+    df_grows = {
+        g["g"]: tuple(g["centroid"])
+        for g in coarse_one.collect()[0]["__coarse"]
+    }
+    crows, grows = _coarse_rows_py([(c, v) for c, v in rows], nc)
+    assert {c: (tuple(v), g) for c, v, g in crows} == df_crows
+    assert {g: tuple(v) for g, v in grows} == df_grows
