@@ -280,6 +280,24 @@ CLASSES: dict[str, dict] = {
             " else user_id end as user_id) from t"
         ),
     },
+    # --- physical row order ------------------------------------------------
+    "row_shuffle": {
+        # SAME rows, permuted physical order (keyed md5 shuffle —
+        # deterministic, corpus-independent): every catalog query
+        # must be ORDER-INDEPENDENT of its input layout. Catches
+        # collect_list/array outputs built in arrival order,
+        # unpinned sort tie-breaks, and anything leaning on parquet
+        # row order — at 100 TB input order is whatever the lake's
+        # compaction left behind. Both engines read the same
+        # permuted files, so any divergence vs the UNSHUFFLED
+        # baseline (or between engines) is a real order dependence.
+        tbl: (
+            "select * exclude (__rn) from"
+            " (select *, row_number() over () as __rn from t)"
+            " order by md5('rs:' || __rn::varchar)"
+        )
+        for tbl in TABLES
+    },
     # --- everything at once ----------------------------------------------
     "torture": {
         "documents": (
