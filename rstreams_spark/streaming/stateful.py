@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ._chunks import concat_time_ordered
+
 __all__ = [
     "stream_lag_window", "stream_latest_per_key", "stream_strat_classify",
     "stream_gap_detect", "stream_chunk_timeout", "stream_ordinal",
@@ -77,12 +79,10 @@ def stream_lag_window(
             else [[] for _ in cols]
         )
         # a group's microbatch may span multiple Arrow chunks —
-        # concatenate BEFORE sorting, or later chunks with earlier
-        # timestamps would be buffered out of order
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        whole = (
-            pd.concat(chunks).sort_values(ts) if chunks else pd.DataFrame()
-        )
+        # concat BEFORE sorting (invariant 7); _chunks skips the
+        # copying concat for single-chunk groups and the sort for
+        # already-monotonic batches
+        whole = concat_time_ordered([pdf for pdf in pdfs if len(pdf)], ts)
         out: dict = {}
         if len(whole):
             # NULL values cannot ride this operator: the buffers are
@@ -201,12 +201,8 @@ def stream_strat_classify(
         import numpy as np
 
         prev = state.get if state.exists else None
-        # concatenate chunks before sorting (a group spanning Arrow
-        # chunk boundaries must still classify in global ts order)
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        whole = (
-            pd.concat(chunks).sort_values(ts) if chunks else pd.DataFrame()
-        )
+        # concat before sorting (invariant 7); fast paths in _chunks
+        whole = concat_time_ordered([pdf for pdf in pdfs if len(pdf)], ts)
         out = {key: [], ts: [], "strat_class": [], "color": []}
         if len(whole):
             # vectorized shift-compare: each candle classifies against

@@ -28,6 +28,8 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
+
+from ._chunks import concat_time_ordered
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.stateful_processor import (
@@ -85,13 +87,9 @@ class _LagProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         got = self._buf.get() if self._buf.exists() else None
         buf = list(got[0]) if got is not None else []
-        # concat ALL chunks before sorting (CLAUDE invariant #7)
-        chunks = [pdf for pdf in rows if len(pdf)]
-        whole = (
-            pd.concat(chunks).sort_values(self._ts)
-            if chunks
-            else pd.DataFrame()
-        )
+        # concat ALL chunks before sorting (CLAUDE invariant #7);
+        # fast paths (skip copy/sort when possible) in _chunks
+        whole = concat_time_ordered([pdf for pdf in rows if len(pdf)], self._ts)
         out_ts, out_vals = [], []
         for row in whole.itertuples(index=False):
             d = row._asdict()
@@ -157,13 +155,9 @@ class _StratProcessor(StatefulProcessor):
         self, key, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
         prev = tuple(self._prev.get()) if self._prev.exists() else None
-        # concat ALL chunks before sorting (CLAUDE invariant #7)
-        chunks = [pdf for pdf in rows if len(pdf)]
-        whole = (
-            pd.concat(chunks).sort_values(self._ts)
-            if chunks
-            else pd.DataFrame()
-        )
+        # concat ALL chunks before sorting (CLAUDE invariant #7);
+        # fast paths (skip copy/sort when possible) in _chunks
+        whole = concat_time_ordered([pdf for pdf in rows if len(pdf)], self._ts)
         out_ts, out_cls, out_color = [], [], []
         if len(whole):
             for t_val, o, c in zip(whole[self._ts], whole["open"], whole["close"]):

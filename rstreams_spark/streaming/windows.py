@@ -15,6 +15,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._chunks import concat_time_ordered
+
 __all__ = [
     "stream_tumbling_window",
     "stream_hopping_window",
@@ -126,10 +128,7 @@ def stream_tumbling_window_gapfill(
         ns: list[int] = []
         sums: list[float] = []
         # concat chunks before sorting (CLAUDE invariant #7)
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        whole = (
-            pd.concat(chunks).sort_values(ts) if chunks else pd.DataFrame()
-        )
+        whole = concat_time_ordered([pdf for pdf in pdfs if len(pdf)], ts)
         if len(whole):
             # vectorized: per-row work is one groupby over the window
             # index; the flush/gap-fill walk below runs over DISTINCT
@@ -256,10 +255,7 @@ def stream_hopping_window_gapfill(
                 sums.append(float(s))
                 last_emitted = w
 
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        whole = (
-            pd.concat(chunks).sort_values(ts) if chunks else pd.DataFrame()
-        )
+        whole = concat_time_ordered([pdf for pdf in pdfs if len(pdf)], ts)
         if len(whole):
             # vectorized: rows collapse to per-bucket aggregates via
             # one groupby; the emission walk below visits DISTINCT
