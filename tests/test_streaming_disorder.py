@@ -196,3 +196,22 @@ def test_gapfill_drops_rows_behind_open_window(spark, tmp_path):
     }
     # w4 (t=45) still open -> unemitted; the late 100 appears nowhere
     assert got == {0: (1, 1.0), 10: (0, 0.0), 20: (2, 5.0), 30: (0, 0.0)}
+
+
+def test_concat_time_ordered_contract():
+    """The shared chunk-assembly helper (invariant 7): multi-chunk
+    disorder is concatenated THEN ordered; a monotonic batch passes
+    through un-copied; empty input yields an empty frame."""
+    import pandas as pd
+
+    from rstreams_spark.streaming._chunks import concat_time_ordered
+
+    a = pd.DataFrame({"ts": [5, 7], "v": [1.0, 2.0]})
+    b = pd.DataFrame({"ts": [3, 6], "v": [3.0, 4.0]})
+    got = concat_time_ordered([a, b], "ts")
+    assert got["ts"].tolist() == [3, 5, 6, 7]
+    assert got["v"].tolist() == [3.0, 1.0, 4.0, 2.0]
+    mono = pd.DataFrame({"ts": [1, 2, 2, 9], "v": [0.0, 1.0, 2.0, 3.0]})
+    out = concat_time_ordered([mono], "ts")
+    assert out is mono  # single monotonic chunk: no copy, no reorder
+    assert len(concat_time_ordered([], "ts")) == 0
