@@ -302,8 +302,13 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_all = t(spark, sf_dir, "embeddings")
     # NULL vectors excluded by contract (same as ivf_topk; mirrored in
     # the oracle's hashed/norms CTEs): they can never pair (NULL
-    # cosine) and would crash the fit kernels
-    emb = emb_all.where(F.col("embedding").isNotNull())
+    # cosine) and would crash the fit kernels. The filtered corpus
+    # feeds 4+ consumers (seed pass, each Lloyd round, the final
+    # assignment) — invariant 9: materialize once via lazy
+    # localCheckpoint instead of re-scanning parquet per pass
+    emb = emb_all.where(F.col("embedding").isNotNull()).localCheckpoint(
+        eager=False
+    )
     # cells ∝ corpus size keeps within-cell pair work LINEAR in n
     # (pairs ≈ n · target/2, not n²/cells): the count() is a parquet
     # footer metadata read, not a data scan. The fit and assignment
