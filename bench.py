@@ -104,14 +104,23 @@ def main() -> None:
     fd, payload_path = tempfile.mkstemp(prefix="bench_payload_",
                                         suffix=".json")
     os.close(fd)
-    log_path = os.path.join(here, "bench_child.log")
+    log_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_LOG", os.path.join(here, "bench_child.log")
+    )
+    # the inner script is env-overridable so the parent's contract
+    # (exactly one JSON line on stdout, whatever the child does) is
+    # testable without Spark — tests/test_lib_utils.py drives a
+    # stdout-flooding child and a crashing child through it
+    inner = os.environ.get(
+        "SPARK_GRAFT_BENCH_INNER", os.path.join(here, "bench_inner.py")
+    )
     env = dict(os.environ, SPARK_GRAFT_BENCH_PAYLOAD=payload_path)
-    print(f"# bench: spawning bench_inner.py (progress -> {log_path})",
-          file=sys.stderr)
+    print(f"# bench: spawning {os.path.basename(inner)} "
+          f"(progress -> {log_path})", file=sys.stderr)
     sys.stderr.flush()
     with open(log_path, "wb") as log:
         rc = subprocess.run(
-            [sys.executable, os.path.join(here, "bench_inner.py")],
+            [sys.executable, inner],
             stdout=log, stderr=subprocess.STDOUT, env=env,
         ).returncode
     line = ""

@@ -105,3 +105,60 @@ def test_bench_payload_stays_under_driver_tail_capture():
     payload = json.loads(line)
     assert "draws" not in payload
     assert len(payload["queries"]) == len(full)
+
+
+def _run_bench_parent(tmp_path, inner_src: str) -> tuple[str, str]:
+    """Run bench.py's parent against a stub inner script; returns
+    (stdout, stderr). No Spark involved."""
+    import os
+    import subprocess
+    import sys
+
+    inner = tmp_path / "fake_inner.py"
+    inner.write_text(inner_src)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_INNER=str(inner),
+        SPARK_GRAFT_BENCH_LOG=str(tmp_path / "child.log"),
+    )
+    p = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=60,
+    )
+    return p.stdout, p.stderr
+
+
+def test_bench_parent_emits_exactly_one_json_line(tmp_path):
+    """The two-process contract (r8, after BENCH_r06/r07 both parsed
+    null): whatever the child writes to ITS stdout — including a
+    post-payload JVM-style stack flood — the parent's stdout is
+    exactly the one payload JSON line."""
+    import json
+
+    out, _ = _run_bench_parent(tmp_path, """
+import json, os
+print("garbage before")
+with open(os.environ["SPARK_GRAFT_BENCH_PAYLOAD"], "w") as fh:
+    fh.write(json.dumps({"metric": "headline_queries_total_wall",
+                         "value": 1.5, "unit": "sec",
+                         "queries": {"q": 1.5}, "sf": 0.1,
+                         "streaming": {}}) + "\\n")
+print("HDFSBackedStateStore.abort stack flood after the payload" * 100)
+""")
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert len(lines) == 1
+    payload = json.loads(lines[0])
+    assert payload["value"] == 1.5 and payload["queries"] == {"q": 1.5}
+
+
+def test_bench_parent_flags_crashed_child_invalid(tmp_path):
+    """A child that dies without writing the payload must yield a
+    parseable artifact flagged invalid — never a silent partial."""
+    import json
+
+    out, _ = _run_bench_parent(tmp_path, "import sys; sys.exit(3)\n")
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert len(lines) == 1
+    payload = json.loads(lines[0])
+    assert payload["valid"] is False and "rc=3" in str(payload["errors"])
