@@ -411,11 +411,19 @@ def brute_topk(
     × probes rows), never corpus × probes (pinned by
     tests/test_plans.py). Cosines are JVM sequential folds — same op
     order as the DuckDB oracle, bit-identical doubles, no per-row
-    rounding needed.
+    rounding needed. NULL and zero-norm vectors are dropped at entry
+    on both sides (cosine undefined; same contract as ``lsh_topk``).
     """
     probe_sel = probes.select(
         F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("__p_vec")
     )
+    # NULL/zero-norm vectors drop at entry on BOTH sides (same
+    # contract as lsh_topk): cosine is undefined for them and the
+    # 0/0 division would raise under ANSI. Probe-side filter sits
+    # BELOW the cap count-wise: only rankable probes count
+    probe_sel = probe_sel.withColumn(
+        "__p_norm", l2_norm(F.col("__p_vec"))
+    ).where(F.col("__p_norm") > 0)
     # plan-side hard cap (shared guard): probes are small by
     # contract, so the single-partition row_number is itself bounded
     probe_sel = cap_probes(probe_sel, max_probes, probe_id_col, "brute_topk")
@@ -424,8 +432,7 @@ def brute_topk(
     # cutting the per-pair work to one dot product
     corpus_n = corpus.select(id_col, vec_col).withColumn(
         "__c_norm", l2_norm(F.col(vec_col))
-    )
-    probe_sel = probe_sel.withColumn("__p_norm", l2_norm(F.col("__p_vec")))
+    ).where(F.col("__c_norm") > 0)
     scored = (
         corpus_n.join(F.broadcast(probe_sel), F.col(id_col) != F.col(probe_id_col))
         .select(

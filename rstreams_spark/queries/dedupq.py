@@ -20,8 +20,8 @@ from ..functions.dedup import (
     winnowing_fingerprints,
 )
 from ..functions.similarity import (
-    brute_topk, cosine_pairs, cosine_pairs_np, hyperplanes, lsh_bucket,
-    stack_f64,
+    brute_topk, cosine_pairs, cosine_pairs_np, hyperplanes, l2_norm,
+    lsh_bucket, stack_f64,
 )
 from ._util import SQL_TOKS, sql_h64, sql_msum, sql_mtot, t
 
@@ -259,7 +259,13 @@ def semantic_cell_count(n: int) -> int:
 
 
 def embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = t(spark, sf_dir, "embeddings")
+    """Embedding-cosine near-dup pairs within a label bucket.
+    NULL/zero-norm vectors are dropped at entry on both engines
+    (oracle `nz` CTE): cosine is undefined for them and the 0/0
+    would raise under ANSI (zero_norm probe class)."""
+    vecs = t(spark, sf_dir, "embeddings").where(
+        l2_norm(F.col("embedding")) > 0
+    )
     pairs = cosine_pairs(
         vecs, COSINE_TAU, bucket_col="label", max_bucket=SEMANTIC_BUCKET_CAP
     )
@@ -306,8 +312,14 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds 4+ consumers (seed pass, each Lloyd round, the final
     # assignment) — invariant 9: materialize once via lazy
     # localCheckpoint instead of re-scanning parquet per pass
-    emb = emb_all.where(F.col("embedding").isNotNull()).localCheckpoint(
-        eager=False
+    emb = (
+        emb_all.where(F.col("embedding").isNotNull())
+        # zero-norm vectors excluded with the NULLs (same contract as
+        # ivf_topk / the oracle's _SQL_NZ): no defined cosine, and the
+        # pair kernel's 0/0 would otherwise raise — the filter sits
+        # above the fit so centroids agree with the oracle twin
+        .where(l2_norm(F.col("embedding")) > 0)
+        .localCheckpoint(eager=False)
     )
     # cells ∝ corpus size keeps within-cell pair work LINEAR in n
     # (pairs ≈ n · target/2, not n²/cells): the count() is a parquet
@@ -387,6 +399,12 @@ def _ann_lsh_impl(
     vecs = t(spark, sf_dir, "embeddings").select("vec_id", "embedding").withColumn(
         "bucket", lsh_bucket(F.col("embedding"), _PLANES)
     ).withColumn("v_norm", l2_norm(F.col("embedding")))
+    # zero-norm (and NULL) vectors are excluded at entry on BOTH
+    # engines — cosine is undefined for them, and a 0/0 division
+    # would raise (Spark ANSI) / NULL-rank (DuckDB). Same contract
+    # as the library lsh_topk, so lib==catalog row identity holds
+    # on corpora that contain a zero vector (zero_norm probe class).
+    vecs = vecs.where(F.col("v_norm") > 0)
     # vecs feeds BOTH join sides (corpus + the probe derivation):
     # per invariant 9 the scan + bucket/norm folds would otherwise
     # plan twice — lazy localCheckpoint materializes them once
@@ -1093,11 +1111,16 @@ def ivf_topk(
     vecs = (
         t(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
-        # NULL vectors are excluded from similarity search by contract
-        # (mirrored in the oracle): they can never rank (NULL cosine)
-        # and would crash the numpy assign kernel / poison the fit
+        # NULL and ZERO-NORM vectors are excluded from similarity
+        # search by contract (mirrored in the oracle's _SQL_NZ):
+        # NULLs can never rank (NULL cosine) and would crash the
+        # numpy assign kernel / poison the fit; zero norms have no
+        # defined cosine and the 0/0 would raise under ANSI. The
+        # filter sits ABOVE the fit so seeds/centroids agree with
+        # the oracle's filtered hashed/norms CTEs.
         .where(F.col("embedding").isNotNull())
         .withColumn("v_norm", l2_norm(F.col("embedding")))
+        .where(F.col("v_norm") > 0)
         .localCheckpoint(eager=False)
     )
     # the fit's 3 corpus passes (seed TakeOrdered + IVF_LLOYD
@@ -1615,6 +1638,11 @@ _SQL_IVF_NORM = (
     "sqrt(list_reduce(list_transform(range(1, len(embedding) + 1), "
     "i -> embedding[i]::double * embedding[i]::double), (x, y) -> x + y))"
 )
+# entry predicate shared by every embedding-similarity oracle: NULL
+# embeddings (NULL norm) and zero-norm vectors never participate —
+# cosine is undefined for them (twin of the Spark-side v_norm > 0
+# entry drops; NULL > 0 and 0 > 0 are both false on both engines)
+_SQL_NZ = f"embedding is not null and {_SQL_IVF_NORM} > 0"
 _SQL_IVF_DOT = (
     "list_reduce(list_transform(range(1, len(a.embedding) + 1), "
     "i -> a.embedding[i]::double * p.p_emb[i]::double), (x, y) -> x + y)"
@@ -1665,7 +1693,7 @@ _SQL_IVF_ROUNDS, _SQL_IVF_FINAL = _sql_ivf_lloyd()
 def _sql_ivf_assign(limit_expr: str) -> str:
     return f"""hashed as (
           select vec_id, embedding, {sql_h64("vec_id::varchar")} as h
-          from embeddings where embedding is not null
+          from embeddings where {_SQL_NZ}
         ),
         cents0 as (
           select row_number() over (order by h, vec_id) - 1 as cell,
@@ -1674,7 +1702,7 @@ def _sql_ivf_assign(limit_expr: str) -> str:
         ),
         norms as (
           select vec_id, embedding, {_SQL_IVF_NORM} as v_norm
-          from embeddings where embedding is not null
+          from embeddings where {_SQL_NZ}
         ),
         {_SQL_IVF_ROUNDS},
         assigned as (
@@ -1758,7 +1786,7 @@ def _sql_ivf_assign2(cells_expr: str, nc_expr: str) -> str:
     rounds, final = _sql_ivf_lloyd2(nc_expr)
     return f"""hashed as (
           select vec_id, embedding, {sql_h64("vec_id::varchar")} as h
-          from embeddings where embedding is not null
+          from embeddings where {_SQL_NZ}
         ),
         cents0 as materialized (
           select row_number() over (order by h, vec_id) - 1 as cell,
@@ -1767,7 +1795,7 @@ def _sql_ivf_assign2(cells_expr: str, nc_expr: str) -> str:
         ),
         norms as materialized (
           select vec_id, embedding, {_SQL_IVF_NORM} as v_norm
-          from embeddings where embedding is not null
+          from embeddings where {_SQL_NZ}
         ),
         {rounds},
         gseedF as materialized (
@@ -1861,7 +1889,8 @@ def _sql_ivf_topk(probe_mod: int) -> str:
 def _sql_ann_lsh_topk(probe_mod: int) -> str:
     return f"""
         with bk as (
-          select vec_id, embedding, {_sql_bucket()} as bucket from embeddings
+          select vec_id, embedding, {_sql_bucket()} as bucket
+          from embeddings where {_SQL_NZ}
         ), scored as (
           select b.vec_id as probe_id, a.vec_id as vec_id, {_SQL_COS} as cos
           from bk a join (select * from bk where vec_id % {probe_mod} = 0) b
@@ -1938,17 +1967,19 @@ SQL_ORACLES = {
         select doc_id, {_SIMHASH_VALUE} as simhash from v
     """,
     "embedding_cosine_dup": f"""
+        with nz as (select * from embeddings where {_SQL_NZ})
         select a.vec_id as id1, b.vec_id as id2,
                {_SQL_COS} as cosine
-        from embeddings a join embeddings b
+        from nz a join nz b
           on a.label = b.label and a.vec_id < b.vec_id
         where {_SQL_COS} >= {COSINE_TAU}
     """,
     "ann_topk": f"""
-        with scored as (
+        with nz as (select * from embeddings where {_SQL_NZ}),
+        scored as (
           select b.vec_id as probe_id, a.vec_id as vec_id, {_SQL_COS} as cos
-          from embeddings a cross join
-               (select * from embeddings where vec_id % 50 = 0) b
+          from nz a cross join
+               (select * from nz where vec_id % 50 = 0) b
           where a.vec_id != b.vec_id
         ), ranked as (
           select probe_id, vec_id, cos,

@@ -17,7 +17,17 @@ import pandas as pd
 
 def concat_time_ordered(chunks: list, ts: str) -> "pd.DataFrame":
     """Concatenate a group's non-empty chunks and return them in
-    ascending ``ts`` order (empty frame for no chunks)."""
+    ascending ``ts`` order (empty frame for no chunks).
+
+    READ-ONLY CONTRACT: on the single-monotonic-chunk fast path the
+    return value IS the caller's input frame (no copy) — an Arrow-
+    backed buffer Spark owns. Kernels must treat the result as
+    immutable: derive new columns on a copy (``df.assign`` / slice
+    into new frames), never ``out[col] = ...`` in place, or the fast
+    path would silently corrupt the input batch. All current
+    consumers are read-only; the no-copy fast path is pinned by
+    tests/test_streaming_disorder.py::test_concat_time_ordered_contract.
+    """
     if not chunks:
         return pd.DataFrame()
     whole = chunks[0] if len(chunks) == 1 else pd.concat(chunks)

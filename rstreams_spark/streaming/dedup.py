@@ -306,8 +306,16 @@ def embedding_index(
 
     # sel feeds the sizing count, the fit's seed + Lloyd passes AND
     # the final assignment — lazy localCheckpoint materializes the
-    # (possibly derived) corpus pipeline once (invariant 9)
-    sel = vecs.select(id_col, vec_col).localCheckpoint(eager=False)
+    # (possibly derived) corpus pipeline once (invariant 9).
+    # NULL/zero-norm vectors drop at entry (batch-family contract):
+    # NULLs crash the fit/assign kernels, zero norms have no defined
+    # cosine — neither can ever suppress an arriving doc
+    sel = (
+        vecs.select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .where(l2_norm(F.col(vec_col)) > 0)
+        .localCheckpoint(eager=False)
+    )
     if cells is None:
         cells = semantic_cell_count(sel.count())
     cents = ivf_fit(sel, cells)
@@ -366,7 +374,11 @@ def embedding_dedup_batch(
         F.col("v_norm") * F.col("index_norm")
     )
     dup_ids = (
-        assigned.join(indexed, "cell")
+        # a zero-norm arrival has no defined cosine — it can never be
+        # a dup, so it skips the candidate join (and the 0/0 raise)
+        # and passes the gate via the left_anti below
+        assigned.where(F.col("v_norm") > 0)
+        .join(indexed, "cell")
         .where(cos >= tau)
         .select(id_col)
         .distinct()

@@ -556,3 +556,79 @@ def test_coarse_rows_py_matches_ivf_coarse_groups(spark):
     crows, grows = _coarse_rows_py([(c, v) for c, v in rows], nc)
     assert {c: (tuple(v), g) for c, v, g in crows} == df_crows
     assert {g: tuple(v) for g, v in grows} == df_grows
+
+
+def test_zero_norm_vectors_dropped_everywhere(spark):
+    """r9 contract (ADVICE r8): zero-norm vectors are excluded from
+    every cosine-similarity surface at entry — library AND catalog —
+    because cosine is undefined for them (the 0/0 would raise under
+    ANSI / NaN-rank in pandas). A zero vector must never appear as a
+    probe, a neighbor, or a pair member; non-zero results are
+    unaffected by its presence."""
+    from rstreams_spark.functions.similarity import (
+        brute_topk, cosine_pairs, lsh_topk,
+    )
+    from rstreams_spark.queries.dedupq import _PLANES
+
+    rows = [
+        Row(vec_id=0, embedding=[0.0] * 4),        # zero-norm "probe"
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.9, 0.1, 0.0, 0.0]),
+        Row(vec_id=3, embedding=None),             # NULL vector
+        Row(vec_id=50, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=100, embedding=[0.0] * 4),      # zero-norm corpus row
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    probes = vecs.where(F.col("vec_id") % 50 == 0)
+
+    bt = brute_topk(vecs, probes, 3).collect()
+    ids = {r.probe_id for r in bt} | {r.vec_id for r in bt}
+    assert 0 not in ids and 100 not in ids and 3 not in ids
+    assert any(r.probe_id == 50 for r in bt)
+
+    for shuffle in (False, True):
+        lt = lsh_topk(vecs, probes, 3, _PLANES, shuffle=shuffle).collect()
+        ids = {r.probe_id for r in lt} | {r.vec_id for r in lt}
+        assert 0 not in ids and 100 not in ids and 3 not in ids
+
+    cp = cosine_pairs(
+        vecs.where(F.col("embedding").isNotNull())
+        .where(similarity.l2_norm(F.col("embedding")) > 0),
+        0.5,
+    ).collect()
+    assert {p.id1 for p in cp} | {p.id2 for p in cp} == {1, 2}
+
+
+def test_zero_norm_arrival_passes_embedding_gate(spark):
+    """A zero-norm vector arriving at the streaming semantic-dedup
+    gate can never be a duplicate (no defined cosine): it must PASS
+    the gate — not raise, not be dropped — and zero-norm index
+    vectors must be excluded at index build."""
+    from rstreams_spark.streaming.dedup import (
+        embedding_dedup_batch, embedding_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 1.0]),
+            Row(vec_id=3, embedding=[0.0, 0.0]),   # dropped at build
+            Row(vec_id=4, embedding=None),         # dropped at build
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents, indexed = embedding_index(corpus, cells=2)
+    assert {r.index_id for r in indexed.collect()} == {1, 2}
+
+    batch = spark.createDataFrame(
+        [
+            Row(vec_id=10, embedding=[1.0, 0.0]),  # dup of 1 -> drop
+            Row(vec_id=11, embedding=[0.0, 0.0]),  # zero-norm -> pass
+            Row(vec_id=12, embedding=[-1.0, 0.3]), # novel -> pass
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = embedding_dedup_batch(batch, cents, indexed, tau=0.9)
+    assert {r.vec_id for r in out.collect()} == {11, 12}

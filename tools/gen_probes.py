@@ -282,21 +282,41 @@ CLASSES: dict[str, dict] = {
     },
     # --- physical row order ------------------------------------------------
     "row_shuffle": {
-        # SAME rows, permuted physical order (keyed md5 shuffle —
-        # deterministic, corpus-independent): every catalog query
-        # must be ORDER-INDEPENDENT of its input layout. Catches
-        # collect_list/array outputs built in arrival order,
-        # unpinned sort tie-breaks, and anything leaning on parquet
-        # row order — at 100 TB input order is whatever the lake's
-        # compaction left behind. Both engines read the same
-        # permuted files, so any divergence vs the UNSHUFFLED
-        # baseline (or between engines) is a real order dependence.
+        # SAME rows, permuted physical order (md5 keyed on the ROW
+        # CONTENT — byte-stable across regenerations regardless of
+        # DuckDB's scan parallelism; a row_number() over () key was
+        # not, since unordered window numbering has no defined
+        # order): every catalog query must be ORDER-INDEPENDENT of
+        # its input layout. Catches collect_list/array outputs built
+        # in arrival order, unpinned sort tie-breaks, and anything
+        # leaning on parquet row order — at 100 TB input order is
+        # whatever the lake's compaction left behind. Both engines
+        # read the same permuted files, so any divergence vs the
+        # UNSHUFFLED baseline (or between engines) is a real order
+        # dependence. Duplicate-content rows tie under the content
+        # key — harmless, they are indistinguishable.
         tbl: (
-            "select * exclude (__rn) from"
-            " (select *, row_number() over () as __rn from t)"
-            " order by md5('rs:' || __rn::varchar)"
+            "select * from (select * from t) q"
+            " order by md5('rs:' || q::varchar)"
         )
         for tbl in TABLES
+    },
+    # --- degenerate vectors -------------------------------------------------
+    "zero_norm": {
+        # all-zero embeddings on every 10th vector (superset of the
+        # %50/%20 probe-id sets, so zero vectors land on BOTH join
+        # sides of the ANN paths): cosine is undefined for a
+        # zero-norm vector — the similarity family must DROP them at
+        # entry on both engines (r9 contract; previously a 0/0 that
+        # raises under Spark ANSI while DuckDB NULL-ranks), while
+        # quantize/dim-stats style per-element ops must keep them
+        # with well-defined outputs (amax=0 → q=0).
+        "embeddings": (
+            "select * replace ("
+            " case when vec_id % 10 = 0 then"
+            "  list_transform(embedding, x -> cast(0.0 as float))"
+            " else embedding end as embedding) from t"
+        ),
     },
     # --- everything at once ----------------------------------------------
     "torture": {
