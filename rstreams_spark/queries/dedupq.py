@@ -23,6 +23,7 @@ from ..functions.similarity import (
     brute_topk, cosine_pairs, cosine_pairs_np, hyperplanes, l2_norm,
     lsh_bucket, stack_f64,
 )
+from ..session import oha_session
 from ._util import SQL_TOKS, sql_h64, sql_msum, sql_mtot, t
 
 # r = NUM_PERM/BANDS = 4 rows per band. The r=2 config (16/8) looked
@@ -122,6 +123,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits m²/2 pairs, and buckets that hot are boilerplate/templated
     content by construction; byte-identical copies are exact dedup's
     job (dedup_exact flags all of them on the same corpus)."""
+    # small-buffer collect aggs (the 64-min + hash-set signature
+    # rows, ~1 KB/key): build on the OHA-raised sibling session so
+    # the signature stage never pays the 128-key sort fallback
+    # (session.py::oha_session — scoped there, NOT session-global,
+    # so large-buffer aggs keep the safe default; r8 ADVICE)
+    spark = oha_session(spark)
     docs = t(spark, sf_dir, "documents")
     sh = doc_shingles(docs, "text", 2)
     sig = minhash_signature(sh, NUM_PERM)
@@ -136,6 +143,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     at corpus scale. Oracle: DuckDB recursive CTE computing min
     reachable node — identical labeling by construction.
     """
+    # small-buffer collect aggs (the 64-min + hash-set signature
+    # rows, ~1 KB/key): build on the OHA-raised sibling session so
+    # the signature stage never pays the 128-key sort fallback
+    # (session.py::oha_session — scoped there, NOT session-global,
+    # so large-buffer aggs keep the safe default; r8 ADVICE)
+    spark = oha_session(spark)
     docs = t(spark, sf_dir, "documents")
     sh = doc_shingles(docs, "text", 2)
     pairs = lsh_band_pairs(
@@ -1198,6 +1211,12 @@ def minhash_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale path for near-dup search: the n² compare shrinks to
     LSH candidates, verification touches only those pairs.
     """
+    # small-buffer collect aggs (the 64-min + hash-set signature
+    # rows, ~1 KB/key): build on the OHA-raised sibling session so
+    # the signature stage never pays the 128-key sort fallback
+    # (session.py::oha_session — scoped there, NOT session-global,
+    # so large-buffer aggs keep the safe default; r8 ADVICE)
+    spark = oha_session(spark)
     docs = t(spark, sf_dir, "documents")
     sh = doc_shingles(docs, "text", 2)
     # signature AND hash set from ONE groupBy over ONE shingle
@@ -1451,6 +1470,12 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     one division of integer set sizes, the same operands in both
     engines (no rounding involved, CLAUDE.md invariant 2).
     """
+    # small-buffer collect aggs (the 64-min + hash-set signature
+    # rows, ~1 KB/key): build on the OHA-raised sibling session so
+    # the signature stage never pays the 128-key sort fallback
+    # (session.py::oha_session — scoped there, NOT session-global,
+    # so large-buffer aggs keep the safe default; r8 ADVICE)
+    spark = oha_session(spark)
     docs = t(spark, sf_dir, "documents")
     ev_ids = docs.where(F.col("source") == DECON_EVAL_SOURCE).select("doc_id")
     return fuzzy_contaminated(docs, ev_ids)

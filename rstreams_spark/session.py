@@ -67,21 +67,55 @@ def get_spark(
         # via SPARK_GRAFT_DRIVER_MEM.
         .config("spark.driver.memory", _default_driver_mem())
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # ObjectHashAggregate (any collect_list/collect_set agg)
-        # falls back to SORT-based aggregation after 128 distinct
-        # keys per task by default — the minhash signature agg (64
-        # mins + the hash set) was paying a full sort of the shingle
-        # stream at every SF for nothing. 8192 keys × ~1 KB of
-        # per-key buffers ≈ 8 MB/task before fallback: safe on any
-        # executor, and per-task key counts are shuffle-partition
-        # controlled at scale anyway.
-        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-                "8192")
+        # NOTE (r9): the ObjectHashAggregate sort-fallback threshold
+        # deliberately stays at Spark's 128-key default here. r8
+        # raised it session-globally for the minhash signature agg
+        # (~1 KB/key buffers), but the global raise also applied to
+        # LARGE-buffer collect aggs — ts_similarity_topk's per-key
+        # series buffer is allowed up to ~800 KB (TSM_MAX_SERIES), so
+        # 8192 keys/task could pin ~6.5 GB of hash-map buffers before
+        # fallback (r8 ADVICE). The raise is now scoped to the
+        # small-buffer minhash pipelines via ``oha_session`` below.
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+OHA_THRESHOLD = 8192
+
+
+def oha_session(spark: SparkSession) -> SparkSession:
+    """A sibling session (shared SparkContext, own SQLConf) with the
+    ObjectHashAggregate sort-fallback threshold raised to
+    ``OHA_THRESHOLD`` keys/task — scoped to SMALL-buffer collect
+    aggregations only (the minhash signature agg: 64 min slots + the
+    dedup'd hash set ≈ 1 KB/key, so 8192 keys ≈ 8 MB/task before
+    fallback). Spark's threshold counts KEYS, not bytes, so a global
+    raise would also let large-buffer aggs (ts_similarity_topk's
+    ≤800 KB/key series buffers) pin gigabytes of hash-map state per
+    task before the sort fallback rescues them — those stay on the
+    parent session's 128-key default (r8 ADVICE item).
+
+    A DataFrame executes under the SQLConf of the session that built
+    it, even when the action fires later from other code — so the
+    minhash catalog entries swap to this session for their table
+    reads and every downstream frame inherits the raised threshold.
+    Cached per parent session; callers never see more than one
+    sibling. Measured (PERF.md r8/r9): fallback avoidance is worth
+    ~35% of the signature stage at sf0.1.
+    """
+    cached = getattr(spark, "_rstreams_oha_session", None)
+    if cached is not None:
+        return cached
+    sub = spark.newSession()
+    sub.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        str(OHA_THRESHOLD),
+    )
+    spark._rstreams_oha_session = sub
+    return sub
 
 
 def register_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[str]:

@@ -162,3 +162,29 @@ def test_bench_parent_flags_crashed_child_invalid(tmp_path):
     assert len(lines) == 1
     payload = json.loads(lines[0])
     assert payload["valid"] is False and "rc=3" in str(payload["errors"])
+
+
+def test_oha_session_scoped_threshold(spark):
+    """The ObjectHashAggregate sort-fallback raise is SCOPED (r9,
+    ADVICE r8): the parent session keeps Spark's 128-key default
+    (safe for large-buffer collect aggs like ts_similarity_topk's
+    series buffers), while the minhash pipelines build on a cached
+    sibling session carrying OHA_THRESHOLD. Frames execute under the
+    conf of the session that built them, so the swap-at-entry in the
+    minhash catalog queries is sufficient."""
+    from rstreams_spark.session import OHA_THRESHOLD, oha_session
+
+    key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    assert spark.conf.get(key) == "128"  # Spark default, un-raised
+    sub = oha_session(spark)
+    assert sub.conf.get(key) == str(OHA_THRESHOLD)
+    assert sub is not spark
+    assert oha_session(spark) is sub          # cached sibling
+    assert sub.sparkContext is spark.sparkContext
+    # the swapped queries still answer (cross-session join in
+    # dedup_keep_best exercises sibling+parent frame composition)
+    from conftest import SF_SMOKE
+
+    from rstreams_spark.queries.dedupq import dedup_minhash
+
+    assert dedup_minhash(spark, SF_SMOKE).count() >= 0
