@@ -28,10 +28,51 @@ __all__ = [
     "lsh_band_rows", "lsh_band_pairs", "simhash32", "P61", "perm_coeffs",
     "connected_components", "connected_components_star",
     "connected_components_hybrid", "incremental_dedup_exact",
+    "NUM_PERM", "BANDS", "LSH_BUCKET_CAP",
+    "lsh_collision_probability", "near_dup_pairs",
 ]
 
 P61 = (1 << 61) - 1  # Mersenne prime modulus for minhash permutations
 _LO_MASK = (1 << 30) - 1
+
+# ---------------------------------------------------------------------------
+# The LSH tuning surface (r9: public knobs; previously module-private
+# constants in queries/dedupq). A pair with Jaccard similarity s
+# shares at least one of b bands of r signature slots with
+# probability  P(s) = 1 - (1 - s^r)^b  — an S-curve whose inflection
+# sits near (1/b)^(1/r). The knobs trade recall against candidate
+# volume:
+#
+#   - r (= num_perm // bands) sets the curve's STEEPNESS: larger r
+#     suppresses low-similarity pairs harder (collision ~ s^r), which
+#     is what keeps candidate counts near-linear in corpus size. The
+#     r=2 default looked fine at sf0.1 but was a SCALE BUG: ~s² band
+#     collisions made pairs grow quadratically (sf1 probe: 10× docs →
+#     98× pairs → dedup_clusters 15× wall). r=4 fixed it (PERF.md r4).
+#   - bands sets RECALL at the target similarity: with r=4, 16 bands
+#     give P(0.7) = 1-(1-0.7⁴)^16 ≈ 98.9%, the standard operating
+#     point; 8 bands would drop it to ~89%.
+#   - bucket_cap bounds the m²/2 pair expansion of a single bucket:
+#     buckets that outgrow it at corpus scale are boilerplate/
+#     templated content (byte-identical copies are exact dedup's
+#     job). Raising it buys nothing at the tail — finer shingles or
+#     more r is the real knob.
+#
+# Defaults below are the catalog's published operating point; every
+# function takes them as parameters, and the oracle twins
+# (queries/dedupq.py::_sql_sig/_sql_bands) accept the same (num_perm,
+# bands) so any setting is parity-testable (tests/test_lsh_knobs.py
+# pins a second setting end-to-end).
+NUM_PERM = 64
+BANDS = 16
+LSH_BUCKET_CAP = 128  # drop boilerplate mega-buckets (cf. NGRAM_DF_CAP)
+
+
+def lsh_collision_probability(s: float, bands: int, r: int) -> float:
+    """P(a pair with Jaccard similarity ``s`` becomes an LSH
+    candidate) = 1 - (1 - s**r)**bands. Use to size (bands, r) for a
+    target recall at a target similarity before running anything."""
+    return 1.0 - (1.0 - s ** r) ** bands
 
 
 def perm_coeffs(num_perm: int) -> list[tuple[int, int, int]]:
@@ -254,6 +295,84 @@ def lsh_band_pairs(
         buckets.select(F.explode(pairs).alias("p"))
         .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .distinct()
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
+    tau: float | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, end to end, with the tuning
+    surface exposed: shingles → signature → banded candidates
+    [→ exact hashed-shingle Jaccard verify when ``tau`` is given].
+
+    Returns (id1, id2) candidate pairs (id1 < id2), plus ``jaccard``
+    when ``tau`` is set (pairs with jaccard ≥ tau only). The catalog's
+    ``dedup_minhash`` is exactly this composition at the default
+    knobs; size non-default knobs with ``lsh_collision_probability``
+    — candidate volume scales with the collision curve at the
+    corpus's actual similarity mass, so steeper (larger r) settings
+    are the remedy when candidates outgrow the cluster, and more
+    bands the remedy when recall at the target similarity is short.
+
+    Scale shape is the catalog entry's: one shingle explode, one
+    groupBy(doc_id) signature agg (small-buffer — callers on a hot
+    path may build ``docs`` via ``session.oha_session``), one
+    (band_idx, band_key) shuffle with the bucket cap bounding the m²
+    expansion, and (with ``tau``) per-candidate in-row
+    array_intersect verification — never a shingle⨝shingle join.
+    ``num_perm`` must be divisible by ``bands``.
+    """
+    if num_perm % bands:
+        raise ValueError(
+            f"near_dup_pairs: num_perm={num_perm} not divisible by "
+            f"bands={bands} (r = num_perm // bands signature slots "
+            "per band must be exact)"
+        )
+    sh = doc_shingles(docs, text_col, shingle_n, id_col=id_col)
+    sig = minhash_signature(
+        sh, num_perm, id_col=id_col, with_hash_set=tau is not None
+    )
+    if tau is None:
+        return lsh_band_pairs(
+            sig, num_perm, bands, id_col=id_col, bucket_cap=bucket_cap
+        )
+    # signature feeds banding AND both verify sides — materialize
+    # once (invariant 9; same discipline as minhash_lsh_topk)
+    sig = sig.localCheckpoint(eager=False)
+    cands = lsh_band_pairs(
+        sig, num_perm, bands, id_col=id_col, bucket_cap=bucket_cap
+    )
+    sets = sig.select(
+        F.col(id_col), F.col("__shset").alias("shset"),
+        F.size("__shset").cast("long").alias("n"),
+    )
+    s1 = sets.select(
+        F.col(id_col).alias("id1"), F.col("shset").alias("s1"),
+        F.col("n").alias("n1"),
+    )
+    s2 = sets.select(
+        F.col(id_col).alias("id2"), F.col("shset").alias("s2"),
+        F.col("n").alias("n2"),
+    )
+    inter = F.size(F.array_intersect(F.col("s1"), F.col("s2")))
+    return (
+        cands.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1", "id2",
+            (inter / (F.col("n1") + F.col("n2") - inter)).alias("jaccard"),
+        )
+        # one division of integer sizes — engine-identical, so a
+        # >= tau cut needs no rounding (CLAUDE.md invariant 2)
+        .where(F.col("jaccard") >= tau)
     )
 
 

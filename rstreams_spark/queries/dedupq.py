@@ -15,9 +15,9 @@ from pyspark.sql.window import Window
 from ..functions import multimodal
 from ..functions.videohdr import AVI_FIXED_BYTES, MP4_FIXED_BYTES
 from ..functions.dedup import (
-    P61, connected_components_hybrid, doc_shingles, lsh_band_pairs,
-    lsh_band_rows, minhash_signature, perm_coeffs, simhash32,
-    winnowing_fingerprints,
+    BANDS, LSH_BUCKET_CAP, NUM_PERM, P61, connected_components_hybrid,
+    doc_shingles, lsh_band_pairs, lsh_band_rows, minhash_signature,
+    perm_coeffs, simhash32, winnowing_fingerprints,
 )
 from ..functions.similarity import (
     brute_topk, cosine_pairs, cosine_pairs_np, hyperplanes, l2_norm,
@@ -26,15 +26,10 @@ from ..functions.similarity import (
 from ..session import oha_session
 from ._util import SQL_TOKS, sql_h64, sql_msum, sql_mtot, t
 
-# r = NUM_PERM/BANDS = 4 rows per band. The r=2 config (16/8) looked
-# fine at sf0.1 but is a scale bug: band collision probability ~s²
-# made candidate pairs grow QUADRATICALLY with corpus size (sf1 probe:
-# 10× docs → 98× pairs → dedup_clusters 15× wall). s⁴ bands plus the
-# bucket cap keep candidates linear-ish; 16 bands hold recall ≥98.8%
-# at s=0.7 (1-(1-0.7⁴)^16), the standard LSH operating point.
-NUM_PERM = 64
-BANDS = 16
-LSH_BUCKET_CAP = 128  # drop boilerplate mega-buckets (cf. NGRAM_DF_CAP)
+# NUM_PERM/BANDS/LSH_BUCKET_CAP moved to functions/dedup.py in r9
+# (the public LSH tuning surface, with the collision-probability
+# curve documented there); re-imported above so every existing
+# consumer of queries.dedupq.NUM_PERM keeps working.
 JACCARD_TAU = 0.01
 COSINE_TAU = 0.4
 ANN_K = 5
@@ -1567,13 +1562,15 @@ QUERIES = {
 }
 
 
-def _sql_sig() -> str:
+def _sql_sig(num_perm: int = NUM_PERM) -> str:
     """CTEs: base hash per shingle, then minhash signature columns
-    h0..h{NUM_PERM-1} per doc via the arithmetic permutation family
-    (coefficients inlined from perm_coeffs — same numbers as Spark)."""
+    h0..h{num_perm-1} per doc via the arithmetic permutation family
+    (coefficients inlined from perm_coeffs — same numbers as Spark).
+    Parameterized (r9) so the LSH tuning surface can be parity-tested
+    at non-default (bands, r) settings."""
     mins = ", ".join(
         f"min(({a} * (h & 1073741823) + {c} * (h >> 30) + {b}) % {P61}) as h{i}"
-        for i, (a, c, b) in enumerate(perm_coeffs(NUM_PERM))
+        for i, (a, c, b) in enumerate(perm_coeffs(num_perm))
     )
     return (
         f"hs as (select doc_id, {sql_h64('shingle')} as h from sh),\n"
@@ -1581,11 +1578,11 @@ def _sql_sig() -> str:
     )
 
 
-def _sql_bands() -> str:
+def _sql_bands(num_perm: int = NUM_PERM, bands: int = BANDS) -> str:
     """CTE: (doc_id, band_idx, band_key) rows from the signature."""
-    r = NUM_PERM // BANDS
+    r = num_perm // bands
     selects = []
-    for bi in range(BANDS):
+    for bi in range(bands):
         concat = " || '-' || ".join(
             f"cast(h{bi * r + k} as varchar)" for k in range(r)
         )
