@@ -108,6 +108,11 @@ def main() -> None:
         streaming.update(bench_streaming.measure_stateful(spark))
     except Exception as exc:
         streaming["stateful_err"] = f"{type(exc).__name__}: {exc}"[:300]
+    try:
+        import bench_streaming
+        streaming.update(bench_streaming.measure_dedup_gates(spark, sf_dir))
+    except Exception as exc:
+        streaming["gate_err"] = f"{type(exc).__name__}: {exc}"[:300]
     print(f"# streaming: {streaming}", file=sys.stderr)
 
     payload = build_payload(times, sf, streaming, errors)

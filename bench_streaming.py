@@ -37,18 +37,24 @@ def _run_stream(writer_df, ckpt_prefix: str, min_batches: int,
     """Start → wait for min_batches → stop; returns (warm rows/s,
     batches, total rows). Cold first batch excluded (codegen +
     state-store init)."""
+    return _run_writer(
+        writer_df.writeStream.format("noop").outputMode("append"),
+        ckpt_prefix, min_batches, max_wait,
+    )
+
+
+def _run_writer(writer, ckpt_prefix: str, min_batches: int,
+                max_wait: float) -> tuple[float, int, int]:
+    """Same contract as ``_run_stream`` for a prepared
+    ``DataStreamWriter`` (the foreachBatch gate benches build their
+    own writer)."""
     import shutil
     import tempfile
 
     # fresh dir per run: a fixed/pid-keyed path could resume a stale
     # checkpoint (pid reuse) and poison the measurement
     ckpt = tempfile.mkdtemp(prefix=ckpt_prefix)
-    q = (
-        writer_df.writeStream.format("noop")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
+    q = writer.option("checkpointLocation", ckpt).start()
     try:
         # batch-count-driven, not wall-clock: after a loaded session a
         # fixed window can catch only the cold batch and report 0
@@ -171,6 +177,127 @@ def measure_stateful(spark, rows_per_batch: int = STATEFUL_ROWS_PER_BATCH,
     }
 
 
+# Ingest near-dup gates (the 100 TB door): docs/vectors per second
+# THROUGH the foreachBatch dedup gates while verifying against a
+# materialized corpus index — parity-tested since r6/r7, rate-measured
+# since r9 (VERDICT r8 item 6). Arrivals are a 50/50 mix of corpus
+# duplicates (full candidate-join + verify load, all dropped) and
+# novel synthetic docs/vectors (signature/assign load, all kept), so
+# the measured rate pays both halves of the real ingest profile.
+GATE_SF_DIR_DEFAULT = "/root/testdata/sf0.1"
+GATE_DOCS_PER_BATCH = 50_000
+GATE_VECS_PER_BATCH = 50_000
+
+
+def _gate_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", GATE_SF_DIR_DEFAULT)
+
+
+def _noop_sink(df, _epoch_id) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def measure_dedup_gates(spark, sf_dir: str | None = None,
+                        docs_per_batch: int = GATE_DOCS_PER_BATCH,
+                        vecs_per_batch: int = GATE_VECS_PER_BATCH,
+                        min_batches: int = MIN_BATCHES,
+                        max_wait: float = 90.0,
+                        repeats: int = REPEATS) -> dict:
+    from pyspark.sql import functions as F
+
+    from rstreams_spark.queries._util import t
+    from rstreams_spark.sources.files import stream_rate_micro_batch
+    from rstreams_spark.streaming.dedup import (
+        embedding_index, minhash_index, stream_dedup_embedding,
+        stream_dedup_minhash,
+    )
+
+    sf = sf_dir or _gate_sf_dir()
+    out: dict = {
+        "gate_docs_per_batch": docs_per_batch,
+        "gate_vecs_per_batch": vecs_per_batch,
+    }
+
+    # --- minhash (text) gate --------------------------------------
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    index_bands, index_sets = minhash_index(docs)
+    # the index is corpus state, not per-trigger work: materialize it
+    # once (eager) so triggers measure gate throughput, like streaming
+    # against the written index table at corpus scale
+    index_bands = index_bands.localCheckpoint()
+    index_sets = index_sets.localCheckpoint()
+    src = stream_rate_micro_batch(spark, docs_per_batch, num_partitions=8)
+    novel = F.concat_ws(
+        " ", *[
+            F.md5(F.concat_ws("-", F.col("value").cast("string"), F.lit(str(k))))
+            for k in range(16)
+        ]
+    )
+    arriving = (
+        src.withColumn("__src", F.col("value") % n_docs)
+        .join(
+            docs.select(F.col("doc_id").alias("__src"),
+                        F.col("text").alias("__t")),
+            "__src",
+        )
+        .select(
+            F.col("value").alias("doc_id"),
+            F.when(F.col("value") % 2 == 0, F.col("__t"))
+             .otherwise(novel).alias("text"),
+        )
+    )
+    writer = stream_dedup_minhash(arriving, index_bands, index_sets, _noop_sink)
+    results = [
+        _run_writer(writer, "bench_gate_minhash_", min_batches, max_wait)
+        for _ in range(repeats)
+    ]
+    med = _median_run(results)
+    out["gate_minhash_docs_per_sec"] = round(med[0])
+    out["gate_minhash_runs"] = [round(r[0]) for r in results]
+    out["gate_minhash_batches"] = med[1]
+
+    # --- embedding (semantic) gate --------------------------------
+    vecs = t(spark, sf, "embeddings").select("vec_id", "embedding").where(
+        F.col("embedding").isNotNull()
+    )
+    n_vecs = vecs.count()
+    cents, indexed = embedding_index(vecs)
+    cents = cents.localCheckpoint()
+    indexed = indexed.localCheckpoint()
+    vsrc = stream_rate_micro_batch(spark, vecs_per_batch, num_partitions=8)
+    # novel vectors: flip alternate dimensions — far from every
+    # corpus direction, so they pass the gate as genuinely new
+    novel_vec = F.zip_with(
+        F.col("__e"),
+        F.sequence(F.lit(1), F.size(F.col("__e"))),
+        lambda x, i: F.when(i % 2 == 0, -x).otherwise(x),
+    )
+    varriving = (
+        vsrc.withColumn("__src", F.col("value") % n_vecs)
+        .join(
+            vecs.select(F.col("vec_id").alias("__src"),
+                        F.col("embedding").alias("__e")),
+            "__src",
+        )
+        .select(
+            F.col("value").alias("vec_id"),
+            F.when(F.col("value") % 2 == 0, F.col("__e"))
+             .otherwise(novel_vec).alias("embedding"),
+        )
+    )
+    vwriter = stream_dedup_embedding(varriving, cents, indexed, _noop_sink)
+    vresults = [
+        _run_writer(vwriter, "bench_gate_embed_", min_batches, max_wait)
+        for _ in range(repeats)
+    ]
+    vmed = _median_run(vresults)
+    out["gate_embedding_vecs_per_sec"] = round(vmed[0])
+    out["gate_embedding_runs"] = [round(r[0]) for r in vresults]
+    out["gate_embedding_batches"] = vmed[1]
+    return out
+
+
 def main() -> None:
     from rstreams_spark.session import get_spark
 
@@ -178,6 +305,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out = measure(spark)
     out.update(measure_stateful(spark))
+    out.update(measure_dedup_gates(spark))
     print(json.dumps({
         "metric": "streaming_processed_rows_per_sec",
         "value": out["processed_rows_per_sec"],
