@@ -3,7 +3,7 @@
 
 SF ?= /root/testdata/sf0.01
 
-.PHONY: test oracle bench smoke examples plans scaling sf1 verify probes
+.PHONY: test oracle bench bench-check smoke examples plans scaling sf1 verify probes
 
 # the full drive recipe (.claude/skills/verify/SKILL.md) in one
 # command: driver contract -> full oracle gate replica -> pytest
@@ -32,6 +32,13 @@ probes:
 
 bench:
 	python bench.py
+
+# regression gate over bench_history.jsonl: fails (exit 1) only when
+# the LAST TWO valid runs at the current sf are BOTH >1.5x the
+# per-query history minimum (the documented confirm-across-two-runs
+# noise discipline). Run two fresh `make bench` first.
+bench-check:
+	python tools/bench_check.py
 
 smoke:
 	python -c "import __spark_entry__ as e; from pyspark.sql import SparkSession; \

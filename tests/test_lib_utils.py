@@ -188,3 +188,57 @@ def test_oha_session_scoped_threshold(spark):
     from rstreams_spark.queries.dedupq import dedup_minhash
 
     assert dedup_minhash(spark, SF_SMOKE).count() >= 0
+
+
+def test_bench_check_confirm_across_two_runs():
+    """The bench regression gate (tools/bench_check.py) implements the
+    documented noise discipline: a regression needs BOTH of the last
+    two valid same-sf runs above threshold x the history floor AND
+    above the absolute margin; single slow draws, invalid runs,
+    other-sf runs, and new queries never fail the gate."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from bench_check import check
+
+    def run(sf, q, stream=None, valid=True):
+        return {"sf": sf, "queries": q, "valid": valid,
+                "streaming": stream or {}}
+
+    base = [run("0.1", {"a": 1.0, "b": 2.0}, {"processed_rows_per_sec": 100}),
+            run("0.1", {"a": 1.1, "b": 2.1}, {"processed_rows_per_sec": 110})]
+
+    # one slow draw then a normal one: unconfirmed, no failure
+    bad, _ = check(base + [run("0.1", {"a": 9.0, "b": 2.0}),
+                           run("0.1", {"a": 1.05, "b": 2.0})])
+    assert bad == []
+    # both last runs slow: confirmed
+    bad, _ = check(base + [run("0.1", {"a": 9.0, "b": 2.0}),
+                           run("0.1", {"a": 8.0, "b": 2.0})])
+    assert len(bad) == 1 and bad[0].startswith("a:")
+    # ratio-over but under the absolute margin (sub-second noise)
+    bad, _ = check([run("0.1", {"c": 0.2}), run("0.1", {"c": 0.2}),
+                    run("0.1", {"c": 0.5}), run("0.1", {"c": 0.5})])
+    assert bad == []
+    # invalid runs are ignored entirely
+    bad, _ = check(base + [run("0.1", {"a": 9.0}, valid=False),
+                           run("0.1", {"a": 9.0}), run("0.1", {"a": 1.0})])
+    assert bad == []
+    # other-sf history never mixes into the floor
+    bad, _ = check([run("0.001", {"a": 0.1})] * 3 + base
+                   + [run("0.1", {"a": 1.2}), run("0.1", {"a": 1.15})])
+    assert bad == []
+    # new query: noted, not failed
+    bad, notes = check(base + [run("0.1", {"a": 1.0, "z": 5.0}),
+                               run("0.1", {"a": 1.0, "z": 5.0})])
+    assert bad == [] and any("z: new query" in n for n in notes)
+    # streaming rate collapse, confirmed across both runs
+    bad, _ = check(base + [
+        run("0.1", {"a": 1.0}, {"processed_rows_per_sec": 40}),
+        run("0.1", {"a": 1.0}, {"processed_rows_per_sec": 45}),
+    ])
+    assert len(bad) == 1 and "processed_rows_per_sec" in bad[0]
+    # too little history: notes only
+    bad, notes = check([run("0.1", {"a": 1.0})] * 2)
+    assert bad == [] and any("need >= 3" in n for n in notes)

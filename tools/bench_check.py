@@ -1,0 +1,130 @@
+"""Bench regression gate (r9, VERDICT r8 item 7): fail loudly when the
+latest runs regress against the history minima.
+
+This host has multi-minute noise bands (identical code has drawn 45 s
+vs 82 s totals — CLAUDE.md), so a single slow draw is NOT a
+regression: a query is flagged only when the LAST TWO valid runs at
+the same sf are BOTH > THRESHOLD x the historical per-query minimum
+(minimum over all valid earlier runs at that sf, the two runs under
+test excluded). That is the documented confirm-across-two-runs
+discipline, executable: `make bench-check` after two fresh
+`make bench` runs; exit code 1 on any confirmed regression (CI-able).
+
+Streaming rates get the reciprocal check (both last runs below
+min-rate-seen / THRESHOLD). Queries without at least one earlier
+baseline run are reported as "new" and never fail the gate.
+
+Usage:
+    python tools/bench_check.py [--threshold 1.5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+THRESHOLD = 1.5
+# a ratio alone flags sub-second noise (0.21 s -> 0.5 s at smoke SFs
+# is cold-JVM variance, not a regression): a query must ALSO be at
+# least this many seconds over its floor in both runs
+ABS_MARGIN_SECONDS = 0.5
+STREAM_KEYS = (
+    "processed_rows_per_sec",
+    "stateful_processed_rows_per_sec",
+    "gate_minhash_docs_per_sec",
+    "gate_embedding_vecs_per_sec",
+)
+
+
+def load_history(path: str) -> list[dict]:
+    with open(path) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def check(runs: list[dict], threshold: float = THRESHOLD,
+          abs_margin: float = ABS_MARGIN_SECONDS) -> tuple[list[str], list[str]]:
+    """Returns (confirmed_regressions, notes). Pure so the no-Spark
+    regression tests can drive it on synthetic histories."""
+    valid = [r for r in runs if r.get("valid", True)]
+    if not valid:
+        return [], ["no valid runs in history"]
+    sf = valid[-1].get("sf")
+    at_sf = [r for r in valid if r.get("sf") == sf]
+    if len(at_sf) < 3:
+        return [], [
+            f"only {len(at_sf)} valid run(s) at sf={sf} — need >= 3 "
+            "(2 under test + 1 baseline); not a gate failure"
+        ]
+    last_two, base = at_sf[-2:], at_sf[:-2]
+    bad: list[str] = []
+    notes: list[str] = []
+
+    for name in sorted(set().union(*(r.get("queries", {}) for r in at_sf))):
+        base_times = [
+            r["queries"][name] for r in base if name in r.get("queries", {})
+        ]
+        cur = [
+            r["queries"][name] for r in last_two if name in r.get("queries", {})
+        ]
+        if not base_times:
+            notes.append(f"{name}: new query, no baseline yet")
+            continue
+        if len(cur) < 2:
+            notes.append(f"{name}: present in <2 of the last runs — unconfirmed")
+            continue
+        floor = min(base_times)
+        if floor <= 0:
+            continue
+        if all(c > threshold * floor and c - floor > abs_margin for c in cur):
+            bad.append(
+                f"{name}: last two runs {cur[0]:.3f}/{cur[1]:.3f} s vs "
+                f"history min {floor:.3f} s (> {threshold}x and "
+                f"+{abs_margin}s, confirmed)"
+            )
+
+    for key in STREAM_KEYS:
+        base_rates = [
+            (r.get("streaming") or {}).get(key)
+            for r in base
+        ]
+        base_rates = [x for x in base_rates if x]
+        cur = [(r.get("streaming") or {}).get(key) for r in last_two]
+        if not base_rates or any(c is None for c in cur):
+            continue
+        ceil = max(base_rates)
+        if all(c < ceil / threshold for c in cur):
+            bad.append(
+                f"streaming {key}: last two runs {cur[0]}/{cur[1]} vs "
+                f"history max {ceil} (< 1/{threshold}x, confirmed)"
+            )
+    return bad, notes
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--threshold", type=float, default=THRESHOLD)
+    ap.add_argument("--abs-margin", type=float, default=ABS_MARGIN_SECONDS)
+    args = ap.parse_args()
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench_history.jsonl",
+    )
+    if not os.path.exists(path):
+        print("bench-check: no bench_history.jsonl — run `make bench` first")
+        return 0
+    bad, notes = check(load_history(path), args.threshold, args.abs_margin)
+    for n in notes:
+        print(f"  ~ {n}")
+    if bad:
+        print(f"bench-check: {len(bad)} CONFIRMED regression(s):")
+        for b in bad:
+            print(f"  ✗ {b}")
+        return 1
+    print("bench-check: no confirmed regressions")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
