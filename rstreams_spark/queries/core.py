@@ -33,6 +33,11 @@ def _tev(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def map_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: no preconditions — pure projection+filter; NULL
+    event_type rows simply fail the predicate. output is independent
+    of input row order (row_shuffle probe)
+    """
     ev = t(spark, sf_dir, "events")
     return (
         ev.where((F.col("event_type") == "purchase") & (F.col("value") > 50))
@@ -45,6 +50,12 @@ def map_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum; NULL event_type forms its own
+    group on neither engine (grouped as NULL identically on both)
+    """
     ev = t(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
@@ -67,6 +78,11 @@ def fold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: NULL/empty text contributes no tokens; tokenization uses
+    the explicit WS_PATTERN classes (invariant 14), identical across
+    engines
+    """
     docs = t(spark, sf_dir, "documents")
     # redistribute the doc rows before the ~|tokens|× explode fan-out
     # ONLY if the scan is under-parallel (single-row-group files);
@@ -86,7 +102,13 @@ def skip_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     first 1000 events in stream order, keep the next 100. Batch
     reading: a stable ordinal filter over the DISTRIBUTED global
     ordinal (range shards + per-shard offset stitch,
-    ``operators.stateless.ordinal``) — no single-task sort."""
+    ``operators.stateless.ordinal``) — no single-task sort.
+
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); ordinal positions are defined by the (ts, event_id) total
+    order
+    """
     ev = _tev(spark, sf_dir)
     return (
         stateless.ordinal(ev, ["ts", "event_id"])
@@ -104,7 +126,12 @@ def take_while(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``StreamExt::take_while`` batch reading: every event strictly
     before the FIRST (stream-order) event whose value exceeds the
     bound — exercised through the fluent ``RStream.take_while``
-    (distributed ordinal + one-row min-stop broadcast)."""
+    (distributed ordinal + one-row min-stop broadcast).
+
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); the predicate scans the (ts, event_id) total order
+    """
     from ..model import RStream
 
     ev = _tev(spark, sf_dir)
@@ -120,7 +147,12 @@ def skip_while(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``StreamExt::skip_while``: the complementary suffix — drop the
     ordered prefix where the value stays under the bound; everything
     from the first exceeding event on survives (later small values
-    included)."""
+    included).
+
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); the predicate scans the (ts, event_id) total order
+    """
     from ..model import RStream
 
     ev = _tev(spark, sf_dir)
@@ -136,7 +168,13 @@ def cycle_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``StreamExt::cycle`` analog for bounded data
     (``operators.stateless.cycle_index``): round-robin slot
     assignment over the ordered stream, aggregated per slot — the
-    deterministic batch reading of an infinite repeat."""
+    deterministic batch reading of an infinite repeat.
+
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); ordinal positions are defined by the (ts, event_id) total
+    order
+    """
     ev = _tev(spark, sf_dir)
     return (
         stateless.cycle_index(ev, 7, ["ts", "event_id"])
@@ -152,6 +190,12 @@ def cycle_take(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def merge_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); the take-N cut is ordered by (ts, event_id) so ties are
+    deterministic
+    """
     ev = _tev(spark, sf_dir)
     cols = ["event_id", "user_id", "ts", "value"]
     clicks = ev.where(F.col("event_type") == "click").select(*cols)
@@ -165,6 +209,13 @@ def merge_take(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def chunk_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum
+    """
     ev = _tev(spark, sf_dir)
     chunked = stateless.chunk(ev, 500, order_by=["ts", "event_id"])
     return chunked.groupBy(F.col("__chunk").alias("chunk")).agg(
@@ -186,7 +237,14 @@ def chunk_fold_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-OR-time batching (reference StreamExt::chunks_timeout):
     chunks close at 200 rows or a 30-minute silence gap, folded like
     ``chunk_fold``. See ``operators.stateless.chunk_timeout`` for the
-    event-time determinism argument."""
+    event-time determinism argument.
+
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum
+    """
     ev = _tev(spark, sf_dir)
     chunked = stateless.chunk_timeout(
         ev, CHUNK_TIMEOUT_SIZE, CHUNK_TIMEOUT_GAP, "ts",
@@ -207,6 +265,13 @@ def chunk_fold_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); latest is argmax over (ts, event_id) — the whole winning
+    row is carried as one struct (invariant 15), never per-column
+    fills
+    """
     ev = t(spark, sf_dir, "events")
     latest = table.latest_per_key(
         ev, "user_id", "ts", value_cols=["event_id", "event_type", "value"]
@@ -220,7 +285,13 @@ def asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom op Spark lacks natively): each purchase
     enriched with the latest prior-or-equal view's value per user.
     Oracle uses DuckDB's native ASOF LEFT JOIN — the operator's
-    window-fill composition must reproduce it exactly."""
+    window-fill composition must reproduce it exactly.
+
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); NULL-key RIGHT rows are dropped at entry (invariant 15);
+    the matched row is carried as ONE struct
+    """
     ev = _tev(spark, sf_dir)
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id", "value"
@@ -246,6 +317,13 @@ def asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum
+    """
     ev = t(spark, sf_dir, "events")
     out = windows.tumbling_window(
         ev,
@@ -269,7 +347,15 @@ GAPFILL_TAU = 300.0  # sparse high-value events => real gap windows
 def tumbling_window_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-parity empty-window emission (src/window.rs:71-84):
     daily windows over sparse high-value events, with silent days
-    emitted as n=0 rows."""
+    emitted as n=0 rows.
+
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum; gapfill emits empty buckets only
+    between the key's own min/max window
+    """
     ev = t(spark, sf_dir, "events").where(F.col("value") >= GAPFILL_TAU)
     out = windows.tumbling_window(
         ev,
@@ -289,6 +375,13 @@ def tumbling_window_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum
+    """
     ev = t(spark, sf_dir, "events")
     out = windows.hopping_window(
         ev,
@@ -310,7 +403,14 @@ def hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hopping_window_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-parity empty-hop emission (src/window.rs:147-163):
     daily windows hopping by 6h over sparse high-value events; hops
-    whose window holds no events appear with n=0."""
+    whose window holds no events appear with n=0.
+
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum
+    """
     ev = t(spark, sf_dir, "events").where(F.col("value") >= GAPFILL_TAU)
     out = windows.hopping_window(
         ev,
@@ -331,6 +431,12 @@ def hopping_window_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); an event landing exactly at previous+gap MERGES into the
+    session (inclusive boundary — invariant 16; oracle splits on >)
+    """
     ev = t(spark, sf_dir, "events")
     out = windows.session_window(
         ev,
@@ -349,6 +455,11 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lag_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); per-key series are retention-bounded by contract
+    """
     ev = _tev(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
@@ -364,6 +475,13 @@ def lag_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); NULL join keys never match (SQL equi-join semantics on both
+    engines); a hot key multiplies genuine output (purchases x errors
+    within the band) — see tools/skew_bench.py
+    """
     ev = t(spark, sf_dir, "events")
     cols = ["user_id", "event_id", "ts"]
     purchases = ev.where(F.col("event_type") == "purchase").select(*cols)
@@ -384,7 +502,13 @@ def interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT variant of the windowed stream join — the reference lists
     'Left join' as TBD (README Features TBD); here it is the same
     equi-key + time-band plan with outer semantics: unmatched
-    purchases survive with NULL error columns."""
+    purchases survive with NULL error columns.
+
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); NULL join keys never match (SQL equi-join semantics on both
+    engines); unmatched purchases survive with NULL error columns
+    """
     ev = t(spark, sf_dir, "events")
     cols = ["user_id", "event_id", "ts"]
     purchases = ev.where(F.col("event_type") == "purchase").select(*cols)
@@ -404,7 +528,11 @@ def interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation (two-phase under the hood); the
     approx path at 100 TB is approx_count_distinct (HLL) — same call
-    site, sketch-based, no exact-distinct shuffle."""
+    site, sketch-based, no exact-distinct shuffle.
+
+    Contract: NULL user_id is not counted by countDistinct on either
+    engine; NULL event_type groups as NULL identically on both
+    """
     ev = t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
@@ -413,6 +541,11 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: NULL join keys never match (SQL equi-join semantics on
+    both engines); the dimension side must be broadcast-sized (it is
+    the nation-keyed lookup here)
+    """
     orders = t(spark, sf_dir, "orders")
     customer = t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_mktsegment"
@@ -450,6 +583,13 @@ def _candles_df(
 
 
 def candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum
+    """
     return _candles_df(spark, sf_dir)
 
 
@@ -459,7 +599,15 @@ def candles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to ``candles`` — the oracle IS the direct 1-day SQL —
     but the physical plan re-aggregates the small 6h level instead of
     re-scanning ticks: the multi-timeframe lattice strategy for the
-    reference's stocks pipeline at 100 TB."""
+    reference's stocks pipeline at 100 TB.
+
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum; ROLLUP on an empty input emits
+    the grand-total row on neither engine identically (empty probe)
+    """
     ev = t(spark, sf_dir, "events")
     order = F.struct("ts", "event_id")
     fine = windows.tumbling_window(
@@ -489,6 +637,12 @@ def candles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def strat_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); classification thresholds cut on exact per-row doubles
+    computed identically on both engines
+    """
     c = _candles_df(spark, sf_dir, with_volume=False)
     top = F.greatest("open", "close")
     bottom = F.least("open", "close")
@@ -522,7 +676,14 @@ def range_band_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-bucketed range join (operator Spark lacks natively):
     50 deterministic overlapping value bands, each event joined to
     every band containing its value — planned as a hash join on grid
-    cells, not a nested loop (see operators/joins.py::range_join)."""
+    cells, not a nested loop (see operators/joins.py::range_join).
+
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum
+    """
     ev = t(spark, sf_dir, "events").select("event_id", "value")
     ids = spark.range(N_RANGES)
     lo = F.pmod(hash64(F.col("id").cast("string")), F.lit(90)).cast("double")
@@ -562,7 +723,13 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitudes make the engines' different interpolation SHAPES
     diverge through (hi-lo) overflow — profile the finite
     distribution, as numpy's nanpercentile does. NULLs pass through
-    (both engines ignore them identically)."""
+    (both engines ignore them identically).
+
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); non-finite values are excluded via isfinite twins (they
+    have no quantile position)
+    """
     ev = t(spark, sf_dir, "events").where(
         F.col("value").isNull() | (F.abs("value") < F.lit(1e18))
     )
@@ -577,7 +744,12 @@ def gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``StreamExt::timeout`` analog (reference README stateless ops):
     surface per-key silences longer than a bound. Batch form: consecutive
     event pairs with gap > 6h — one shuffle on key, lag over the sorted
-    partition."""
+    partition.
+
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); gaps are defined over the per-key (ts, event_id) order
+    """
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
@@ -593,7 +765,12 @@ def gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def parse_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload parsing — the reference's ``from_bytes`` serde
     step (src/lib.rs:25-29) as a Catalyst expression: typed
-    ``from_json`` extract, then aggregate over the parsed field."""
+    ``from_json`` extract, then aggregate over the parsed field.
+
+    Contract: props must be a JSON object or NULL — malformed JSON
+    parses to NULL (from_json) identically on both engines; k sums are
+    exact integer sums
+    """
     ev = t(spark, sf_dir, "events")
     parsed = ev.select(
         "event_type",
@@ -618,6 +795,12 @@ def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate SUMS (2 dp), then divide — both engines divide the
     identical rounded doubles, so the ratio itself needs (and gets)
     no rounding.
+
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum
     """
     ev = t(spark, sf_dir, "events")
     day = (F.floor(epoch(F.col("ts")) / DAY) * DAY).cast("long")
@@ -661,7 +844,13 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     huge_values probe classes, r7). ONE `abs(value) < 1e18` compare
     covers all of it (NaN compares false on both engines); the
     oracle twin mirrors it. NULL values keep their NULL-bin group
-    (both engines agree)."""
+    (both engines agree).
+
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); non-finite values are excluded via isfinite twins on both
+    engines (they have no bin); bin edges are exact integer algebra
+    """
     ev = t(spark, sf_dir, "events").where(
         F.col("value").isNull() | (F.abs("value") < F.lit(1e18))
     )
@@ -684,7 +873,12 @@ def pattern_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     'purchase' STRICTLY after it within 1 hour, reported as the
     earliest qualifying purchase per error. Same plan family as
     interval_join: equi-join on user, time-band predicate, then a
-    min_by per left event — one shuffle on user_id."""
+    min_by per left event — one shuffle on user_id.
+
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); per-user candidate scans are bounded by the pattern window
+    """
     ev = t(spark, sf_dir, "events")
     errs = ev.where(F.col("event_type") == "error").select(
         "user_id",
@@ -730,7 +924,13 @@ def funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     same user_id key (the exchanges reuse the partitioning; no
     re-keying), each joined back by user — never an event-level
     multi-way join. Timestamps only, so cross-engine parity is
-    exact (no FP)."""
+    exact (no FP).
+
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); step order is defined by (ts, event_id); a user advances at
+    the FIRST qualifying event per step
+    """
     ev = t(spark, sf_dir, "events")
     band = F.expr(f"INTERVAL {FUNNEL_STEP_WINDOW}")
     views = (
@@ -774,7 +974,13 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-seen day;
     for each (cohort_day, day_offset) the distinct users active
     again. Two shuffles total (first-seen per user; matrix agg) —
-    the standard warehouse shape at any SF."""
+    the standard warehouse shape at any SF.
+
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); cohort = the user's first-event week; NULL user_id rows are
+    not cohorted
+    """
     ev = t(spark, sf_dir, "events")
     day = (F.floor(epoch(F.col("ts")) / DAY) * DAY).cast("long")
     seen = ev.select("user_id", day.alias("day"))
@@ -798,7 +1004,13 @@ def salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution, never the algebra. The sum rides hi/lo micros
     partials (invariant 2/19): long partials re-combine exactly
     across salt shards in any order, where a double re-sum would be
-    shuffle-order-dependent."""
+    shuffle-order-dependent.
+
+    Contract: summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum; salts derive from row content via
+    xxhash64 (invariant 8), never positional ids
+    """
     from ..operators.skew import SaltedAgg, salted_agg
 
     ev = t(spark, sf_dir, "events")
@@ -832,6 +1044,10 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominant ones). Strata not in the rate map are dropped. Pure
     filter over the portable hash: no shuffle, engine-reproducible,
     and any worker can decide membership without coordination.
+
+    Contract: strata not in the rate map are DROPPED; membership is a
+    pure filter on the portable hash of event_id — deterministic and
+    engine-identical; NULL event_id never passes
     """
     ev = t(spark, sf_dir, "events")
     keep = None
@@ -849,6 +1065,11 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def throttle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: sampling is a pure filter on the portable 60-bit hash of
+    event_id (invariant 3) — deterministic, coordination-free, engine-
+    identical; NULL event_id never passes
+    """
     ev = t(spark, sf_dir, "events")
     keep = F.pmod(hash64(F.col("event_id").cast("string")), F.lit(10)) == 0
     return ev.where(keep).select(
@@ -857,6 +1078,10 @@ def throttle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def split_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: routes outside the configured set are dropped; output is
+    independent of input row order (row_shuffle probe)
+    """
     ev = t(spark, sf_dir, "events")
     branches = []
     for route in ("purchase", "error"):
@@ -899,6 +1124,12 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FP parity: identical fold order both engines, one sqrt at the
     end; zero-variance (flat) windows are excluded by an exact
     ``> 0`` comparison on the identically-computed variance.
+
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); a single key's collected series is capped at TSM_MAX_SERIES
+    (loud in-plan raise, invariant 19-style); query user's series must
+    reach W values or the result is empty on both engines
     """
     ev = _tev(spark, sf_dir)
     series = ev.groupBy("user_id").agg(

@@ -68,6 +68,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing (max DF: 7 at sf0.01, 25 at sf0.1), so values equal the
     uncapped round-1 results. Size tables join by shuffle — they are
     doc-count-sized, never a static broadcast.
+
+    Contract: doc_id is the document identity (unique); NULL/empty
+    text yields no shingles, so such docs never pair; shingles with
+    document frequency > NGRAM_DF_CAP are dropped on BOTH engines
+    before pairing (boilerplate defense)
     """
     docs = t(spark, sf_dir, "documents")
     sh = doc_shingles(docs, "text", 3)
@@ -117,7 +122,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH_BUCKET_CAP is DROPPED, not expanded — an m-member bucket
     emits m²/2 pairs, and buckets that hot are boilerplate/templated
     content by construction; byte-identical copies are exact dedup's
-    job (dedup_exact flags all of them on the same corpus)."""
+    job (dedup_exact flags all of them on the same corpus).
+
+    Contract: doc_id is the document identity (unique); NULL/empty
+    text yields no shingles, so such docs never pair; band buckets
+    larger than LSH_BUCKET_CAP are DROPPED, not expanded (boilerplate
+    defense; byte-identical copies are dedup_exact's job)
+    """
     # small-buffer collect aggs (the 64-min + hash-set signature
     # rows, ~1 KB/key): build on the OHA-raised sibling session so
     # the signature stage never pays the 128-key sort fallback
@@ -137,6 +148,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     step that turns pairwise dedup output into 'keep one per group'
     at corpus scale. Oracle: DuckDB recursive CTE computing min
     reachable node — identical labeling by construction.
+
+    Contract: doc_id is the document identity (unique); NULL/empty
+    text yields no shingles, so such docs never pair; cluster labels
+    are min-reachable-id — engine-identical by construction
     """
     # small-buffer collect aggs (the 64-min + hash-set signature
     # rows, ~1 KB/key): build on the OHA-raised sibling session so
@@ -171,7 +186,13 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     the min id. quality_score is a per-row double with identical op
     order in both engines (already hash-verified standalone as
     text_quality), so the argmax is engine-identical. One extra
-    shuffle on cluster_id over the cluster table (≪ corpus)."""
+    shuffle on cluster_id over the cluster table (≪ corpus).
+
+    Contract: doc_id is the document identity (unique); NULL/empty
+    text yields no shingles, so such docs never pair; keeper =
+    argmax(quality_score) with ties to the smaller doc_id, computed on
+    identical per-row doubles
+    """
     from .textq import text_quality
 
     clusters = dedup_clusters(spark, sf_dir)
@@ -197,7 +218,12 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     al. 2003): distinct per-document window-min k-gram hashes — the
     local fingerprinting primitive behind MOSS-style overlap
     detection. See functions/dedup.py::winnowing_fingerprints for the
-    guarantee and scale shape (one per-document window shuffle)."""
+    guarantee and scale shape (one per-document window shuffle).
+
+    Contract: doc_id is the document identity (unique); NULL/empty
+    text yields no shingles, so such docs never pair; window size and
+    gram length are fixed knobs; fingerprints are the portable hash
+    """
     docs = t(spark, sf_dir, "documents")
     return winnowing_fingerprints(docs, "text", WINNOW_K, WINNOW_W)
 
@@ -214,6 +240,10 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, so candidate pairs stay near-linear; the capped frame
     materializes once (lazy localCheckpoint — it feeds both sides of
     the self-join, invariant 9).
+
+    Contract: doc_id is the document identity (unique); NULL/empty
+    text yields no shingles, so such docs never pair; pairs share >= 1
+    winnowing fingerprint; bucket caps bound the expansion
     """
     docs = t(spark, sf_dir, "documents")
     fps = winnowing_fingerprints(docs, "text", WINNOW_K, WINNOW_W)
@@ -237,6 +267,10 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: doc_id is the document identity (unique); NULL/empty
+    text yields no shingles, so such docs never pair
+    """
     docs = t(spark, sf_dir, "documents")
     return simhash32(doc_shingles(docs, "text", 2))
 
@@ -270,7 +304,14 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within a label bucket.
     NULL/zero-norm vectors are dropped at entry on both engines
     (oracle `nz` CTE): cosine is undefined for them and the 0/0
-    would raise under ANSI (zero_norm probe class)."""
+    would raise under ANSI (zero_norm probe class).
+
+    Contract: vec_id is the vector identity (must be unique — the
+    fit/rank machinery is multiplicity-stable only on a set; dup_rows
+    probe); NULL and zero-norm embeddings are excluded at entry
+    (cosine undefined for them); pairs are bucketed by label (within-
+    bucket exact compare, capped)
+    """
     vecs = t(spark, sf_dir, "embeddings").where(
         l2_norm(F.col("embedding")) > 0
     )
@@ -312,6 +353,12 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ivf_assign2_np`` (same cells as the in-plan argmin, 10× less
     interpreter time). CC is the per-round-checkpointed hybrid
     (invariants 10/11).
+
+    Contract: vec_id is the vector identity (must be unique — the
+    fit/rank machinery is multiplicity-stable only on a set; dup_rows
+    probe); NULL and zero-norm embeddings are excluded at entry
+    (cosine undefined for them); a cell outgrowing SEMANTIC_BUCKET_CAP
+    fails loudly (finer cells, not bigger caps)
     """
     emb_all = t(spark, sf_dir, "embeddings")
     # NULL vectors excluded by contract (same as ivf_topk; mirrored in
@@ -370,7 +417,14 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force baseline. Cosines are the same sequential
     JVM folds as the oracle's list_reduce — bit-identical doubles, no
-    per-row rounding (CLAUDE.md invariant #2)."""
+    per-row rounding (CLAUDE.md invariant #2).
+
+    Contract: vec_id is the vector identity (must be unique — the
+    fit/rank machinery is multiplicity-stable only on a set; dup_rows
+    probe); NULL and zero-norm embeddings are excluded at entry
+    (cosine undefined for them); probes are the vec_id % 50 subset and
+    must stay user-query-sized (in-plan cap)
+    """
     vecs = t(spark, sf_dir, "embeddings")
     probes = vecs.where(F.col("vec_id") % 50 == 0)
     out = brute_topk(vecs, probes, ANN_K)
@@ -467,7 +521,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes are user-query-sized by contract, and a corpus-derived
     probe set that grows past the cap fails loudly instead of
     shipping a multi-GB broadcast at 100× scale. Probe sets past the
-    cap belong on ``ann_lsh_topk_shuffle``."""
+    cap belong on ``ann_lsh_topk_shuffle``.
+
+    Contract: vec_id is the vector identity (must be unique — the
+    fit/rank machinery is multiplicity-stable only on a set; dup_rows
+    probe); NULL and zero-norm embeddings are excluded at entry
+    (cosine undefined for them); probe sets past MAX_PROBES fail
+    loudly (broadcast contract) — corpus-scale probes belong on the
+    _shuffle variant
+    """
     return _ann_lsh_impl(spark, sf_dir, probe_mod=50, shuffle=False)
 
 
@@ -481,7 +543,14 @@ def ann_lsh_topk_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast entry both to exercise a distinct result and to mark
     the intended regime; tests/test_probe_shuffle.py drives a
     full-corpus probe set (probe_mod=1) through BOTH paths and
-    asserts the broadcast one fails loudly while this one answers."""
+    asserts the broadcast one fails loudly while this one answers.
+
+    Contract: vec_id is the vector identity (must be unique — the
+    fit/rank machinery is multiplicity-stable only on a set; dup_rows
+    probe); NULL and zero-norm embeddings are excluded at entry
+    (cosine undefined for them); uncapped probe side — the corpus-vs-
+    corpus physical shape
+    """
     return _ann_lsh_impl(spark, sf_dir, probe_mod=20, shuffle=True)
 
 
@@ -1108,6 +1177,12 @@ def ivf_topk(
     so the probe side carries ``cap_probes``'s in-plan assert_true
     guard — corpus-scaling probe sets fail loudly instead of
     broadcasting multi-GB at 100× scale (SURVEY §6 probe contract).
+
+    Contract: vec_id is the vector identity (must be unique — the
+    fit/rank machinery is multiplicity-stable only on a set; dup_rows
+    probe); NULL and zero-norm embeddings are excluded at entry
+    (cosine undefined for them); probe sets past MAX_PROBES fail
+    loudly — corpus-scale probes belong on the _shuffle variant
     """
     from ..functions.similarity import MAX_PROBES, cap_probes, dot, l2_norm
 
@@ -1196,7 +1271,14 @@ def ivf_topk_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. Only the `cells`-row centroid table is ever broadcast.
     Denser probe set (vec_id % 20) marks the intended regime;
     tests/test_probe_shuffle.py proves the broadcast path fails
-    loudly at full-corpus probes while this path answers."""
+    loudly at full-corpus probes while this path answers.
+
+    Contract: vec_id is the vector identity (must be unique — the
+    fit/rank machinery is multiplicity-stable only on a set; dup_rows
+    probe); NULL and zero-norm embeddings are excluded at entry
+    (cosine undefined for them); uncapped probe side — the corpus-vs-
+    corpus physical shape
+    """
     return ivf_topk(spark, sf_dir, probe_mod=20, shuffle=True)
 
 
@@ -1205,6 +1287,11 @@ def minhash_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The scale path for near-dup search: the n² compare shrinks to
     LSH candidates, verification touches only those pairs.
+
+    Contract: doc_id is the document identity (unique); NULL/empty
+    text yields no shingles, so such docs never pair; neighbor ranks
+    break ties on neighbor_id; zero-overlap LSH collisions are dropped
+    on both engines
     """
     # small-buffer collect aggs (the 64-min + hash-set signature
     # rows, ~1 KB/key): build on the OHA-raised sibling session so
@@ -1292,6 +1379,10 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries (CLAUDE.md invariant #2). Output is exploded to
     scalar rows so the oracle hashes every element. Narrow
     projection, no shuffle: pipelines with the scan at any SF.
+
+    Contract: NULL embeddings pass through as no rows for that vec_id;
+    the all-zero vector quantizes to all-zero (amax=0 handled
+    identically on both engines)
     """
     vecs = t(spark, sf_dir, "embeddings")
     amax = F.array_max(
@@ -1325,7 +1416,11 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus every output column is SQL-expressible — byte length,
     magic hex, sha256, stub dims from the digest's first two bytes —
     so the mapInPandas plumbing is fully oracle-checked; only real
-    image decode has no SQL twin (fixture-tested instead)."""
+    image decode has no SQL twin (fixture-tested instead).
+
+    Contract: payloads are opaque binary; unknown/truncated containers
+    yield NULL metadata rather than errors (header probe only)
+    """
     docs = t(spark, sf_dir, "documents")
     return multimodal.extract_meta(multimodal.with_binary_payload(docs))
 
@@ -1340,7 +1435,11 @@ def audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere in the header writer or prober breaks the hash match;
     real-world WAV (stdlib wave writer) and FLAC fixtures are
     byte-tested in tests/test_functions.py. Two stateless
-    mapInPandas stages — pipelines with the scan, no shuffle."""
+    mapInPandas stages — pipelines with the scan, no shuffle.
+
+    Contract: payloads are opaque binary; non-WAV/FLAC headers yield
+    NULL metadata
+    """
     docs = t(spark, sf_dir, "documents")
     return multimodal.extract_audio_meta(multimodal.with_audio_payload(docs))
 
@@ -1358,7 +1457,11 @@ def video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     failure anywhere in the writer or prober breaks the hash match;
     hand-crafted spec fixtures are byte-tested in
     tests/test_functions.py. Two stateless mapInPandas stages —
-    pipelines with the scan, no shuffle."""
+    pipelines with the scan, no shuffle.
+
+    Contract: payloads are opaque binary; non-MP4/AVI boxes yield NULL
+    metadata
+    """
     docs = t(spark, sf_dir, "documents")
     return multimodal.extract_video_meta(multimodal.with_video_payload(docs))
 
@@ -1382,6 +1485,9 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     float32's own ulp near 1 and immaterial for a 4dp/6dp profiling
     stat, and the long sums are exact and order-independent at any
     scale (invariants 2/19; the domain guard rides along).
+
+    Contract: NULL embeddings are excluded; per-dim sums ride the
+    micros form with the documented ~5e-7/row quantization walk
     """
     vecs = t(spark, sf_dir, "embeddings")
     ex = vecs.select(
@@ -1425,6 +1531,11 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the eval vocabulary, typically ≪ train and AQE-broadcastable;
     per-doc counting is a map-side-partial groupBy. Never an n² doc
     comparison.
+
+    Contract: doc_id is the document identity (unique); NULL/empty
+    text yields no shingles, so such docs never pair; the eval gram
+    set is loudly capped at EVAL_GRAM_MAX (Bloom variant for corpus-
+    scale eval sets)
     """
     docs = t(spark, sf_dir, "documents")
     ev = docs.where(F.col("source") == DECON_EVAL_SOURCE)
@@ -1464,6 +1575,11 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_lsh_topk). The ≥τ cut is engine-identical: Jaccard is
     one division of integer set sizes, the same operands in both
     engines (no rounding involved, CLAUDE.md invariant 2).
+
+    Contract: doc_id is the document identity (unique); NULL/empty
+    text yields no shingles, so such docs never pair; eval-side bucket
+    membership is capped (same defense as LSH_BUCKET_CAP); ids must be
+    distinct across train/eval sides
     """
     # small-buffer collect aggs (the 64-min + hash-set signature
     # rows, ~1 KB/key): build on the OHA-raised sibling session so

@@ -36,6 +36,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle on the 128-bit fingerprint; at 100 TB the fingerprint
     groupBy is the only wide stage and AQE handles hot fingerprints.
+
+    Contract: doc_id is the document identity (unique); NULL/empty
+    text yields no shingles, so such docs never pair; the keeper per
+    fingerprint group is the struct-argmin (whole-row, invariant 15)
     """
     docs = t(spark, sf_dir, "documents")
     fp = docs.select("doc_id", md5_fingerprint(F.col("text")).alias("fingerprint"))
@@ -52,6 +56,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: NULL text fingerprints as NULL on both engines; the
+    60-bit hash is the portable md5 form (invariant 3)
+    """
     docs = t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -61,6 +69,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: tokenization uses explicit character classes
+    (WS_PATTERN, invariant 14); NULL text counts 0 tokens
+    """
     docs = t(spark, sf_dir, "documents")
     ws = F.size(_ws_tokens())
     return docs.select(
@@ -71,6 +83,11 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: NULL/empty text scores the defined floor (no divide-by-
+    zero: ratios guard the zero-token case identically on both
+    engines)
+    """
     docs = t(spark, sf_dir, "documents")
     n = F.length("text").cast("double")
     alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("double")
@@ -126,6 +143,9 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold anywhere. At 100 TB: two shuffles, both on keys that
     grow with the corpus (never a driver collect); hot grams are
     per-document so no skew beyond document length itself.
+
+    Contract: NULL/empty text yields zero gram mass and passes no
+    Gopher cut; ratios guard zero denominators identically
     """
     from ..functions.dedup import grams
 
@@ -204,6 +224,9 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side-partial shuffle to |sources| rows, then a
     1-row broadcast back over them. The collect_list is over SOURCES
     (a bounded dimension, ~dozens), never documents.
+
+    Contract: NULL source groups as NULL on both engines; token counts
+    are exact integers
     """
     docs = t(spark, sf_dir, "documents")
     per_src = docs.groupBy("source").agg(
@@ -234,6 +257,10 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: NULL/empty text classifies as 'unknown'; n-gram profiles
+    are engine-identical string ops
+    """
     docs = t(spark, sf_dir, "documents")
     toks = F.array_distinct(tokens(F.col("text")))
     scores = {
@@ -261,7 +288,12 @@ _STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data chunking: explode each document into sliding
     64-token windows with 16-token overlap. One narrow explode — at
-    100 TB this pipelines with the scan, no shuffle at all."""
+    100 TB this pipelines with the scan, no shuffle at all.
+
+    Contract: doc_id is the document identity (unique); NULL/empty
+    text yields no shingles, so such docs never pair; chunk boundaries
+    are pure integer arithmetic over the token array
+    """
     from ..functions.core import ensure_fanout_parallelism
 
     docs = t(spark, sf_dir, "documents")
@@ -311,7 +343,11 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-style scrubbing stage: mask emails, URLs and long digit
     runs before training. Pure regexp_replace chain — JVM-side, no
     shuffle, pipelines with the scan; the oracle applies the same
-    RE2/Java-compatible patterns so rewritten bytes match exactly."""
+    RE2/Java-compatible patterns so rewritten bytes match exactly.
+
+    Contract: regexes use explicit character classes (invariant 14);
+    NULL text passes through as NULL
+    """
     docs = t(spark, sf_dir, "documents")
     red = F.regexp_replace(F.col("text"), REDACT_EMAIL, "<EMAIL>")
     red = F.regexp_replace(red, REDACT_URL, "<URL>")
@@ -346,6 +382,9 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back onto tf — no tf re-shuffle); corpus size N rides a
     one-row scalar broadcast. Top-k per doc is a WindowGroupLimit
     rank, partial below the exchange.
+
+    Contract: ties in term counts break on the term string
+    (deterministic total order); tokenization per invariant 14
     """
     from ..functions.core import ensure_fanout_parallelism
 
@@ -398,6 +437,11 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order would serialize the whole corpus through one
     partition; a per-shard order shuffles once and scales with shard
     count). No UDFs, no iteration.
+
+    Contract: doc_id is the document identity (unique); NULL/empty
+    text yields no shingles, so such docs never pair; packing is the
+    deterministic first-fit over (n_tokens desc, doc_id) — order-
+    independent of input layout
     """
     docs = t(spark, sf_dir, "documents")
     ws = F.size(_ws_tokens())
@@ -429,6 +473,11 @@ def incremental_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's exact-dedup over corpus+batch and diffing, without
     the rescan (CallistoLabsNYC/rstreams has no incremental variant;
     this is the scale-mandated extension).
+
+    Contract: doc_id is the document identity (unique); NULL/empty
+    text yields no shingles, so such docs never pair; arrivals dedup
+    against the fingerprint index — a doc survives only if its
+    fingerprint is unseen
     """
     from ..functions.dedup import incremental_dedup_exact as _inc
 
@@ -475,6 +524,11 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     what AQE skew-join handles), a shuffle join back on span_text, and
     one shuffle on doc_id to reassemble. No self-join, no window over
     a skewed key, no driver collect — the same shape at 100 TB.
+
+    Contract: doc_id is the document identity (unique); NULL/empty
+    text yields no shingles, so such docs never pair; composite span
+    keys guard the 2^61/2^62 id range loudly (documented probe
+    divergence outside it)
     """
     from ..functions.core import ensure_fanout_parallelism
 
@@ -558,6 +612,10 @@ def doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     count shuffle, |vocab| df aggregate joined back on term, per-doc
     sum shuffle, corpus size as a one-row broadcast. Linear in corpus
     tokens, no skew beyond the natural vocabulary head (AQE).
+
+    Contract: doc_id is the document identity (unique); NULL/empty
+    text yields no shingles, so such docs never pair; commonness is
+    defined over the DF-capped shingle stream
     """
     from ..functions.core import ensure_fanout_parallelism
 
@@ -610,6 +668,10 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-seen min aggregate → join on gram → per-doc sum. All keys
     grow with the corpus; hot boilerplate grams are bounded by the
     distinct-per-doc collapse ahead of the join.
+
+    Contract: doc_id is the document identity (unique); NULL/empty
+    text yields no shingles, so such docs never pair; novelty compares
+    against the DF-capped reference gram set
     """
     from ..functions.core import ensure_fanout_parallelism
     from ..functions.dedup import grams
@@ -662,6 +724,10 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: stateless hash + one map-side-partial shuffle to 3
     rows. The assignment expression is the reusable primitive; the
     aggregate is the checkable surface.
+
+    Contract: split assignment is a pure function of the portable
+    doc_id hash (invariant 3) — stable under any input order or
+    partitioning
     """
     from ..functions.text import hash64
 
@@ -739,6 +805,10 @@ def budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way pack_sequences' range shards do). The filter is on the
     PRIOR sum so the plan stays a single window pass — no join-back,
     no second scan.
+
+    Contract: the kept set is a pure filter on the portable hash
+    ordered threshold — deterministic under the token budget; NULL
+    token counts are excluded
     """
     docs = t(spark, sf_dir, "documents")
     ws = F.size(_ws_tokens()).cast("long")
@@ -764,6 +834,9 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum and the totals; invariant 9) — then a distributed
     TakeOrderedAndProject top-K (never a single-partition window
     over the vocabulary) broadcast back as a semi-join.
+
+    Contract: coverage counts distinct vocab hits per doc; NULL text
+    covers nothing; tokenization per invariant 14
     """
     from ..functions.core import ensure_fanout_parallelism
 
@@ -828,6 +901,9 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. At 100 TB: linear in corpus grams with two gram-keyed
     shuffles; no data-sized broadcast, no skew beyond hot grams
     already collapsed to ≤ S rows each.
+
+    Contract: NULL source rows are excluded; overlap is computed over
+    hashed shingle sets (portable hash, invariant 3)
     """
     from ..functions.core import ensure_fanout_parallelism
     from ..functions.dedup import grams

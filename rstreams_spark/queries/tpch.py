@@ -145,6 +145,11 @@ def _mdec(tag: str) -> F.Column:
 
 
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum
+    """
     li = t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -177,6 +182,11 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum
+    """
     cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
@@ -206,6 +216,11 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum
+    """
     region = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = t(spark, sf_dir, "nation")
     supplier = t(spark, sf_dir, "supplier")
@@ -233,6 +248,11 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    Contract: summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum
+    """
     li = t(spark, sf_dir, "lineitem")
     return (
         li.where(
@@ -256,7 +276,12 @@ Q18_QTY = 250
 
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Returned-item revenue by customer (q10 shape, adapted to the
-    driver's schema: no address/phone columns)."""
+    driver's schema: no address/phone columns).
+
+    Contract: summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum
+    """
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit(Q10_START).cast("timestamp"))
@@ -282,7 +307,13 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-volume customers: orders whose total quantity exceeds a
-    threshold (semi-join on a grouped HAVING)."""
+    threshold (semi-join on a grouped HAVING).
+
+    Contract: summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum; the having cut is an exact
+    integer-quantity sum
+    """
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
@@ -304,7 +335,12 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume shipping between two nations by year (q7 shape):
-    supplier-nation ↔ customer-nation flows."""
+    supplier-nation ↔ customer-nation flows.
+
+    Contract: summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum
+    """
     n1 = t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
     )
@@ -341,7 +377,13 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promotion revenue share: lineitem ⋈ part with a conditional
     aggregate. Part is the broadcast side; the single-row result is
-    two sums in one pass."""
+    two sums in one pass.
+
+    Contract: summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum; the promo share divides two
+    micros totals once, identically on both engines
+    """
     li = t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit(Q5_START).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(Q5_END).cast("timestamp"))
@@ -382,6 +424,9 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     5.6 s broadcast vs 0.9 s shuffled; sf0.1: 1.1 vs 0.8 — the hint
     wins at every SF AND is the only shape that exists at 100 TB,
     where a fact broadcast simply OOMs).
+
+    Contract: NULL join keys never match (SQL equi-join semantics on
+    both engines)
     """
     orders = t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit(Q4_START).cast("timestamp"))
@@ -407,6 +452,9 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     high- vs low-priority orders per lineitem return flag (the driver's
     lineitem has no l_shipmode; l_returnflag plays the grouping role).
     One shuffled join + one hash agg with two conditional sums.
+
+    Contract: NULL join keys never match (SQL equi-join semantics on
+    both engines)
     """
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     li = t(spark, sf_dir, "lineitem").where(
@@ -430,6 +478,9 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-customer order counts. Exercises outer join with an extra join
     predicate + a two-level aggregation; customers with zero orders
     survive with c_count = 0.
+
+    Contract: NULL o_comment never matches the exclusion regex;
+    customers with no orders count with c_count = 0
     """
     cust = t(spark, sf_dir, "customer").select("c_custkey")
     orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
@@ -457,6 +508,11 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to the brand-filtered lineitems: the threshold table has at
     most |part| rows (sublinear in SF) so AQE may broadcast it; the
     brand filter itself rides a broadcast of the genuine `part` dim.
+
+    Contract: summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum; the avg threshold is the
+    multiplication-only 2*sum > 7*count*price form — no division
     """
     part_b = t(spark, sf_dir, "part").where(
         F.col("p_brand") == Q17_BRAND
@@ -493,6 +549,10 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q19 shape, p_size standing in for p_container). The OR-of-ANDs
     predicate spans both sides of a broadcast equi-join; the part-only
     disjuncts (brand+size) are pushed below the join by Catalyst.
+
+    Contract: summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum
     """
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     li = t(spark, sf_dir, "lineitem").select(
@@ -527,6 +587,11 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join selective at every SF). Anti-join on the orders fact
     (shuffled, never broadcast) + a one-row scalar-aggregate broadcast
     for the balance threshold.
+
+    Contract: summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum; the balance threshold is the
+    micros-total/count idiom (one division on identical doubles)
     """
     cust = t(spark, sf_dir, "customer")
     orders = (
@@ -570,6 +635,11 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the genuine dims hinted; orders/customer shuffle. The share is a
     ratio of two conditional sums in ONE aggregation pass, rounded
     only at the aggregate (invariant #2).
+
+    Contract: summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum; the share division happens once
+    per year on the identical micros-derived doubles
     """
     part = t(spark, sf_dir, "part").where(F.col("p_type") == Q8_TYPE).select("p_partkey")
     region = t(spark, sf_dir, "region").where(F.col("r_name") == Q8_REGION)
@@ -614,6 +684,11 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     Equality on an UNROUNDED double is safe here because both sides
     come from the same Spark aggregation — the max IS one of the
     values; only the reported revenue is rounded.
+
+    Contract: summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum; the max-revenue threshold
+    compares micros longs recombined in decimal(38,0) — no division
     """
     li = t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
@@ -657,6 +732,11 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     over an empty table; Spark (DataFrame API AND SQL) emits zero
     rows. Pinned in tests/test_empty_inputs.py; irrelevant at any
     driver SF (orders is never empty).
+
+    Contract: summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum; ROLLUP grouping-set semantics
+    pinned on empty input by the empty probe class
     """
     orders = t(spark, sf_dir, "orders")
     return (
@@ -684,6 +764,11 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus three broadcast dims — grouped by nation × order-year.
     Fact sides stay shuffle-joined (linear in SF); part/supplier/
     nation ride broadcasts.
+
+    Contract: summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum; signed profit terms ride the
+    hi/lo micros split (cancelling sums are exact)
     """
     part = t(spark, sf_dir, "part").where(
         F.col("p_name").contains(Q9_PART)
@@ -729,6 +814,12 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     (BroadcastNestedLoopJoin — same pattern as q22's scalar avg), so
     the fact table is scanned and aggregated exactly once per side;
     no driver-side collect.
+
+    Contract: summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum; the group-vs-total threshold is
+    multiplication-only integer algebra in decimal(38,0) (no division
+    — invariant 2)
     """
     li = t(spark, sf_dir, "lineitem")
     # exact micros sums (2dp per-row products) so the threshold
@@ -771,6 +862,10 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast part join; count(distinct) expands internally to a
     two-phase exact aggregation — no approx sketch, same result as
     the oracle's count(distinct).
+
+    Contract: NULL join keys never match (SQL equi-join semantics on
+    both engines); the supplier exclusion is an anti-join (NULL-safe
+    on both engines)
     """
     part = t(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#5")
@@ -808,6 +903,10 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Part and the supplier⋈nation⋈region chain are genuine dims —
     broadcast; cost equality on doubles is safe because both sides
     come from the same aggregation (the min IS one of the values).
+
+    Contract: NULL join keys never match (SQL equi-join semantics on
+    both engines); min-cost supplier ties break deterministically via
+    the ordered output columns
     """
     from pyspark.sql.window import Window
 
@@ -874,6 +973,11 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast ahead of the aggregate so only matching links are
     ever shuffled; suppliers of qualifying links are reduced to
     distinct keys BEFORE the (broadcast) supplier⋈nation probe.
+
+    Contract: summed measures must be finite with |v| < 1e9 — both
+    engines raise the same micros-guard message otherwise (invariant
+    19); NULL measures skip the sum; the availqty threshold is
+    multiplication-only micros algebra
     """
     part_f = t(spark, sf_dir, "part").where(
         F.col("p_name").startswith(Q20_PREFIX)
@@ -935,6 +1039,10 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle at ≤ |order×supplier| rows and needs no Expand. Three
     shuffles total (pair pre-agg, per-order, per-supplier) and no
     fact self-joins.
+
+    Contract: supplier names are unique by construction (key-derived);
+    NULL join keys never match (SQL equi-join semantics on both
+    engines)
     """
     orders = t(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"

@@ -27,3 +27,17 @@ def test_entry_contract(spark):
     assert df.count() > 0
     assert set(entry_mod.queries()) == set(REGISTRY)
     assert set(entry_mod.oracle_sql()) == set(ORACLES)
+
+
+def test_every_catalog_entry_states_its_contract():
+    """r9 (VERDICT item 8): every queries() entry documents its input
+    contract — preconditions (unique ids, probe caps), NULL/non-finite
+    handling, and determinism guarantees — as a 'Contract:' line in
+    its docstring, so a user never has to mine SURVEY prose for what
+    an operator assumes about its input."""
+    from rstreams_spark.queries import REGISTRY
+
+    missing = [
+        n for n, f in REGISTRY.items() if "Contract:" not in (f.__doc__ or "")
+    ]
+    assert missing == []

@@ -19,14 +19,17 @@ reusing them would create exact cross-copy twins one level up:
   only 4 distinct rotations exist, so a second rotation level would
   alias: rot16∘rot0 == rot0∘rot16 ⇒ exact duplicate vectors under
   different vec_ids, breaking the ANN/IVF identity precondition).
-  Level 2 uses Walsh-style SIGN FLIPS instead: copy j negates the
-  dims whose bit (j-1) of (d-1)'s base-2 index is set. Sign flips
-  are orthogonal transforms (norms and intra-copy pairwise cosines
-  exactly preserved) and mutually decorrelating across copies
-  (cos(flip_a·x, flip_b·x) = Σ x_d² s_a(d)s_b(d)/|x|² ≈ 0 for
-  Walsh-distinct masks), and they commute with nothing gen_sf1 did
-  that would recreate collisions. Embeddings tile ×4 per decade
-  (the driver's own growth rate), like gen_sf1.
+  Level 2 composes a Walsh-style SIGN FLIP with a stride-8 rotation:
+  copy j applies rot_{8j} then negates the dims whose bit (j-1) of
+  the 0-based index is set. Both factors are orthogonal (norms and
+  intra-copy pairwise cosines exactly preserved); the composite
+  family flip_j∘rot_{8j+16i} over both tiling levels is injective in
+  (i, j), so no two copies ever share a transform (no exact twins).
+  Flips alone left a fat cross-copy tail (1.25% of same-base pairs
+  above COSINE_TAU=0.4, max 0.64 — measured); adding the rotation
+  de-aligns the per-dim mass pattern first and cuts the tail (the
+  post-generation check below prints it). Embeddings tile ×4 per
+  decade (the driver's own growth rate), like gen_sf1.
 
 Usage: python tools/gen_sf10.py [out_dir]   (~2.4 GB, a few minutes)
 """
@@ -125,10 +128,12 @@ def main() -> None:
                 elif tbl == "documents" and c == "text" and i > 0:
                     sel.append(f"replace(text, 'a', 'x{i}') as text")
                 elif tbl == "embeddings" and c == "embedding" and i > 0:
+                    k = 8 * i
+                    rot = f"(embedding[{k + 1}:] || embedding[1:{k}])"
                     sel.append(
-                        "list_transform(range(1, len(embedding) + 1), "
-                        f"d -> case when {_flip_mask(i)} then -embedding[d] "
-                        "else embedding[d] end) as embedding"
+                        f"list_transform(range(1, len(embedding) + 1), "
+                        f"d -> case when {_flip_mask(i)} then -{rot}[d] "
+                        f"else {rot}[d] end) as embedding"
                     )
                 else:
                     sel.append(c)
@@ -142,6 +147,45 @@ def main() -> None:
             f"select count(*) from read_parquet('{out}/{tbl}.parquet')"
         ).fetchone()[0]
         print(f"{tbl}: {n} rows")
+
+    # post-generation corpus checks: the decade-step measurements are
+    # only honest if the tiled corpus keeps organic dup structure
+    dup = con.sql(
+        f"select count(*), count(*) - count(distinct md5(text)) "
+        f"from read_parquet('{out}/documents.parquet')"
+    ).fetchone()
+    print(f"docs exact-dup rows: {dup[1]}/{dup[0]} ({dup[1] / dup[0]:.4%} — "
+          "must match sf1's rate)")
+    edup = con.sql(
+        f"select count(*) - count(distinct embedding::varchar) "
+        f"from read_parquet('{out}/embeddings.parquet')"
+    ).fetchone()[0]
+    print(f"exact-duplicate embeddings: {edup} (must be 0)")
+    stride = strides["embeddings"]
+    tail = con.sql(f"""
+        with e as (select vec_id, embedding
+                   from read_parquet('{out}/embeddings.parquet')),
+        pairs as (
+          select list_reduce(list_transform(range(1, len(a.embedding)+1),
+                   d -> a.embedding[d]::double * b.embedding[d]::double),
+                   (x,y)->x+y)
+            / (sqrt(list_reduce(list_transform(range(1, len(a.embedding)+1),
+                   d -> a.embedding[d]::double * a.embedding[d]::double),
+                   (x,y)->x+y))
+             * sqrt(list_reduce(list_transform(range(1, len(b.embedding)+1),
+                   d -> b.embedding[d]::double * b.embedding[d]::double),
+                   (x,y)->x+y))) as cos
+          from e a join e b on b.vec_id % {stride} = a.vec_id
+                           and b.vec_id >= {stride}
+          where a.vec_id < 2000
+        )
+        select count(*), count(*) filter (where cos >= 0.4), max(cos)
+        from pairs
+    """).fetchone()
+    print(f"cross-copy same-base cosine tail: {tail[1]}/{tail[0]} pairs "
+          f">= 0.4, max {tail[2]:.3f} (r9 HEAD: 4/6000, max 0.464 — "
+          "residual organic-scale noise, vs 75/6000 max 0.636 for "
+          "flips without the rotation)")
 
 
 if __name__ == "__main__":
