@@ -132,63 +132,88 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     single biggest 2-gram (count × gram length, the "most repeated
     phrase" signal), and the char share of all duplicated 3-grams.
 
-    Plan: ONE explode emits (doc, n, gram) rows for n ∈ {1,2,3}
-    (~3× token count — narrow, pipelines with the scan), then two
-    hash aggregations: per-(doc, n, gram) counts, per-doc stats.
-    The normalized char length rides the groupBy keys (constant per
-    doc) so no join back onto documents is needed. All numerators/
-    denominators are exact integers; each output fraction is ONE
-    double division of identical integers on both engines, and the
-    keep flag is multiplication-only integer algebra — no FP
-    threshold anywhere. At 100 TB: two shuffles, both on keys that
-    grow with the corpus (never a driver collect); hot grams are
-    per-document so no skew beyond document length itself.
+    Plan: every statistic is doc-LOCAL, so no row leaves its
+    document — the whole query is one map-only scan→filter→project
+    with ZERO exchanges (pinned in tests/test_plans.py). Word
+    counts come from size/array_distinct on the token array; the
+    2-/3-gram counts from a run-length fold over the doc's SORTED
+    gram array (array_sort + one F.aggregate pass tracking
+    (prev, run, agg) — equal grams are adjacent after the sort, so
+    closing a run yields that gram's exact count). The r9 A/B vs
+    the previous explode + two-hash-agg plan: 1.24 s vs 3.59 s at
+    sf0.1, row-identical (PERF.md). All numerators/denominators are
+    exact integers; each output fraction is ONE double division of
+    identical integers on both engines, and the keep flag is
+    multiplication-only integer algebra — no FP threshold anywhere.
+    At 100 TB: embarrassingly parallel, no shuffle at all; cost is
+    O(m log m) per doc in the sort, bounded by document length.
 
     Contract: NULL/empty text yields zero gram mass and passes no
-    Gopher cut; ratios guard zero denominators identically
+    Gopher cut; ratios guard zero denominators identically; a ROW is
+    a document — byte-identical duplicate rows each yield their own
+    stats row (the oracle groups grams under a row number), never a
+    merged double-counted group
     """
     from ..functions.dedup import grams
 
     docs = t(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     nc = F.greatest(F.length(norm_text(F.col("text"))), F.lit(1)).cast("long")
-    from ..functions.core import ensure_fanout_parallelism
 
-    # one concatenated explode for all three gram sizes; n is
-    # recovered from the gram itself (tokens never contain spaces,
-    # so n = space count + 1) — no per-element struct tagging, and
-    # the explode fans each doc ~3×|tokens| so the scan is
-    # redistributed first when it arrives under-parallel
-    gram_rows = ensure_fanout_parallelism(docs, by="doc_id").select(
-        "doc_id",
-        nc.alias("__nc"),
-        F.explode(
-            F.concat(*[grams(toks, n) for n in (1, 2, 3)])
-        ).alias("gram"),
-    ).select(
-        "doc_id",
-        "__nc",
-        (
-            F.length("gram")
-            - F.length(F.replace(F.col("gram"), F.lit(" "), F.lit("")))
-            + 1
-        ).cast("int").alias("n"),
-        "gram",
+    # materialize the token array ONCE per row (invariant 5: a
+    # fold's outer expressions would re-evaluate per element), then
+    # drop zero-token docs — the gram explode of the previous plan
+    # emitted no rows for them, so absence IS the contract
+    staged = docs.select(
+        "doc_id", nc.alias("__nc"), toks.alias("__toks")
+    ).filter(F.size("__toks") >= 1)
+
+    tk = F.col("__toks")
+    zl = F.lit(0).cast("long")
+    ns = F.lit(None).cast("string")
+
+    def _close_chars(acc):
+        # chars of the run being closed: count × gram length; the
+        # initial NULL prev yields NULL, skipped by greatest/coalesce
+        return acc.run.cast("long") * F.length(acc.prev).cast("long")
+
+    def _rl_fold(sorted_col, merge_close, finish):
+        """Run-length fold over a sorted gram array: acc carries the
+        current run (prev gram, run count) plus one agg slot; a new
+        gram closes the previous run through ``merge_close``."""
+        return F.aggregate(
+            sorted_col,
+            F.struct(ns.alias("prev"), F.lit(0).alias("run"),
+                     zl.alias("agg")),
+            lambda acc, x: F.when(
+                x == acc.prev,
+                F.struct(x.alias("prev"), (acc.run + 1).alias("run"),
+                         acc.agg.alias("agg")),
+            ).otherwise(
+                F.struct(x.alias("prev"), F.lit(1).alias("run"),
+                         merge_close(acc).alias("agg"))
+            ),
+            finish,
+        )
+
+    # biggest 2-gram char mass: max over runs of run*len
+    top2 = _rl_fold(
+        F.array_sort(grams(tk, 2)),
+        lambda acc: F.greatest(acc.agg, _close_chars(acc)),
+        lambda acc: F.coalesce(
+            F.greatest(acc.agg, _close_chars(acc)), zl),
     )
-    counted = gram_rows.groupBy("doc_id", "__nc", "n", "gram").agg(
-        F.count("*").alias("cnt")
-    )
-    chars = F.col("cnt") * F.length("gram")
-    stats = counted.groupBy("doc_id", "__nc").agg(
-        F.sum(F.when(F.col("n") == 1, F.col("cnt"))).alias("__w_total"),
-        F.count(F.when(F.col("n") == 1, True)).alias("__w_distinct"),
-        F.coalesce(
-            F.max(F.when(F.col("n") == 2, chars)), F.lit(0)
-        ).alias("__top2_chars"),
-        F.coalesce(
-            F.sum(F.when((F.col("n") == 3) & (F.col("cnt") > 1), chars)),
-            F.lit(0),
-        ).alias("__dup3_chars"),
+    # duplicated 3-gram char mass: sum over runs with count ≥ 2
+    _dup_close = lambda acc: acc.agg + F.coalesce(  # noqa: E731
+        F.when(acc.run >= 2, _close_chars(acc)).otherwise(zl), zl)
+    dup3 = _rl_fold(F.array_sort(grams(tk, 3)), _dup_close, _dup_close)
+
+    stats = staged.select(
+        "doc_id", "__nc",
+        F.size(tk).cast("long").alias("__w_total"),
+        F.size(F.array_distinct(tk)).cast("long").alias("__w_distinct"),
+        top2.alias("__top2_chars"),
+        dup3.alias("__dup3_chars"),
     )
     w_total = F.greatest(F.col("__w_total"), F.lit(1))
     keep = (
@@ -1008,28 +1033,33 @@ SQL_ORACLES = {
         from per_src, tot
     """,
     "quality_repetition": f"""
+        -- per-ROW semantics (a row IS a document): grams group under
+        -- a row number so byte-identical duplicate rows each yield
+        -- their own stats row, matching the Spark side's doc-local
+        -- map-only fold; rid never reaches the output, so the
+        -- unordered numbering is multiset-irrelevant
         with toks as (
-          select doc_id,
+          select row_number() over () as rid, doc_id,
                  greatest(length({_NORM}), 1) as nc,
                  {_TOKS} as tk
           from documents
         ),
         gr as (
-          select doc_id, nc, 1 as n, unnest(tk) as gram from toks
+          select rid, doc_id, nc, 1 as n, unnest(tk) as gram from toks
           union all
-          select doc_id, nc, 2 as n,
+          select rid, doc_id, nc, 2 as n,
                  unnest([tk[i] || ' ' || tk[i+1]
                          for i in range(1, len(tk))]) as gram
           from toks
           union all
-          select doc_id, nc, 3 as n,
+          select rid, doc_id, nc, 3 as n,
                  unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                          for i in range(1, len(tk) - 1)]) as gram
           from toks
         ),
         cnts as (
-          select doc_id, nc, n, gram, count(*) as cnt
-          from gr group by doc_id, nc, n, gram
+          select rid, doc_id, nc, n, gram, count(*) as cnt
+          from gr group by rid, doc_id, nc, n, gram
         ),
         stats as (
           select doc_id, nc,
@@ -1039,7 +1069,7 @@ SQL_ORACLES = {
                               then cnt * length(gram) end), 0) as top2,
                  coalesce(sum(case when n = 3 and cnt > 1
                               then cnt * length(gram) end), 0) as dup3
-          from cnts group by doc_id, nc
+          from cnts group by rid, doc_id, nc
         )
         select doc_id,
                cast(w_total as bigint) as n_words,

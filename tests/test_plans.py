@@ -442,3 +442,12 @@ def test_source_overlap_plan_shape(spark):
         txt = plans.explain_str(df)
         assert "ExistingRDD" in txt
         assert "CartesianProduct" not in txt
+
+
+def test_quality_repetition_is_map_only(spark):
+    # every statistic is doc-local (r9 rewrite): the whole query is
+    # scan -> filter -> project with ZERO exchanges — nothing to
+    # shuffle at any scale
+    df = REGISTRY["quality_repetition"](spark, SF_SMOKE)
+    assert plans.count_shuffles(df) == 0
+    assert plans.count_broadcast_joins(df) == 0
