@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "dot", "l2_norm", "cosine", "cosine_pairs", "cosine_pairs_np",
     "brute_topk", "cap_probes", "hyperplanes", "lsh_bucket",
-    "lsh_topk", "stack_f64",
+    "lsh_topk", "rankable_norm", "stack_f64",
 ]
 
 MAX_PROBES = 1024
@@ -163,7 +163,7 @@ def lsh_topk(
         F.col(id_col), F.col(vec_col)
     ).withColumn("__bkt", lsh_bucket(F.col(vec_col), planes)).withColumn(
         "__nrm", l2_norm(F.col(vec_col))
-    ).where(F.col("__nrm") > 0)  # NULL norm (NULL vec) also drops here
+    ).where(rankable_norm(F.col("__nrm")))  # NULL norm (NULL vec) also drops here
     c = pre(corpus)
     p = pre(probes).select(
         F.col(id_col).alias(probe_id_col),
@@ -201,6 +201,20 @@ def dot(a: Column, b: Column) -> Column:
 
 def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
+
+
+def rankable_norm(norm: Column) -> Column:
+    """Entry predicate for every embedding-similarity op: a vector
+    participates only when its L2 norm is positive AND finite.
+    NULL (NULL vec — NULL compares false), zero (no direction, 0/0
+    cosine), and non-finite norms (one NaN/±Inf component poisons
+    the fold — nonfinite_vec probe class, r9) are all excluded by
+    the same two comparisons on both engines: NaN compares false
+    against +Inf under IEEE on Spark AND DuckDB, and an unfiltered
+    NaN cosine would sort GREATEST under desc, silently occupying
+    top-k slots. DuckDB twin: queries/dedupq.py::_SQL_NZ
+    (norm > 0 and isfinite(norm) — same selected set)."""
+    return (norm > 0) & (norm < F.lit(float("inf")))
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -423,7 +437,7 @@ def brute_topk(
     # BELOW the cap count-wise: only rankable probes count
     probe_sel = probe_sel.withColumn(
         "__p_norm", l2_norm(F.col("__p_vec"))
-    ).where(F.col("__p_norm") > 0)
+    ).where(rankable_norm(F.col("__p_norm")))
     # plan-side hard cap (shared guard): probes are small by
     # contract, so the single-partition row_number is itself bounded
     probe_sel = cap_probes(probe_sel, max_probes, probe_id_col, "brute_topk")
@@ -432,7 +446,7 @@ def brute_topk(
     # cutting the per-pair work to one dot product
     corpus_n = corpus.select(id_col, vec_col).withColumn(
         "__c_norm", l2_norm(F.col(vec_col))
-    ).where(F.col("__c_norm") > 0)
+    ).where(rankable_norm(F.col("__c_norm")))
     scored = (
         corpus_n.join(F.broadcast(probe_sel), F.col(id_col) != F.col(probe_id_col))
         .select(

@@ -21,6 +21,7 @@ from ..functions.dedup import (
 )
 from ..functions.similarity import (
     brute_topk, cosine_pairs, cosine_pairs_np, hyperplanes, l2_norm,
+    rankable_norm,
     lsh_bucket, stack_f64,
 )
 from ..session import oha_session
@@ -313,7 +314,7 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket exact compare, capped)
     """
     vecs = t(spark, sf_dir, "embeddings").where(
-        l2_norm(F.col("embedding")) > 0
+        rankable_norm(l2_norm(F.col("embedding")))
     )
     pairs = cosine_pairs(
         vecs, COSINE_TAU, bucket_col="label", max_bucket=SEMANTIC_BUCKET_CAP
@@ -373,7 +374,7 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ivf_topk / the oracle's _SQL_NZ): no defined cosine, and the
         # pair kernel's 0/0 would otherwise raise — the filter sits
         # above the fit so centroids agree with the oracle twin
-        .where(l2_norm(F.col("embedding")) > 0)
+        .where(rankable_norm(l2_norm(F.col("embedding"))))
         .localCheckpoint(eager=False)
     )
     # cells ∝ corpus size keeps within-cell pair work LINEAR in n
@@ -456,7 +457,7 @@ def _ann_lsh_impl(
       hash joins on the LSH bucket, never a multi-GB broadcast."""
     from pyspark.sql.window import Window as W
 
-    from ..functions.similarity import MAX_PROBES, cap_probes, dot, l2_norm
+    from ..functions.similarity import MAX_PROBES, cap_probes, dot, l2_norm, rankable_norm
 
     vecs = t(spark, sf_dir, "embeddings").select("vec_id", "embedding").withColumn(
         "bucket", lsh_bucket(F.col("embedding"), _PLANES)
@@ -466,7 +467,7 @@ def _ann_lsh_impl(
     # would raise (Spark ANSI) / NULL-rank (DuckDB). Same contract
     # as the library lsh_topk, so lib==catalog row identity holds
     # on corpora that contain a zero vector (zero_norm probe class).
-    vecs = vecs.where(F.col("v_norm") > 0)
+    vecs = vecs.where(rankable_norm(F.col("v_norm")))
     # vecs feeds BOTH join sides (corpus + the probe derivation):
     # per invariant 9 the scan + bucket/norm folds would otherwise
     # plan twice — lazy localCheckpoint materializes them once
@@ -1184,7 +1185,7 @@ def ivf_topk(
     (cosine undefined for them); probe sets past MAX_PROBES fail
     loudly — corpus-scale probes belong on the _shuffle variant
     """
-    from ..functions.similarity import MAX_PROBES, cap_probes, dot, l2_norm
+    from ..functions.similarity import MAX_PROBES, cap_probes, dot, l2_norm, rankable_norm
 
     # prune to the 3 live columns BEFORE the Arrow kernel —
     # mapInPandas materializes its declared input schema, so an
@@ -1203,7 +1204,7 @@ def ivf_topk(
         # the oracle's filtered hashed/norms CTEs.
         .where(F.col("embedding").isNotNull())
         .withColumn("v_norm", l2_norm(F.col("embedding")))
-        .where(F.col("v_norm") > 0)
+        .where(rankable_norm(F.col("v_norm")))
         .localCheckpoint(eager=False)
     )
     # the fit's 3 corpus passes (seed TakeOrdered + IVF_LLOYD
@@ -1382,11 +1383,30 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Contract: NULL embeddings pass through as no rows for that vec_id;
     the all-zero vector quantizes to all-zero (amax=0 handled
-    identically on both engines)
+    identically on both engines); a NaN/±Inf component raises the
+    same loud domain error on both engines (nonfinite_vec probe
+    class, r9) — Spark's unguarded floor(NaN) would silently emit
+    q=0 while DuckDB's bigint cast throws, so the symmetric guard is
+    the only honest contract (invariant 19's pattern)
     """
     vecs = t(spark, sf_dir, "embeddings")
-    amax = F.array_max(
+    amax_raw = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    # amax is non-finite iff ANY component is (abs + NaN-greatest max
+    # on both engines): one guarded compare covers every element.
+    # NaN/Inf < Inf compare false; NULL amax (NULL embedding) passes
+    # through — posexplode then emits no rows for it
+    amax = F.when(
+        amax_raw.isNull() | (amax_raw < F.lit(float("inf"))), amax_raw
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "embedding outside finite-component domain"
+                " (finite components required): %s",
+                amax_raw.cast("string"),
+            )
+        )
     )
     v = vecs.withColumn("__amax", amax).withColumn(
         "scale", F.col("__amax") / F.lit(float(QUANT_MAX))
@@ -1777,10 +1797,13 @@ _SQL_IVF_NORM = (
     "i -> embedding[i]::double * embedding[i]::double), (x, y) -> x + y))"
 )
 # entry predicate shared by every embedding-similarity oracle: NULL
-# embeddings (NULL norm) and zero-norm vectors never participate —
-# cosine is undefined for them (twin of the Spark-side v_norm > 0
-# entry drops; NULL > 0 and 0 > 0 are both false on both engines)
-_SQL_NZ = f"embedding is not null and {_SQL_IVF_NORM} > 0"
+# embeddings (NULL norm), zero-norm vectors AND non-finite norms (a
+# NaN/Inf component — nonfinite_vec probe class, r9) never
+# participate — cosine is undefined/poisoned for them (twin of the
+# Spark-side rankable_norm entry drops; NULL/NaN/Inf all compare
+# false through the same two comparisons on both engines)
+_SQL_NZ = (f"embedding is not null and {_SQL_IVF_NORM} > 0"
+           f" and isfinite({_SQL_IVF_NORM})")
 _SQL_IVF_DOT = (
     "list_reduce(list_transform(range(1, len(a.embedding) + 1), "
     "i -> a.embedding[i]::double * p.p_emb[i]::double), (x, y) -> x + y)"
@@ -2129,10 +2152,21 @@ SQL_ORACLES = {
         from ranked where rank <= {ANN_K}
     """,
     "embedding_quantize": f"""
-        with a as (
+        with a0 as (
           select vec_id, embedding,
-                 list_max(list_transform(embedding, x -> abs(x::double))) as amax
+                 list_max(list_transform(embedding, x -> abs(x::double))) as amax0
           from embeddings
+        ),
+        -- finite-component guard, twin of the Spark side's raise:
+        -- amax is non-finite iff any component is (nonfinite_vec)
+        a as (
+          select vec_id, embedding,
+                 case when amax0 is null or isfinite(amax0) then amax0
+                      else error('embedding outside finite-component domain'
+                                 || ' (finite components required): '
+                                 || amax0::varchar)
+                 end as amax
+          from a0
         ),
         s as (
           select vec_id, embedding, amax, amax / {QUANT_MAX}.0 as scale from a

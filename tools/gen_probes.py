@@ -318,6 +318,28 @@ CLASSES: dict[str, dict] = {
             " else embedding end as embedding) from t"
         ),
     },
+    "nonfinite_vec": {
+        # IEEE specials inside embedding COMPONENTS (the nonfinite
+        # class covers scalar measures only): parser junk and
+        # upstream overflow land in vector columns too. A NaN/±Inf
+        # component makes the norm non-finite — both engines rank
+        # NaN greatest, so unfiltered it wins every top-k — and the
+        # per-element ops (quantize/dim-stats) must keep such rows
+        # with engine-identical outputs or exclude them identically
+        "embeddings": (
+            "select * replace ("
+            " case when vec_id % 19 = 3 then"
+            "  [case when i = 1 then 'NaN'::float"
+            "   else embedding[i] end for i in range(1, len(embedding)+1)]"
+            " when vec_id % 23 = 5 then"
+            "  [case when i = 2 then 'Infinity'::float"
+            "   else embedding[i] end for i in range(1, len(embedding)+1)]"
+            " when vec_id % 29 = 7 then"
+            "  [case when i = 3 then '-Infinity'::float"
+            "   else embedding[i] end for i in range(1, len(embedding)+1)]"
+            " else embedding end as embedding) from t"
+        ),
+    },
     # --- everything at once ----------------------------------------------
     "torture": {
         "documents": (

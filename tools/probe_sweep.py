@@ -93,6 +93,13 @@ EXPECTED_RAISE: dict[tuple[str, str], str] = {
     for cls in ("nonfinite", "huge_values")
     for q in _MICROS_QUERIES
 }
+# non-finite embedding COMPONENTS (nonfinite_vec, r9): per-element
+# ops that cannot place a NaN/Inf raise the same loud domain error on
+# both engines — quantize has no int8 for NaN (its own guard), and
+# dim_stats' micros sums are guarded by invariant 19 already
+EXPECTED_RAISE[("nonfinite_vec", "embedding_quantize")] = (
+    "finite-component domain")
+EXPECTED_RAISE[("nonfinite_vec", "embedding_dim_stats")] = _MICROS_GUARD
 
 
 def main() -> int:
