@@ -445,9 +445,13 @@ def test_source_overlap_plan_shape(spark):
 
 
 def test_quality_repetition_is_map_only(spark):
-    # every statistic is doc-local (r9 rewrite): the whole query is
-    # scan -> filter -> project with ZERO exchanges — nothing to
-    # shuffle at any scale
+    # every statistic is doc-local (r9 rewrite): no aggregation, no
+    # join — the only exchange that may appear is the CONDITIONAL
+    # fan-out repartition of the narrow docs scan (fires on this
+    # few-file local corpus; a no-op on a real multi-file layout)
     df = REGISTRY["quality_repetition"](spark, SF_SMOKE)
-    assert plans.count_shuffles(df) == 0
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in txt and "ObjectHashAggregate" not in txt
+    assert "Join" not in txt
+    assert plans.count_shuffles(df) <= 1
     assert plans.count_broadcast_joins(df) == 0
