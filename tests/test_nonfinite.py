@@ -147,3 +147,93 @@ def test_micros_split_rejects_out_of_domain_magnitude(spark):
             con.sql(f"select {sql_mhi('x')} from (values (1e15)) t(x)").df()
     finally:
         con.close()
+
+
+# --- non-finite embedding COMPONENTS (nonfinite_vec probe class, r9) ---
+#
+# 3. The embedding-similarity family drops vectors whose L2 norm is
+#    not a positive finite double at ENTRY on both engines
+#    (functions/similarity.py::rankable_norm <-> _SQL_NZ's
+#    isfinite): NaN compares greater than 0 on BOTH engines, so the
+#    zero-norm predicate alone kept NaN/Inf vectors, whose NaN
+#    cosine sorts GREATEST under desc and silently occupies top-k.
+# 4. Per-element ops that cannot place a NaN/Inf raise the SAME loud
+#    domain error on both engines: embedding_quantize's int8 has no
+#    NaN (Spark's unguarded floor(NaN) emitted q=0 while DuckDB's
+#    bigint cast threw — asymmetric until guarded), and
+#    embedding_dim_stats' micros sums ride invariant 19's guard.
+
+VEC_GUARD_MSG = "finite-component domain"
+
+
+@pytest.fixture(scope="module")
+def nanvec_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_nanvec")
+    src = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (*COPY_TABLES[:-1], "events", "lineitem"):
+        con.sql(
+            f"copy (select * from '{src}/{t}.parquet')"
+            f" to '{d}/{t}.parquet' (format parquet)"
+        )
+    con.sql(
+        f"""copy (
+          select * replace (
+            case when vec_id % 19 = 3 then
+              [case when i = 1 then 'NaN'::float
+               else embedding[i] end
+               for i in range(1, len(embedding)+1)]
+            when vec_id % 23 = 5 then
+              [case when i = 2 then 'Infinity'::float
+               else embedding[i] end
+               for i in range(1, len(embedding)+1)]
+            else embedding end as embedding)
+          from '{src}/embeddings.parquet'
+        ) to '{d}/embeddings.parquet' (format parquet)"""
+    )
+    con.close()
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def nanvec_oracle(nanvec_dir):
+    con = duckdb.connect()
+    for t in (*COPY_TABLES[:-1], "events", "lineitem", "embeddings"):
+        con.sql(
+            f"create view {t} as select * from"
+            f" '{nanvec_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def test_similarity_family_drops_nonfinite_norms_at_entry(
+    spark, nanvec_dir, nanvec_oracle
+):
+    sdf = REGISTRY["ann_lsh_topk"](spark, nanvec_dir).toPandas()
+    odf = nanvec_oracle.sql(ORACLES["ann_lsh_topk"]).df()
+    assert _canon(sdf).equals(_canon(odf))
+    # no poisoned vector may appear on either join side
+    poisoned = {v for v in sdf["vec_id"] if v % 19 == 3 or v % 23 == 5}
+    assert not poisoned
+    assert not {
+        p for p in sdf["probe_id"] if p % 19 == 3 or p % 23 == 5
+    }
+
+
+def test_quantize_raises_same_guard_on_both_engines(
+    spark, nanvec_dir, nanvec_oracle
+):
+    with pytest.raises(Exception, match=VEC_GUARD_MSG):
+        REGISTRY["embedding_quantize"](spark, nanvec_dir).toPandas()
+    with pytest.raises(Exception, match=VEC_GUARD_MSG):
+        nanvec_oracle.sql(ORACLES["embedding_quantize"]).df()
+
+
+def test_dim_stats_rides_the_micros_guard_on_both_engines(
+    spark, nanvec_dir, nanvec_oracle
+):
+    with pytest.raises(Exception, match=GUARD_MSG):
+        REGISTRY["embedding_dim_stats"](spark, nanvec_dir).toPandas()
+    with pytest.raises(Exception, match=GUARD_MSG):
+        nanvec_oracle.sql(ORACLES["embedding_dim_stats"]).df()
