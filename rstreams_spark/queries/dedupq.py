@@ -19,6 +19,7 @@ from ..functions.dedup import (
     doc_shingles, lsh_band_pairs, lsh_band_rows, minhash_signature,
     perm_coeffs, simhash32, winnowing_fingerprints,
 )
+from ..functions.core import ensure_fanout_parallelism
 from ..functions.similarity import (
     brute_topk, cosine_pairs, cosine_pairs_np, hyperplanes, l2_norm,
     rankable_norm,
@@ -1441,7 +1442,9 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contract: payloads are opaque binary; unknown/truncated containers
     yield NULL metadata rather than errors (header probe only)
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_fanout_parallelism(
+        t(spark, sf_dir, "documents"), by="doc_id"
+    )  # payload build+probe is per-row CPU: redistribute when under-parallel
     return multimodal.extract_meta(multimodal.with_binary_payload(docs))
 
 
@@ -1460,7 +1463,9 @@ def audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contract: payloads are opaque binary; non-WAV/FLAC headers yield
     NULL metadata
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_fanout_parallelism(
+        t(spark, sf_dir, "documents"), by="doc_id"
+    )  # payload build+probe is per-row CPU: redistribute when under-parallel
     return multimodal.extract_audio_meta(multimodal.with_audio_payload(docs))
 
 
@@ -1482,7 +1487,9 @@ def video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contract: payloads are opaque binary; non-MP4/AVI boxes yield NULL
     metadata
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_fanout_parallelism(
+        t(spark, sf_dir, "documents"), by="doc_id"
+    )  # payload build+probe is per-row CPU: redistribute when under-parallel
     return multimodal.extract_video_meta(multimodal.with_video_payload(docs))
 
 

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.core import ensure_fanout_parallelism
 from ..functions.text import (
     BPE_ISH_PATTERN, STOPWORDS, bpe_ish_tokens, md5_fingerprint, norm_text,
     token_chunks, tokens,
@@ -60,7 +61,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contract: NULL text fingerprints as NULL on both engines; the
     60-bit hash is the portable md5 form (invariant 3)
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_fanout_parallelism(
+        t(spark, sf_dir, "documents"), by="doc_id"
+    )  # heavy per-row scan work: redistribute when under-parallel
     return docs.select(
         "doc_id",
         md5_fingerprint(F.col("text")).alias("fingerprint"),
@@ -73,7 +76,9 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contract: tokenization uses explicit character classes
     (WS_PATTERN, invariant 14); NULL text counts 0 tokens
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_fanout_parallelism(
+        t(spark, sf_dir, "documents"), by="doc_id"
+    )  # heavy per-row scan work: redistribute when under-parallel
     ws = F.size(_ws_tokens())
     return docs.select(
         "doc_id",
@@ -88,7 +93,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero: ratios guard the zero-token case identically on both
     engines)
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_fanout_parallelism(
+        t(spark, sf_dir, "documents"), by="doc_id"
+    )  # heavy per-row scan work: redistribute when under-parallel
     n = F.length("text").cast("double")
     alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("double")
     digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("double")
@@ -295,7 +302,9 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contract: NULL/empty text classifies as 'unknown'; n-gram profiles
     are engine-identical string ops
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_fanout_parallelism(
+        t(spark, sf_dir, "documents"), by="doc_id"
+    )  # heavy per-row scan work: redistribute when under-parallel
     toks = F.array_distinct(tokens(F.col("text")))
     scores = {
         lang: F.size(
@@ -382,7 +391,9 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contract: regexes use explicit character classes (invariant 14);
     NULL text passes through as NULL
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_fanout_parallelism(
+        t(spark, sf_dir, "documents"), by="doc_id"
+    )  # heavy per-row scan work: redistribute when under-parallel
     red = F.regexp_replace(F.col("text"), REDACT_EMAIL, "<EMAIL>")
     red = F.regexp_replace(red, REDACT_URL, "<URL>")
     red = F.regexp_replace(red, REDACT_LONGNUM, "<NUM>")
