@@ -935,17 +935,19 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero grams are omitted (inner join on gram; documented — the
     oracle's join produces the same support).
 
-    Scale shape: gram explode (fanout-guarded) → distinct
-    (source, gram) collapse — ONE shuffle keyed on the pair,
-    materialized once (it feeds the per-source totals AND both
-    sides of the pair join; invariant 9). The self-join key is the
-    gram, but fanout per gram is bounded by the SOURCE dimension's
-    cardinality (≤ S rows per gram after the distinct collapse, so
-    ≤ S² pair rows per gram — sources are a low-cardinality
-    dimension by construction, unlike doc_ids). Output is ≤ S²/2
-    rows. At 100 TB: linear in corpus grams with two gram-keyed
-    shuffles; no data-sized broadcast, no skew beyond hot grams
-    already collapsed to ≤ S rows each.
+    Scale shape (r9): gram explode (fanout-guarded) → ONE corpus
+    shuffle collapsing each gram to its SORTED source set
+    (collect_set — ≤ S elements, sources are a low-cardinality
+    dimension by construction), materialized once (feeds the
+    per-source totals AND the pair expansion; invariant 9). Pair
+    counts come from a MAP-SIDE i<j expansion over the set (nested
+    transform/slice, ≤ S(S-1)/2 tiny structs per gram) into a
+    pair-keyed aggregation over ≤ S² rows — the previous gram-keyed
+    SELF-JOIN shuffled the corpus-sized gram frame twice more and
+    ballooned at the second decade (sf10 23.3 s → 12.0 s,
+    row-identical; the flagged 22× step was join-side spill). At
+    100 TB: linear in corpus grams with one gram-keyed shuffle; no
+    data-sized broadcast; hot grams collapse to ≤ S-element arrays.
 
     Contract: NULL source rows are excluded; overlap is computed over
     hashed shingle sets (portable hash, invariant 3)
@@ -954,30 +956,42 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import grams
 
     docs = t(spark, sf_dir, "documents")
-    sg = (
+    gsets = (
         ensure_fanout_parallelism(docs)
         .select(
             "source",
             F.explode(grams(tokens(F.col("text")), OVERLAP_N)).alias("gram"),
         )
-        .distinct()
-        .localCheckpoint(eager=False)  # feeds totals AND both join sides
+        .where(F.col("source").isNotNull())
+        .groupBy("gram")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .localCheckpoint(eager=False)  # feeds totals AND pair expansion
     )
     per_src = (
-        sg.groupBy("source")
+        gsets.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
         .agg(F.count("*").alias("n_grams"))
-        # feeds BOTH the grams_a and grams_b joins (invariant 9):
-        # without this the S-row total re-aggregates the corpus-sized
-        # gram frame once per side
+        # feeds BOTH the grams_a and grams_b joins (invariant 9)
         .localCheckpoint(eager=False)
     )
+    # map-side i<j pair expansion: the two-parameter transform lambda
+    # binds i to the ELEMENT INDEX deliberately (invariant 13's
+    # arity sniffing, used on purpose); slice(srcs, i+2, size) is the
+    # strict upper triangle of the sorted set
+    pairs_col = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda a, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
+                lambda b: F.struct(a.alias("source_a"), b.alias("source_b")),
+            ),
+        )
+    )
     pairs = (
-        sg.alias("a")
-        .join(sg.alias("b"), "gram")
-        .where(F.col("a.source") < F.col("b.source"))
+        gsets.select(F.explode(pairs_col).alias("p"))
         .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
         )
         .agg(F.count("*").alias("shared_grams"))
     )
