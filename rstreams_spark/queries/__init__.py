@@ -7,22 +7,26 @@ Iteration order is DELIBERATE: the driver's correctness artifact
 covers the first ~50 insertion-order entries (r01 checked all 46
 then-existing, r02-r07 stopped at exactly 50), so ``_FRONT`` rotates
 per round. Round 9 = the r8 complement, r9-CHANGED entries first:
-the embedding-similarity family gained the zero-norm entry drop on
-both engines (ADVICE r8: cosine is undefined for a zero-norm vector;
-previously a 0/0 that raises under Spark ANSI) — ann_lsh_topk,
-ann_lsh_topk_shuffle, embedding_cosine_dup, ann_topk, plus the three
-whose shared IVF oracle CTEs gained the same filter (ivf_topk,
-ivf_topk_shuffle, semantic_clusters). Next the nine entries whose
-last driver-green is oldest (r6: fold_count, wordcount, source_mix,
-lang_id, doc_chunks, pack_sequences, dataset_split, multimodal_meta,
-audio_meta — the r8 riders), then the rest of the r8 complement.
-50-slot arithmetic forces seven r7-driver-green, r9-untouched
-entries to ride outside on the replica this round: distinct_count,
-candles, candles_rollup, strat_classify, throttle_sample,
-stratified_sample, split_routes (each green in this round's full
-`make oracle` runs at sf0.01 and sf0.1; they are the stalest set for
-the r10 window). The union of CORRECTNESS_r01-r09 plus per-round
-replica runs still covers every entry every round.
+(a) the four second-session rewrites — quality_repetition (map-only
+run-length fold + per-row dup semantics), source_overlap (map-side
+pair expansion), token_count and text_redact (conditional fan-out) —
+then (b) the embedding-similarity family that gained the zero-norm
+AND non-finite-norm entry drop on both engines (ADVICE r8 +
+nonfinite_vec probe class) — ann_lsh_topk, ann_lsh_topk_shuffle,
+embedding_cosine_dup, ann_topk, plus the three whose shared IVF
+oracle CTEs carry the same filter (ivf_topk, ivf_topk_shuffle,
+semantic_clusters). Next the nine entries whose last driver-green is
+oldest (r6: fold_count, wordcount, source_mix, lang_id, doc_chunks,
+pack_sequences, dataset_split, multimodal_meta, audio_meta), then
+the rest of the r8 complement. 50-slot arithmetic forces eleven
+driver-green-in-r7/r8, r9-replica-green entries to ride outside this
+round: distinct_count, candles, candles_rollup, strat_classify,
+throttle_sample, stratified_sample, split_routes, skip_take,
+take_while, skip_while, cycle_take (each green in this round's full
+oracle replica at sf0.01 AND sf0.1 and in the 25-class probe sweep;
+the ordinal quartet is additionally r8-replica-green and unchanged
+since r2). The union of CORRECTNESS_r01-r09 plus per-round replica
+runs still covers every entry every round.
 """
 
 from __future__ import annotations
@@ -36,15 +40,20 @@ for mod in (core, tpch, textq, dedupq):
     _SQL.update(mod.SQL_ORACLES)
 
 _FRONT = [
-    # — CHANGED this round (r9): zero-norm entry drop across the
-    #   embedding-similarity family + shared IVF oracle CTEs —
+    # — CHANGED this round (r9, second session): map-only/fan-out
+    #   rewrites (plan changed, outputs pinned identical) —
+    "quality_repetition", "source_overlap", "token_count",
+    "text_redact",
+    # — CHANGED this round (r9): zero-norm + non-finite-norm entry
+    #   drop across the embedding-similarity family + IVF CTEs —
     "ann_lsh_topk", "ann_lsh_topk_shuffle", "embedding_cosine_dup",
     "ann_topk", "ivf_topk", "ivf_topk_shuffle", "semantic_clusters",
     # — stalest: last driver-green r6 (the r8 riders) —
     "fold_count", "wordcount", "source_mix", "lang_id", "doc_chunks",
     "pack_sequences", "dataset_split", "multimodal_meta", "audio_meta",
-    # — r8 complement: StreamExt ordinal / window / join family —
-    "skip_take", "take_while", "skip_while", "cycle_take",
+    # — r8 complement: StreamExt window / join family (the ordinal
+    #   quartet skip_take/take_while/skip_while/cycle_take rides
+    #   outside this round: 50-slot arithmetic, see module docstring) —
     "chunk_fold_timeout", "tumbling_window", "tumbling_window_gapfill",
     "hopping_window", "hopping_window_gapfill", "lag_window",
     "interval_join", "interval_join_left", "stream_table_join",
