@@ -36,8 +36,9 @@ def stack_f64(values, ids, caller: str):
     "inhomogeneous shape" ValueError, while the JVM twins' zip_with
     dot silently yields NULL and drops the pair — dimension mismatch
     is corrupt data either way, so the kernels are deliberately
-    STRICTER and name the offending ids (same policy as the
-    zero-norm/NaN strictness note in ``cosine_pairs_np``).
+    STRICTER and name the offending ids (degenerate NORMS, by
+    contrast, are filtered per invariant 20, not raised — see
+    ``cosine_pairs_np``).
 
     ``values``/``ids`` are aligned sequences (pandas columns ok);
     NULL vectors must already be filtered (callers do)."""
@@ -209,11 +210,13 @@ def rankable_norm(norm: Column) -> Column:
     NULL (NULL vec — NULL compares false), zero (no direction, 0/0
     cosine), and non-finite norms (one NaN/±Inf component poisons
     the fold — nonfinite_vec probe class, r9) are all excluded by
-    the same two comparisons on both engines: NaN compares false
-    against +Inf under IEEE on Spark AND DuckDB, and an unfiltered
-    NaN cosine would sort GREATEST under desc, silently occupying
-    top-k slots. DuckDB twin: queries/dedupq.py::_SQL_NZ
-    (norm > 0 and isfinite(norm) — same selected set)."""
+    the same two comparisons on both engines: Spark and DuckDB both
+    ORDER NaN greater than +Inf (total ordering, not IEEE unordered
+    semantics), so ``norm < inf`` is false for NaN and +Inf alike —
+    and an unfiltered NaN cosine would sort GREATEST under desc,
+    silently occupying top-k slots. DuckDB twin:
+    queries/dedupq.py::_SQL_NZ (norm > 0 and isfinite(norm) —
+    isfinite selects the same set)."""
     return (norm > 0) & (norm < F.lit(float("inf")))
 
 
@@ -246,6 +249,14 @@ def cosine_pairs(
     per pair instead of three, same sqrt(Σx²) expression on the same
     data so the cosine doubles are bit-identical to the inline form
     (and to the oracle's per-pair computation).
+
+    Entry contract (invariant 20): rows whose norm is not rankable
+    (NULL vec, zero norm, NaN/±Inf component) are dropped at entry —
+    they cannot form a defined cosine, and an unfiltered NaN cosine
+    would pass ``>= threshold`` silently under Spark's NaN-greatest
+    total ordering. Catalog callers pre-filter with ``rankable_norm``
+    already; this in-function guard closes the direct-library
+    surface (r9 advice).
     """
     from pyspark.sql.window import Window
 
@@ -258,7 +269,9 @@ def cosine_pairs(
             "guards within-bucket pair counts; the all-pairs path "
             "has no bucket to bound)"
         )
-    pre = vecs.withColumn("__n", l2_norm(F.col(vec_col)))
+    pre = vecs.withColumn("__n", l2_norm(F.col(vec_col))).where(
+        rankable_norm(F.col("__n"))
+    )
     if bucket_col and max_bucket:
         w = Window.partitionBy(bucket_col).orderBy(id_col)
         pre = (
@@ -341,47 +354,44 @@ def cosine_pairs_np(
     - NULL vectors pair with nothing — the JVM dot over a NULL
       array is NULL, so ``NULL >= τ`` drops the pair; a NULL row
       would also crash the kernel's float64 stack. Same filter.
-    - Degenerate norms in a multi-member bucket FAIL LOUDLY. A
-      zero-norm member makes the JVM twin's cosine divide by 0 for
-      every pair containing it, and vanilla Spark 4 (ANSI) raises
-      DIVIDE_BY_ZERO — the kernel raises the matching ValueError
-      instead of numpy's silent ``0/0 → NaN`` drop. NaN/Inf-valued
-      embeddings also raise: their NaN cosines are unrepresentable
-      through Arrow (pandas NaN doubles land as Spark NULLs, whereas
-      the JVM twin emits NaN-cosine pairs — garbage either way), so
-      the kernel is deliberately STRICTER than the JVM on corrupt
-      vectors; parity on all finite inputs is exact. Filter
-      degenerate embeddings upstream.
+    - Degenerate norms (zero or non-finite) are EXCLUDED at entry,
+      exactly like the JVM twin's ``rankable_norm`` guard
+      (invariant 20): a zero-norm member has no defined cosine and a
+      NaN/±Inf component poisons the fold, so such members simply
+      never pair; the remaining members still do. The in-kernel mask
+      computes the same dim-sequential norm the JVM filter does, so
+      both paths exclude the identical member set and the surviving
+      pairs stay bit-equal. The bucket cap counts SURVIVING members
+      on both paths (JVM filters before the row_number guard).
     """
     import numpy as np
     import pandas as pd
 
     def score(key, pdf):
-        m = len(pdf)
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = stack_f64(list(pdf[vec_col]), ids, "cosine_pairs_np")
+        # rankable_norm twin (invariant 20): dim-sequential self-dot
+        # first, mask degenerate members out BEFORE the O(m²) pair
+        # accumulation and before the cap count — the JVM path
+        # filters before its row_number guard the same way
+        nacc = np.zeros(len(ids))
+        for d in range(V.shape[1]):
+            nacc += V[:, d] * V[:, d]
+        n = np.sqrt(nacc)
+        keepm = (n > 0.0) & np.isfinite(n)
+        ids, V, n = ids[keepm], V[keepm], n[keepm]
+        m = len(ids)
         if max_bucket and m > max_bucket:
             raise ValueError(
                 f"cosine_pairs_np: bucket {key} has {m} members, "
                 f"exceeds max_bucket={max_bucket}; use finer cells "
                 "for the exact within-bucket pair kernel"
             )
-        pdf = pdf.sort_values(id_col)
-        ids = pdf[id_col].to_numpy()
-        V = stack_f64(list(pdf[vec_col]), ids, "cosine_pairs_np")
         acc = np.zeros((m, m))
-        nacc = np.zeros(m)
         for d in range(V.shape[1]):
             col = V[:, d]
             acc += col[:, None] * col[None, :]
-            nacc += col * col
-        n = np.sqrt(nacc)
-        if m >= 2 and ((n == 0.0) | ~np.isfinite(n)).any():
-            raise ValueError(
-                f"cosine_pairs_np: zero/non-finite-norm member in "
-                f"bucket {key} — every pair containing it yields a "
-                "divide-by-zero (ANSI error on the JVM twin) or an "
-                "Arrow-unrepresentable NaN cosine; filter degenerate "
-                "vectors upstream"
-            )
         cos = acc / (n[:, None] * n[None, :])
         iu = np.triu_indices(m, k=1)
         c = cos[iu]

@@ -299,7 +299,7 @@ def embedding_index(
     """
     from pyspark.sql.window import Window
 
-    from ..functions.similarity import l2_norm
+    from ..functions.similarity import l2_norm, rankable_norm
     from ..queries.dedupq import (
         SEMANTIC_BUCKET_CAP, ivf_assign_np, ivf_fit, semantic_cell_count,
     )
@@ -307,13 +307,15 @@ def embedding_index(
     # sel feeds the sizing count, the fit's seed + Lloyd passes AND
     # the final assignment — lazy localCheckpoint materializes the
     # (possibly derived) corpus pipeline once (invariant 9).
-    # NULL/zero-norm vectors drop at entry (batch-family contract):
-    # NULLs crash the fit/assign kernels, zero norms have no defined
-    # cosine — neither can ever suppress an arriving doc
+    # NULL/degenerate-norm vectors drop at entry via rankable_norm
+    # (invariant 20, batch-family contract): NULLs crash the
+    # fit/assign kernels, zero norms have no defined cosine, and a
+    # NaN/Inf-norm index vector would poison every same-cell
+    # comparison (NaN > 0 is TRUE — a bare `> 0` filter KEEPS it)
     sel = (
         vecs.select(id_col, vec_col)
         .where(F.col(vec_col).isNotNull())
-        .where(l2_norm(F.col(vec_col)) > 0)
+        .where(rankable_norm(l2_norm(F.col(vec_col))))
         .localCheckpoint(eager=False)
     )
     if cells is None:
@@ -361,7 +363,7 @@ def embedding_dedup_batch(
     re-fitted or re-assigned. Boundary semantics match batch
     SemDeDup: a near-dup pair straddling a Voronoi boundary is
     tolerated by design (deterministic partition, not exact NN)."""
-    from ..functions.similarity import dot, l2_norm
+    from ..functions.similarity import dot, l2_norm, rankable_norm
     from ..queries.dedupq import ivf_assign_np
 
     # batch feeds the assignment AND the final left-anti — one
@@ -374,10 +376,14 @@ def embedding_dedup_batch(
         F.col("v_norm") * F.col("index_norm")
     )
     dup_ids = (
-        # a zero-norm arrival has no defined cosine — it can never be
-        # a dup, so it skips the candidate join (and the 0/0 raise)
-        # and passes the gate via the left_anti below
-        assigned.where(F.col("v_norm") > 0)
+        # a degenerate-norm arrival (zero OR NaN/Inf — invariant 20)
+        # has no defined cosine, so it can never be a dup: it skips
+        # the candidate join and passes the gate via the left_anti
+        # below. A bare `> 0` here would KEEP a NaN-norm arrival
+        # (NaN > 0 is TRUE) whose NaN cosine satisfies `>= tau`
+        # under NaN-greatest ordering — silent suppression (r9
+        # advice, streaming twin of the nonfinite_vec probe class)
+        assigned.where(rankable_norm(F.col("v_norm")))
         .join(indexed, "cell")
         .where(cos >= tau)
         .select(id_col)

@@ -317,11 +317,11 @@ def test_np_pairs_edge_parity_nan_null(spark):
     self-join: NULL-bucket rows pair with NOTHING (the join condition
     is NULL), NULL embeddings pair with nothing (NULL cosine
     filtered) instead of crashing the float64 stack, and degenerate
-    norms fail loudly in both paths — the JVM twin with vanilla
-    Spark 4's ANSI DIVIDE_BY_ZERO on a zero-norm member, the kernel
-    with its in-kernel guard (which also refuses NaN-valued vectors,
-    whose NaN cosines cannot cross the Arrow boundary)."""
-    import pytest
+    norms (zero, NaN/Inf component) are EXCLUDED at entry on both
+    paths per invariant 20 — the JVM twin via rankable_norm on the
+    hoisted __n, the kernel via its in-kernel mask — while the
+    surviving members still pair (r10: the old fail-loudly contract
+    leaked NaN-cosine pairs through the JVM path, r9 advice)."""
     from rstreams_spark.functions import similarity
 
     vecs = spark.createDataFrame(
@@ -344,23 +344,32 @@ def test_np_pairs_edge_parity_nan_null(spark):
     }
     assert jvm == np_ == {(2, 3, 1.0)}
 
-    # zero-norm member: both paths fail loudly (ANSI DIVIDE_BY_ZERO
-    # on the JVM side, the kernel's in-kernel guard on the np side);
-    # the kernel is stricter on NaN-valued vectors (same guard)
-    zero = spark.createDataFrame(
-        [(1, [0.0, 0.0, 0.0], 0), (2, [1.0, 0.0, 0.0], 0)],
+    # degenerate-norm members (zero norm, NaN/Inf component) are
+    # silently EXCLUDED on both paths; the surviving same-bucket
+    # members still pair with each other — and crucially the JVM
+    # path no longer emits NaN-cosine pairs (NaN >= τ is TRUE under
+    # Spark's NaN-greatest ordering: the r9-advice leak)
+    deg = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0], 0),            # zero norm: excluded
+            (2, [float("nan"), 0.0, 0.0], 0),   # NaN norm: excluded
+            (3, [float("inf"), 0.0, 0.0], 0),   # Inf norm: excluded
+            (4, [1.0, 0.0, 0.0], 0),
+            (5, [1.0, 0.0, 0.0], 0),            # (4,5) survive
+        ],
         "vec_id bigint, embedding array<double>, bucket int",
     )
-    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
-        similarity.cosine_pairs(zero, 0.3, bucket_col="bucket").collect()
-    with pytest.raises(Exception, match="zero/non-finite-norm"):
-        similarity.cosine_pairs_np(zero, 0.3, bucket_col="bucket").collect()
-    nanv = spark.createDataFrame(
-        [(1, [float("nan"), 0.0, 0.0], 0), (2, [1.0, 0.0, 0.0], 0)],
-        "vec_id bigint, embedding array<double>, bucket int",
-    )
-    with pytest.raises(Exception, match="zero/non-finite-norm"):
-        similarity.cosine_pairs_np(nanv, 0.3, bucket_col="bucket").collect()
+    jvm_deg = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in similarity.cosine_pairs(deg, 0.3, bucket_col="bucket").collect()
+    }
+    np_deg = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in similarity.cosine_pairs_np(
+            deg, 0.3, bucket_col="bucket"
+        ).collect()
+    }
+    assert jvm_deg == np_deg == {(4, 5, 1.0)}
 
 
 def test_np_assign_null_embedding_matches_jvm(spark):
@@ -632,3 +641,43 @@ def test_zero_norm_arrival_passes_embedding_gate(spark):
     )
     out = embedding_dedup_batch(batch, cents, indexed, tau=0.9)
     assert {r.vec_id for r in out.collect()} == {11, 12}
+
+
+def test_nonfinite_arrival_passes_embedding_gate(spark):
+    """Streaming twin of the batch nonfinite_vec contract (r9
+    advice): NaN > 0 is TRUE on Spark, so a bare `norm > 0` filter
+    KEEPS NaN/Inf-norm vectors — a NaN-norm INDEX vector poisons
+    every same-cell comparison (NaN cosine >= tau is true under
+    NaN-greatest ordering) and a NaN-norm ARRIVAL is silently
+    suppressed. Both filters now ride rankable_norm: non-finite
+    index vectors are excluded at build, non-finite arrivals PASS
+    the gate (they can never be a defined dup), and finite dups are
+    still caught in their presence."""
+    from rstreams_spark.streaming.dedup import (
+        embedding_dedup_batch, embedding_index,
+    )
+
+    nan, inf = float("nan"), float("inf")
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 1.0]),
+            Row(vec_id=3, embedding=[nan, 0.0]),   # NaN norm: dropped
+            Row(vec_id=4, embedding=[inf, 1.0]),   # Inf norm: dropped
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents, indexed = embedding_index(corpus, cells=2)
+    assert {r.index_id for r in indexed.collect()} == {1, 2}
+
+    batch = spark.createDataFrame(
+        [
+            Row(vec_id=10, embedding=[1.0, 0.0]),   # dup of 1 -> drop
+            Row(vec_id=11, embedding=[nan, 0.0]),   # NaN norm -> pass
+            Row(vec_id=12, embedding=[inf, 1.0]),   # Inf norm -> pass
+            Row(vec_id=13, embedding=[-1.0, 0.3]),  # novel -> pass
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = embedding_dedup_batch(batch, cents, indexed, tau=0.9)
+    assert {r.vec_id for r in out.collect()} == {11, 12, 13}
