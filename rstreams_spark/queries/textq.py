@@ -707,49 +707,63 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: integer counts + ONE double division per row.
 
-    Scale shape: gram explode (fanout-guarded) → per-(doc, gram)
-    distinct aggregate (one shuffle) materialized once — it feeds
-    both the first-seen aggregate and the join back — → |grams|
-    first-seen min aggregate → join on gram → per-doc sum. All keys
-    grow with the corpus; hot boilerplate grams are bounded by the
-    distinct-per-doc collapse ahead of the join.
+    Scale shape (r10 rewrite — the corpus-sized gram join-back is
+    GONE): the per-doc distinct gram count is computed MAP-SIDE from
+    ``array_distinct`` (a document's grams all live in its own row —
+    no shuffle can add or remove any), so the only corpus-sized
+    shuffle left is the first-seen ``min`` on gram — and ``min`` is
+    distinct-insensitive, so it needs no distinct pass and its
+    map-side partial collapses each gram to one row per map
+    partition before the exchange. Per-gram winners then count by
+    first doc (doc-keyed, output-sized), and the recombination join
+    is per-DOC (two doc-count-sized frames, both already
+    hash-partitioned on doc_id by their aggregates) — never per
+    gram. Old shape: 3 corpus-sized exchanges + a gram join-back;
+    new shape: 1 (sf10 was 35.9 s / 9.5×, the r9 sweep's biggest
+    absolute — see PERF.md r10).
 
-    Contract: doc_id is the document identity (unique); NULL/empty
-    text yields no shingles, so such docs never pair; novelty compares
-    against the DF-capped reference gram set
+    Contract: doc_id is the document identity (unique); byte-
+    identical duplicated rows are tolerated (the per-doc max merges
+    them, min/count are insensitive — duplicate_rows probe class);
+    NULL/empty/<3-token text yields no grams and the doc is omitted
+    (the oracle applies the same filter).
     """
     from ..functions.core import ensure_fanout_parallelism
     from ..functions.dedup import grams
 
     docs = t(spark, sf_dir, "documents")
-    gram_rows = (
+    per_doc = (
         ensure_fanout_parallelism(docs)
         .select(
             "doc_id",
-            F.explode(grams(tokens(F.col("text")), NOVELTY_N)).alias("gram"),
+            F.array_distinct(
+                grams(tokens(F.col("text")), NOVELTY_N)
+            ).alias("__garr"),
         )
-        .distinct()
-        .localCheckpoint(eager=False)  # feeds first-seen AND the join
+        # the size filter sits AFTER the checkpoint barrier: pushed
+        # below the Project it would substitute the alias and
+        # re-evaluate the whole tokenize+gram pipeline a second time
+        # per row (measured 8.1 s vs 1.2 s at sf1 — PERF.md r10)
+        .localCheckpoint(eager=False)  # feeds first-seen AND the counts
+        .where(F.size("__garr") > 0)
     )
-    first_seen = gram_rows.groupBy("gram").agg(
-        F.min("doc_id").alias("__first_doc")
-    )
-    return (
-        gram_rows.join(first_seen, "gram")
+    novel = (
+        per_doc.select("doc_id", F.explode("__garr").alias("gram"))
+        .groupBy("gram")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_distinct_grams"),
-            F.sum(
-                F.when(F.col("doc_id") == F.col("__first_doc"), 1).otherwise(0)
-            ).alias("n_novel_grams"),
-        )
+        .agg(F.count("*").alias("__novel"))
+    )
+    n_novel = F.coalesce(F.col("__novel"), F.lit(0)).cast("long")
+    return (
+        per_doc.groupBy("doc_id")
+        .agg(F.max(F.size("__garr")).alias("__nd"))
+        .join(novel, "doc_id", "left")
         .select(
             "doc_id",
-            F.col("n_distinct_grams").cast("long").alias("n_distinct_grams"),
-            F.col("n_novel_grams").cast("long").alias("n_novel_grams"),
-            (F.col("n_novel_grams") / F.col("n_distinct_grams")).alias(
-                "novelty_frac"
-            ),
+            F.col("__nd").cast("long").alias("n_distinct_grams"),
+            n_novel.alias("n_novel_grams"),
+            (n_novel / F.col("__nd").cast("long")).alias("novelty_frac"),
         )
     )
 

@@ -448,6 +448,28 @@ def test_source_overlap_plan_shape(spark):
         assert "CartesianProduct" not in txt
 
 
+def test_ngram_novelty_single_gram_exchange(spark):
+    """ngram_novelty (r10 rewrite): the corpus-sized gram JOIN-BACK
+    is gone. Per-doc distinct counts come map-side from
+    array_distinct (no shuffle can change a doc's own grams), so the
+    plan carries exactly ONE gram-keyed exchange (first-seen min,
+    map-side partial); every other exchange is doc-keyed and
+    output-sized, the recombination join is per-DOC (both sides
+    pre-partitioned on doc_id by their aggregates — no extra
+    exchange under forced SMJ), and the shared per-doc gram frame
+    materializes once (ExistingRDD ×2, invariant 9)."""
+    with _conf(spark, NO_AUTO_BHJ):
+        df = REGISTRY["ngram_novelty"](spark, SF_SMOKE)
+        txt = plans.explain_str(df)
+        gram_ex = len(
+            re.findall(r"\(\d+\) Exchange\n[^(]*hashpartitioning\(gram", txt)
+        )
+        assert gram_ex == 1, f"expected 1 gram-keyed exchange, plan:\n{txt}"
+        assert plans.count_shuffles(df) <= 3  # gram + two doc-keyed
+        assert len(re.findall(r"\(\d+\) Scan ExistingRDD\b", txt)) == 2
+        assert "CartesianProduct" not in txt
+
+
 def test_quality_repetition_is_map_only(spark):
     # every statistic is doc-local (r9 rewrite): no aggregation, no
     # join — the only exchange that may appear is the CONDITIONAL
