@@ -6,27 +6,21 @@
 Iteration order is DELIBERATE: the driver's correctness artifact
 covers the first ~50 insertion-order entries (r01 checked all 46
 then-existing, r02-r07 stopped at exactly 50), so ``_FRONT`` rotates
-per round. Round 9 = the r8 complement, r9-CHANGED entries first:
-(a) the four second-session rewrites — quality_repetition (map-only
-run-length fold + per-row dup semantics), source_overlap (map-side
-pair expansion), token_count and text_redact (conditional fan-out) —
-then (b) the embedding-similarity family that gained the zero-norm
-AND non-finite-norm entry drop on both engines (ADVICE r8 +
-nonfinite_vec probe class) — ann_lsh_topk, ann_lsh_topk_shuffle,
-embedding_cosine_dup, ann_topk, plus the three whose shared IVF
-oracle CTEs carry the same filter (ivf_topk, ivf_topk_shuffle,
-semantic_clusters). Next the nine entries whose last driver-green is
-oldest (r6: fold_count, wordcount, source_mix, lang_id, doc_chunks,
-pack_sequences, dataset_split, multimodal_meta, audio_meta), then
-the rest of the r8 complement. 50-slot arithmetic forces eleven
-driver-green-in-r7/r8, r9-replica-green entries to ride outside this
-round: distinct_count, candles, candles_rollup, strat_classify,
+per round. Round 10 = the r9 complement (the 53 entries outside
+CORRECTNESS_r09 — VERDICT r9 item 4), r10-CHANGED entries first:
+ngram_novelty (single-gram-exchange rewrite, row-identical but the
+plan is new), then the eleven entries whose last driver-green is
+oldest (r7: candles, candles_rollup, distinct_count, strat_classify,
 throttle_sample, stratified_sample, split_routes, skip_take,
-take_while, skip_while, cycle_take (each green in this round's full
-oracle replica at sf0.01 AND sf0.1 and in the 25-class probe sweep;
-the ordinal quartet is additionally r8-replica-green and unchanged
-since r2). The union of CORRECTNESS_r01-r09 plus per-round replica
-runs still covers every entry every round.
+take_while, skip_while, cycle_take — exactly the r9 riders), then
+the r8-green remainder: the 20-query TPC-H tail, the span/winnowing/
+commonness/top_terms text family, the minhash/clusters/fuzzy dedup
+tail, and the stream-shaped core ops. 50-slot arithmetic forces
+three r8-driver-green, r9-replica-green, unchanged-since-r2 entries
+to ride outside this round: map_filter, merge_take, chunk_fold
+(each re-verified in this round's full oracle replica at sf0.01 AND
+sf0.1 and in the probe sweep). The union of CORRECTNESS_r01-r10
+plus per-round replica runs still covers every entry every round.
 """
 
 from __future__ import annotations
@@ -40,32 +34,28 @@ for mod in (core, tpch, textq, dedupq):
     _SQL.update(mod.SQL_ORACLES)
 
 _FRONT = [
-    # — CHANGED this round (r9, second session): map-only/fan-out
-    #   rewrites (plan changed, outputs pinned identical) —
-    "quality_repetition", "source_overlap", "token_count",
-    "text_redact",
-    # — CHANGED this round (r9): zero-norm + non-finite-norm entry
-    #   drop across the embedding-similarity family + IVF CTEs —
-    "ann_lsh_topk", "ann_lsh_topk_shuffle", "embedding_cosine_dup",
-    "ann_topk", "ivf_topk", "ivf_topk_shuffle", "semantic_clusters",
-    # — stalest: last driver-green r6 (the r8 riders) —
-    "fold_count", "wordcount", "source_mix", "lang_id", "doc_chunks",
-    "pack_sequences", "dataset_split", "multimodal_meta", "audio_meta",
-    # — r8 complement: StreamExt window / join family (the ordinal
-    #   quartet skip_take/take_while/skip_while/cycle_take rides
-    #   outside this round: 50-slot arithmetic, see module docstring) —
-    "chunk_fold_timeout", "tumbling_window", "tumbling_window_gapfill",
-    "hopping_window", "hopping_window_gapfill", "lag_window",
-    "interval_join", "interval_join_left", "stream_table_join",
-    "range_band_count", "value_percentiles", "gap_detect",
-    "funnel_3step", "cohort_retention", "twap_daily", "value_histogram",
-    # — r8 complement: TPC-H remainder —
-    "tpch_q4", "tpch_q12", "tpch_q13",
-    # — r8 complement: text/dedup/meta tail —
-    "dedup_exact", "incremental_dedup_exact", "doc_fingerprint",
-    "text_quality", "budget_sample", "vocab_coverage",
-    "dedup_ngram_jaccard", "dedup_simhash", "embedding_quantize",
-    "video_meta", "embedding_dim_stats",
+    # — CHANGED this round (r10): single-gram-exchange rewrite —
+    "ngram_novelty",
+    # — stalest: last driver-green r7 (the r9 riders) —
+    "candles", "candles_rollup", "distinct_count", "strat_classify",
+    "throttle_sample", "stratified_sample", "split_routes",
+    "skip_take", "take_while", "skip_while", "cycle_take",
+    # — r9 complement: TPC-H tail (driver-green r8, replica r9) —
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q14",
+    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
+    "tpch_q20", "tpch_q21", "tpch_q22", "orders_rollup",
+    # — r9 complement: text/dedup tail —
+    "span_dedup", "doc_winnowing", "dedup_winnowing", "top_terms",
+    "doc_commonness", "salted_sum",
+    "dedup_minhash", "minhash_lsh_topk", "dedup_clusters",
+    "dedup_keep_best", "decontaminate_ngrams", "decontaminate_fuzzy",
+    "ts_similarity_topk",
+    # — r9 complement: stream-shaped core ops (map_filter,
+    #   merge_take, chunk_fold ride outside this round: 50-slot
+    #   arithmetic, see module docstring) —
+    "asof_enrich", "latest_per_key", "session_window",
+    "pattern_followed_by", "parse_json_props",
 ]
 
 _missing = [k for k in _FRONT if k not in _ALL]
