@@ -3,7 +3,7 @@
 
 SF ?= /root/testdata/sf0.01
 
-.PHONY: test oracle bench bench-check smoke examples plans scaling sf1 verify probes
+.PHONY: test oracle bench bench-check smoke examples plans scaling sf1 sf10 sf30 verify probes bucketed-bench cc-decomp
 
 # the full drive recipe (.claude/skills/verify/SKILL.md) in one
 # command: driver contract -> full oracle gate replica -> pytest
@@ -15,8 +15,24 @@ plans:
 sf1:
 	python tools/gen_sf1.py
 
+sf10:
+	python tools/gen_sf10.py
+
+# third-decade documents-only tiling (ngram_novelty/dedup_clusters
+# spot evidence — see tools/gen_sf30.py)
+sf30:
+	python tools/gen_sf30.py
+
 scaling:
 	python tools/scale_probe.py
+
+# bucketed-lake A/B at sf1 (catalog queries on co-bucketed facts)
+bucketed-bench:
+	python tools/bucketed_bench.py
+
+# dedup_clusters stage isolation across the decades
+cc-decomp:
+	python tools/cc_decomp.py
 
 test:
 	python -m pytest tests/ -x -q

@@ -219,7 +219,10 @@ def measure_dedup_gates(spark, sf_dir: str | None = None,
     }
 
     # --- minhash (text) gate --------------------------------------
-    docs = t(spark, sf, "documents").select("doc_id", "text")
+    # the lookup frame that synthesizes arrivals is harness
+    # scaffolding — materialize it eagerly so each trigger measures
+    # the GATE, not a per-trigger parquet re-scan of the corpus
+    docs = t(spark, sf, "documents").select("doc_id", "text").localCheckpoint()
     n_docs = docs.count()
     index_bands, index_sets = minhash_index(docs)
     # the index is corpus state, not per-trigger work: materialize it
@@ -248,6 +251,13 @@ def measure_dedup_gates(spark, sf_dir: str | None = None,
         )
     )
     writer = stream_dedup_minhash(arriving, index_bands, index_sets, _noop_sink)
+    # one UNTIMED warm-up run before the timed repeats: the first
+    # stream of a gate in a session pays one-time costs past batch 1
+    # (codegen/JIT of the gate plan, Arrow kernel spin-up) that the
+    # per-run cold-batch exclusion can't see — the r9 draws spread
+    # 2.8k/13.8k/10.3k docs/s with draw 1 paying setup (VERDICT r9
+    # item 3)
+    _run_writer(writer, "bench_gate_minhash_warm_", min_batches, max_wait)
     results = [
         _run_writer(writer, "bench_gate_minhash_", min_batches, max_wait)
         for _ in range(repeats)
@@ -258,8 +268,10 @@ def measure_dedup_gates(spark, sf_dir: str | None = None,
     out["gate_minhash_batches"] = med[1]
 
     # --- embedding (semantic) gate --------------------------------
-    vecs = t(spark, sf, "embeddings").select("vec_id", "embedding").where(
-        F.col("embedding").isNotNull()
+    vecs = (
+        t(spark, sf, "embeddings").select("vec_id", "embedding")
+        .where(F.col("embedding").isNotNull())
+        .localCheckpoint()  # harness lookup frame, same as docs above
     )
     n_vecs = vecs.count()
     cents, indexed = embedding_index(vecs)
@@ -287,6 +299,8 @@ def measure_dedup_gates(spark, sf_dir: str | None = None,
         )
     )
     vwriter = stream_dedup_embedding(varriving, cents, indexed, _noop_sink)
+    # untimed warm-up (same rationale as the minhash gate above)
+    _run_writer(vwriter, "bench_gate_embed_warm_", min_batches, max_wait)
     vresults = [
         _run_writer(vwriter, "bench_gate_embed_", min_batches, max_wait)
         for _ in range(repeats)

@@ -179,6 +179,33 @@ def test_q22_anti_join_shuffles_scalar_broadcasts(spark):
         assert plans.count_sortmerge_joins(df) >= 1  # the anti-join
 
 
+def test_q3_sf10_transition_shape_smj_facts_broadcast_dims(spark):
+    """The designed sf10 shape of q3 (SCALING.md standing note): when
+    the date-filtered orders side outgrows the broadcast threshold
+    but the segment-filtered customer side still fits, the plan must
+    be EXACTLY orders⋈lineitem as SortMergeJoin + customer as
+    broadcast — never a nested-loop fallback, never a second SMJ.
+    Reproduced deterministically at smoke SF by setting the threshold
+    between the two tables' scan-size estimates (without CBO, Filter
+    inherits its child's sizeInBytes, so the estimates are the
+    parquet file sizes — customer ~7 KB < orders ~37 KB)."""
+    import os
+
+    cust_sz = os.path.getsize(f"{SF_SMOKE}/customer.parquet")
+    orders_sz = os.path.getsize(f"{SF_SMOKE}/orders.parquet")
+    assert cust_sz < orders_sz
+    mid = str((cust_sz + orders_sz) // 2)
+    with _conf(spark, {"spark.sql.autoBroadcastJoinThreshold": mid}):
+        df = REGISTRY["tpch_q3"](spark, SF_SMOKE)
+        assert plans.count_broadcast_joins(df) == 1
+        assert plans.count_sortmerge_joins(df) == 1
+        txt = plans.explain_str(df)
+        assert "BroadcastNestedLoopJoin" not in txt
+        # the broadcast side is the customer dim, not a fact
+        m = re.search(r"BroadcastExchange[\s\S]{0,400}?c_custkey", txt)
+        assert m, f"customer is not the broadcast side:\n{txt}"
+
+
 def test_q3_small_sf_still_broadcasts_dynamically(spark):
     """Dropping the hints costs nothing at driver SFs: size-based
     planning (or AQE at runtime) still picks broadcast when the

@@ -16,11 +16,18 @@ without sf1, ~15 with)
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+HISTORY = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "scaling_history.jsonl",
+)
+MERGE_SESSIONS = 2  # SCALING.md cells = min over the last N sessions
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 SF1 = os.path.join(
@@ -42,12 +49,14 @@ STANDING_NOTES = [
     "- tpch_q3 at sf10 crosses the designed broadcast→shuffle-join",
     "  transition: the date-filtered orders side (~7M rows) outgrows",
     "  the broadcast threshold, so lineitem⋈orders becomes a",
-    "  SortMergeJoin (customer stays broadcast). Warm draws are",
-    "  2.7-4.9 s (a 2-4× step); a cold first execution pays the",
-    "  shuffle-write + sort once (~20 s) and single-session draws",
-    "  can catch it — the r9 probe drew 17.5 s this way. This is",
-    "  the plan the 100 TB design EXPECTS (facts shuffle, dims",
-    "  broadcast); not a regression.",
+    "  SortMergeJoin (customer stays broadcast). This is the plan",
+    "  the 100 TB design EXPECTS (facts shuffle, dims broadcast);",
+    "  the mixed shape is pinned by tests/test_plans.py::",
+    "  test_q3_sf10_transition_shape_smj_facts_broadcast_dims. Since",
+    "  r10 the sf10 column is measured min-of-2 AFTER an untimed",
+    "  warm execution, so one-time cold costs (page-cache fill, SMJ",
+    "  JIT — the r9 probe's 17.5 s draw) no longer land in the",
+    "  table.",
     "- ann_topk and text_quality-family rows are declared outliers:",
     "  ann_topk is the brute-force ground-truth baseline (product",
     "  surface = LSH/IVF paths), and the token-bound linear scans",
@@ -101,19 +110,87 @@ def main() -> None:
     for name in HEADLINERS:  # codegen warm pass
         run(name, SFS[0])
 
-    rows = []
+    measured_by_name: dict[str, list] = {}
     for name in HEADLINERS:
         times = []
         for sf in sfs:
             if sf == SF10 and name not in SF10_SET:
                 times.append(None)
                 continue
+            if sf == SF10:
+                # the second decade gets an UNTIMED warm execution
+                # first: a query's first sf10 run in a session can
+                # pay one-time costs (page-cache fill of the 2.3 GB
+                # tiling, JIT of the cold SMJ/sort paths) that land
+                # on BOTH min-of-2 draws — the r9 probe recorded
+                # tpch_q3 at 17.5 s this way where warm draws are
+                # 2.7-4.9 s (VERDICT r9 item 1)
+                run(name, sf)
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
                 run(name, sf)
                 best = min(best, time.perf_counter() - t0)
             times.append(best)
+        measured_by_name[name] = times
+        print(f"# {name}: {[None if t is None else round(t, 3) for t in times]}",
+              file=sys.stderr)
+
+    # ---- cross-session noise discipline (cf. tools/bench_check.py):
+    # one session's min-of-2 can still land inside a multi-minute
+    # host noise band (r10: minhash_lsh_topk drew 15.4/15.4 s at sf1
+    # in one clean run where adjacent sessions draw 5.3-6.0 s), so
+    # the SHIPPED table takes the per-cell MIN over the last
+    # MERGE_SESSIONS probe sessions with the same SF layout — run
+    # the probe twice at the same HEAD per round. Raw per-session
+    # draws append to scaling_history.jsonl (provenance).
+    sf_names = [os.path.basename(p) for p in sfs]
+    entry = {"sfs": sf_names, "queries": {
+        k: [None if t is None else round(t, 3) for t in v]
+        for k, v in measured_by_name.items()
+    }}
+    with open(HISTORY, "a") as fh:
+        fh.write(json.dumps(entry) + "\n")
+    render(list(HEADLINERS))
+
+
+def _load_history() -> list[dict]:
+    if not os.path.exists(HISTORY):
+        return []
+    with open(HISTORY) as fh:
+        return [json.loads(ln) for ln in fh if ln.strip()]
+
+
+def render(order: list[str]) -> None:
+    """Compose SCALING.md from the last MERGE_SESSIONS history
+    entries with the newest entry's SF layout (per-cell min)."""
+    history = _load_history()
+    if not history:
+        raise SystemExit("scale_probe: no scaling_history.jsonl to render")
+    sf_names = history[-1]["sfs"]
+    mergeable = [h for h in history if h.get("sfs") == sf_names]
+    sessions = mergeable[-MERGE_SESSIONS:]
+    merged: dict[str, list] = {}
+    for h in sessions:
+        for name, times in h["queries"].items():
+            if name not in merged:
+                merged[name] = list(times)
+                continue
+            cur = merged[name]
+            if len(cur) != len(times):
+                merged[name] = list(times)
+                continue
+            merged[name] = [
+                min(a, b) if (a is not None and b is not None) else
+                (a if b is None else b)
+                for a, b in zip(cur, times)
+            ]
+
+    rows = []
+    for name in order:
+        if name not in merged:
+            continue
+        times = merged[name]
         measured = [t for t in times if t is not None]
         ratios = [
             measured[i + 1] / measured[i] if measured[i] else float("nan")
@@ -127,20 +204,18 @@ def main() -> None:
         if len(measured) < len(times):
             rcells += " | —"
         rows.append(f"| {name} | {cells} | {rcells}{flag} |")
-        print(f"# {name}: {[None if t is None else round(t, 3) for t in times]}",
-              file=sys.stderr)
 
-    sf_heads = " | ".join(
-        os.path.basename(p).replace("sf", "sf") + " s" for p in sfs
-    )
+    sf_heads = " | ".join(f"{n} s" for n in sf_names)
     ratio_heads = " | ".join(
-        f"×({os.path.basename(sfs[i])[2:]}→{os.path.basename(sfs[i+1])[2:]})"
-        for i in range(len(sfs) - 1)
+        f"×({sf_names[i][2:]}→{sf_names[i+1][2:]})"
+        for i in range(len(sf_names) - 1)
     )
     lines = [
         "# SCALING — per-query wall time vs scale factor",
-        "(auto-generated by tools/scale_probe.py; noop sink, min-of-2,",
-        "warm session; local[32])",
+        "(auto-generated by tools/scale_probe.py; noop sink, min-of-2",
+        f"per session, per-cell min over the last {len(sessions)} probe",
+        "session(s) — cross-session noise discipline, raw draws in",
+        "scaling_history.jsonl; warm session; local[32])",
         "",
         "Each SF step is 10× the data (sf1 is the locally-tiled",
         "decade-up set from tools/gen_sf1.py — key-shifted copies,",
@@ -151,15 +226,22 @@ def main() -> None:
         "final step.",
         "",
         f"| query | {sf_heads} | {ratio_heads} |",
-        "|---" * (1 + len(sfs) + len(sfs) - 1) + "|",
+        "|---" * (1 + len(sf_names) + len(sf_names) - 1) + "|",
         *rows,
         "",
         *STANDING_NOTES,
     ]
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"wrote SCALING.md ({len(rows)} queries)")
+    print(f"wrote SCALING.md ({len(rows)} queries, "
+          f"min over {len(sessions)} session(s))")
 
 
 if __name__ == "__main__":
-    main()
+    if "--rebuild" in sys.argv:
+        # re-render from history without re-measuring (e.g. after a
+        # second probe session, or a STANDING_NOTES edit)
+        from bench import HEADLINERS, LONG_TAIL
+        render(list(HEADLINERS) + list(LONG_TAIL))
+    else:
+        main()
