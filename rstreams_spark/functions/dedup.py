@@ -636,6 +636,15 @@ def connected_components_star(
 
 
 EDGES_PER_UF_TASK = 5_000_000  # ~dozens of MB of int64 pairs per task
+# parallelism floor for the contraction: without it a 9.5M-edge graph
+# runs 2 union-find tasks on a 32-core box (r10 sf30 probe); tasks
+# smaller than this are pure scheduling overhead
+MIN_EDGES_PER_UF_TASK = 250_000
+# iterated-contraction bound: each pass's output rows = unique nodes
+# of its input, so pass 3's input is already at the node floor —
+# more passes cannot shrink it (fall through to min-label, which is
+# correct over any contraction level)
+MAX_CONTRACTION_LEVELS = 4
 
 
 def _local_union_find(batches):
@@ -687,25 +696,26 @@ def connected_components_hybrid(
     output contract as the other CC variants: (node, cluster_id),
     cluster_id = component-min node id.
 
-    Phase A — partition-local contraction: hash-partition the edge
-    list on the source node into ``ceil(E / edges_per_task)`` tasks
-    (E is a one-row metadata count over the already-materialized edge
-    frame) and run an in-memory union-find per partition (Arrow
-    ``mapInPandas``; union-by-min keeps every root the set minimum).
-    Each task emits its spanning-forest mapping (node, lmin) — a
-    connectivity-EXACT contraction of its edge subset. This is the
-    local-contraction optimization of the MapReduce CC literature
-    (Kiveris et al., SoCC'14 §optimizations): the clique-like mass of
-    an LSH dup graph — the bulk of E — collapses inside single tasks
-    with zero shuffle rounds, leaving a pair graph of ≤V edges.
+    Phase A — ITERATED partition-local contraction: hash-partition
+    the edge list on the source node (task count = edge cap with a
+    parallelism floor) and run an in-memory union-find per partition
+    (Arrow ``mapInPandas``; union-by-min keeps every root the set
+    minimum); each task emits its spanning-forest mapping (node,
+    lmin) — a connectivity-EXACT contraction of its edge subset
+    (Kiveris et al., SoCC'14 §optimizations). A single multi-task
+    pass fragments components that span tasks, so the forest output
+    (rows = unique nodes, strictly smaller) is re-contracted until
+    it fits ONE task — and a single-task union-find IS the exact
+    component-min labeling (≤3 passes in practice; a bounded level
+    cap falls through to phase B, which is correct over any level).
 
     Phase B — min-label propagation over the contracted pair graph
     (one one-job shuffle round per remaining hop, early exit on the
-    fixpoint). Dup graphs come out of phase A with tiny effective
-    diameter, so this converges in a few rounds; a graph that still
-    stalls (organic diameter ≫ label_rounds chains) falls back to
-    star CC, which is O(log²) rounds on any topology and carries its
-    own fixpoint guard.
+    fixpoint). After an exact phase A this certifies ``changed == 0``
+    in one round; a graph that still stalls (level cap hit with
+    organic diameter ≫ label_rounds chains) falls back to star CC,
+    which is O(log²) rounds on any topology and carries its own
+    fixpoint guard.
 
     Exactness: phase A preserves connectivity exactly (spanning
     forests), union-by-min keeps labels component-pure; phase B's
@@ -723,11 +733,42 @@ def connected_components_hybrid(
     ).localCheckpoint(eager=False)
     e = e_all.where(F.col("a") != F.col("b"))
     n_edges = e.count()  # materializes e_all; metadata, not data
-    n_tasks = max(1, -(-n_edges // edges_per_task))
-    contracted = (
-        e.repartition(n_tasks, "a")
-        .mapInPandas(_local_union_find, schema="node bigint, lmin bigint")
-    )
+
+    def _uf_tasks(n: int) -> int:
+        by_cap = -(-n // edges_per_task)
+        par_floor = min(
+            e.sparkSession.sparkContext.defaultParallelism,
+            -(-n // MIN_EDGES_PER_UF_TASK),
+        )
+        return max(1, by_cap, par_floor)
+
+    # ITERATED contraction (Kiveris et al., SoCC'14): one union-find
+    # pass over a multi-task partitioning fragments a component that
+    # spans tasks, and the fragment pair graph can carry diameter the
+    # min-label phase then pays for (r10 sf30 probe: 9.5M edges → 2
+    # tasks → changed=56 after 8 rounds → 40 s star fallback). Each
+    # pass's (node, lmin) forest output is connectivity-exact and
+    # strictly smaller (rows = unique nodes of its input), so
+    # re-contracting it converges to a SINGLE task in ≤3 passes —
+    # and a single-task union-find IS the exact component-min
+    # labeling, which the min-label phase then certifies in one
+    # round (changed == 0). Every level is lazily checkpointed and
+    # materialized by its own metadata count (invariants 10/11).
+    level, n_tasks = e, _uf_tasks(n_edges)
+    contracted = None
+    for _ in range(MAX_CONTRACTION_LEVELS):
+        contracted = (
+            level.repartition(n_tasks, "a")
+            .mapInPandas(_local_union_find, schema="node bigint, lmin bigint")
+            .localCheckpoint(eager=False)
+        )
+        m = contracted.count()  # materializes this level
+        if n_tasks == 1:
+            break  # exact contraction achieved
+        level = contracted.select(
+            F.col("node").alias("a"), F.col("lmin").alias("b")
+        )
+        n_tasks = _uf_tasks(m)
     # the full node universe rides along as self-rows: self-loop-only
     # nodes never reach the union-find (their edges are filtered) but
     # must come out labeled by themselves — same contract as the

@@ -64,18 +64,26 @@ def main() -> None:
                 bucket_cap=LSH_BUCKET_CAP,
             )
 
-        # warm pass (page cache + codegen), then timed stage A with
-        # an eager materialization so stage B starts from stored rows
+        # warm pass (page cache + codegen), then min-of-2 per stage —
+        # single draws land inside this host's noise bands (a first
+        # cut drew stage A at 53 s where the warm floor is 9.5 s)
         build_pairs().write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        pairs = build_pairs().localCheckpoint(eager=True)
-        t_pairs = time.perf_counter() - t0
+        t_pairs = float("inf")
+        pairs = None
+        for _ in range(2):
+            if pairs is not None:
+                pairs.unpersist()
+            t0 = time.perf_counter()
+            pairs = build_pairs().localCheckpoint(eager=True)
+            t_pairs = min(t_pairs, time.perf_counter() - t0)
         n_edges = pairs.count()
 
-        t0 = time.perf_counter()
-        cc = connected_components_hybrid(pairs)
-        cc.write.format("noop").mode("overwrite").save()
-        t_cc = time.perf_counter() - t0
+        t_cc = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            cc = connected_components_hybrid(pairs)
+            cc.write.format("noop").mode("overwrite").save()
+            t_cc = min(t_cc, time.perf_counter() - t0)
         n_nodes = cc.count()
 
         rows.append((label, t_pairs, n_edges, t_cc, n_nodes))
