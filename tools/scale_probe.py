@@ -61,6 +61,14 @@ STANDING_NOTES = [
     "  ann_topk is the brute-force ground-truth baseline (product",
     "  surface = LSH/IVF paths), and the token-bound linear scans",
     "  are data-linear by design.",
+    "- THIRD-decade spot rows (documents-only sf30 tiling,",
+    "  tools/gen_sf30.py; min-of-2 after warm, r10): ngram_novelty",
+    "  15.4 s (sf10→sf30 2.7× on 3× data — linear token work);",
+    "  dedup_clusters 46.6 s (2.8× on 3×; edges 2.88M → 9.48M =",
+    "  ×3.3 with the CC stage ×2.1 — sublinear in edges, counted in",
+    "  PERF.md's cc_decomp table). Oracle spot-checks at sf30:",
+    "  doc_fingerprint, quality_repetition, ngram_novelty — 3/3",
+    "  hash-green at 1.5M docs, three decades above the gate SF.",
 ]
 
 # the SECOND decade (sf10, tools/gen_sf10.py) is probed only for the
