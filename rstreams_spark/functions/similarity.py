@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "dot", "l2_norm", "cosine", "cosine_pairs", "cosine_pairs_np",
     "brute_topk", "cap_probes", "hyperplanes", "lsh_bucket",
-    "lsh_topk", "rankable_norm", "stack_f64",
+    "lsh_topk", "rankable_norm", "routed_cosine_np", "stack_f64",
 ]
 
 MAX_PROBES = 1024
@@ -409,6 +409,100 @@ def cosine_pairs_np(
         .where(F.col(bucket_col).isNotNull() & F.col(vec_col).isNotNull())
         .groupBy(bucket_col)
         .applyInPandas(score, "id1 bigint, id2 bigint, cosine double")
+    )
+
+
+def routed_cosine_np(
+    corpus: DataFrame,
+    probe_rows,
+    route_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    norm_col: str = "v_norm",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Arrow/numpy twin of the broadcast probe⋈corpus cosine scoring
+    stage shared by the routed ANN paths (IVF cells, LSH buckets):
+    identical (probe_id, id, cosine) triplets to the
+    ``join(F.broadcast(probes), route==p_route)`` + ``dot``-fold
+    composition, ONE corpus Arrow pass instead of an interpreted HOF
+    fold per candidate pair. The fold was the dominant cost of
+    ``ivf_topk`` at sf10 (~19.6 s of 23.1 s — 2.56M pairs × 64-dim
+    interpreted ``aggregate``; the fit + assign stages were 2.7 s).
+
+    ``probe_rows`` are the ALREADY-ROUTED probe rows — plain driver
+    rows with fields (probe_id_col, p_emb, p_norm, p_route) —
+    collected from the routed probe frame, so the in-plan
+    ``cap_probes`` assert_true guard executes inside that bounded
+    collect job and the loud probe-cap contract is unchanged (the
+    collect is ≤ max_probes × nprobe rows by the same guard — the
+    bounded-driver-rows pattern the IVF fit established in r8).
+
+    FP parity is EXACT (CLAUDE.md invariant 2), same argument as the
+    sibling kernels: each pair's dot accumulates DIM-SEQUENTIALLY
+    (``acc += v_d · p_d`` in a d-loop over float64 operands — the
+    identical add order and 0.0 init as the ``zip_with``+``aggregate``
+    fold), and the cosine divides by the ``n_v · n_p`` product of the
+    SAME hoisted-norm doubles the JVM form multiplies (``norm_col``
+    rides in from the corpus frame; ``p_norm`` from the collected
+    probe rows — both JVM folds). No oracle change.
+
+    Scale shape: zero new exchanges — the kernel inherits the corpus
+    frame's partitioning; per task the probe matrix is
+    O(Σ routed probes × dims) doubles (cap-bounded), per batch the
+    score block is O(batch × probes-in-route) doubles. Self-pairs
+    are NOT excluded here — callers filter ``id != probe_id`` after,
+    exactly where the JVM composition filters.
+
+    NULL/degenerate corpus vectors must be filtered upstream
+    (callers do, per invariant 20 — a NULL would crash the float64
+    stack exactly like the assign kernels, which is the documented
+    STRICTER-than-JVM contract of ``stack_f64``)."""
+    import numpy as np
+    import pandas as pd
+
+    by_route: dict = {}
+    for r in probe_rows:
+        by_route.setdefault(r["p_route"], []).append(r)
+    routes = {}
+    for route, rows in by_route.items():
+        pids = np.array([r[probe_id_col] for r in rows], dtype=np.int64)
+        P = stack_f64([r["p_emb"] for r in rows], pids, "routed_cosine_np")
+        pn = np.array([r["p_norm"] for r in rows], dtype=np.float64)
+        routes[route] = (pids, P, pn)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for route, sub in pdf.groupby(route_col, sort=False):
+                hit = routes.get(route)
+                if hit is None:
+                    continue
+                pids, P, pn = hit
+                ids = sub[id_col].to_numpy()
+                V = stack_f64(list(sub[vec_col]), ids, "routed_cosine_np")
+                vn = sub[norm_col].to_numpy(dtype=np.float64)
+                m, p = len(ids), len(pids)
+                acc = np.zeros((m, p))
+                for d in range(V.shape[1]):
+                    acc += V[:, d, None] * P[None, :, d]
+                cos = acc / (vn[:, None] * pn[None, :])
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            probe_id_col: np.tile(pids, m),
+                            id_col: np.repeat(ids, p),
+                            "cosine": cos.ravel(),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return corpus.select(id_col, vec_col, norm_col, route_col).mapInPandas(
+        score, f"{probe_id_col} bigint, {id_col} bigint, cosine double"
     )
 
 

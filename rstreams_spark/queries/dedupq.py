@@ -370,7 +370,11 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment) — invariant 9: materialize once via lazy
     # localCheckpoint instead of re-scanning parquet per pass
     emb = (
-        emb_all.where(F.col("embedding").isNotNull())
+        # conditional fan-out (no-op on real-lake scans): fit passes,
+        # Arrow assign and the pair kernel are per-row f64 work that
+        # otherwise runs at a few-file corpus's scan parallelism
+        ensure_fanout_parallelism(emb_all)
+        .where(F.col("embedding").isNotNull())
         # zero-norm vectors excluded with the NULLs (same contract as
         # ivf_topk / the oracle's _SQL_NZ): no defined cosine, and the
         # pair kernel's 0/0 would otherwise raise — the filter sits
@@ -429,7 +433,12 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     vecs = t(spark, sf_dir, "embeddings")
     probes = vecs.where(F.col("vec_id") % 50 == 0)
-    out = brute_topk(vecs, probes, ANN_K)
+    # conditional fan-out of the CORPUS side only (no-op on real-lake
+    # scans): the corpus×probe fold dots otherwise run at a few-file
+    # corpus's scan parallelism (r9 scan seam). The probe branch stays
+    # on the plain scan — its %-filter pushes down, and fanning it out
+    # would re-run the corpus repartition per branch (invariant 9)
+    out = brute_topk(ensure_fanout_parallelism(vecs), probes, ANN_K)
     return out.select(
         "probe_id", "vec_id", "cosine",
         F.col("rank").cast("long").alias("rank"),
@@ -447,9 +456,13 @@ def _ann_lsh_impl(
     strategies. The *values* are identical either way (same folds,
     same rank ties); only the join's physical shape differs:
 
-    - ``shuffle=False`` (``ann_lsh_topk``): probes are broadcast
-      behind ``cap_probes``'s in-plan assert_true guard — the
-      user-query-sized probe contract (SURVEY §6).
+    - ``shuffle=False`` (``ann_lsh_topk``): the capped probe frame
+      (``cap_probes``'s assert_true guard fires inside the bounded
+      collect) rides as driver rows into the Arrow scoring kernel
+      (``routed_cosine_np`` — one corpus pass, zero exchanges,
+      bit-identical cosines to the fold-per-pair broadcast join it
+      replaced in r10) — the user-query-sized probe contract
+      (SURVEY §6).
     - ``shuffle=True`` (``ann_lsh_topk_shuffle``): the documented
       corpus-scale fallback — NO cap, NO broadcast; both sides
       shuffle on the bucket key (``shuffle_hash`` hint, probe side
@@ -458,9 +471,16 @@ def _ann_lsh_impl(
       hash joins on the LSH bucket, never a multi-GB broadcast."""
     from pyspark.sql.window import Window as W
 
-    from ..functions.similarity import MAX_PROBES, cap_probes, dot, l2_norm, rankable_norm
+    from ..functions.similarity import (
+        MAX_PROBES, cap_probes, dot, l2_norm, rankable_norm, routed_cosine_np,
+    )
 
-    vecs = t(spark, sf_dir, "embeddings").select("vec_id", "embedding").withColumn(
+    # conditional fan-out (no-op on real-lake scans): the per-row
+    # plane dots + norm folds otherwise run at a few-file corpus's
+    # 1-2-task scan parallelism (r9 scan seam)
+    vecs = ensure_fanout_parallelism(
+        t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).withColumn(
         "bucket", lsh_bucket(F.col("embedding"), _PLANES)
     ).withColumn("v_norm", l2_norm(F.col("embedding")))
     # zero-norm (and NULL) vectors are excluded at entry on BOTH
@@ -483,24 +503,35 @@ def _ann_lsh_impl(
         joined = vecs.join(
             probes.hint("shuffle_hash"), F.col("bucket") == F.col("p_bucket")
         )
+        # norms hoisted above the join: identical doubles (pure
+        # fold), one dot product per candidate pair instead of three
+        scored = (
+            joined
+            .where(F.col("vec_id") != F.col("probe_id"))
+            .select(
+                "probe_id", "vec_id",
+                (
+                    dot(F.col("embedding"), F.col("p_emb"))
+                    / (F.col("v_norm") * F.col("p_norm"))
+                ).alias("cos"),
+            )
+        )
     else:
+        # user-query-sized probe regime (r10, same shape as ivf_topk):
+        # the capped probe frame rides as bounded driver rows into the
+        # Arrow scoring kernel — cap_probes' assert_true guard
+        # executes inside this bounded collect, so corpus-scaling
+        # probe sets still fail loudly; cosines are bit-identical to
+        # the fold-per-pair broadcast join this replaces
         probes = cap_probes(probes, MAX_PROBES, "probe_id", "ann_lsh_topk")
-        joined = vecs.join(
-            F.broadcast(probes), F.col("bucket") == F.col("p_bucket")
+        prows = probes.select(
+            "probe_id", "p_emb", "p_norm", F.col("p_bucket").alias("p_route")
+        ).collect()
+        scored = (
+            routed_cosine_np(vecs, prows, route_col="bucket")
+            .where(F.col("vec_id") != F.col("probe_id"))
+            .withColumnRenamed("cosine", "cos")
         )
-    # norms hoisted above the join: identical doubles (pure fold),
-    # one dot product per candidate pair instead of three
-    scored = (
-        joined
-        .where(F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id", "vec_id",
-            (
-                dot(F.col("embedding"), F.col("p_emb"))
-                / (F.col("v_norm") * F.col("p_norm"))
-            ).alias("cos"),
-        )
-    )
     w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1175,10 +1206,15 @@ def ivf_topk(
     by the member count (exact same operands both engines); argmin
     ties break toward the smaller cell id in both engines.
 
-    Probe frames are broadcast (cell routing + the bucketed compare)
-    so the probe side carries ``cap_probes``'s in-plan assert_true
-    guard — corpus-scaling probe sets fail loudly instead of
-    broadcasting multi-GB at 100× scale (SURVEY §6 probe contract).
+    Probe routing broadcasts only the `cells`-row centroid table; the
+    ROUTED probe frame carries ``cap_probes``'s in-plan assert_true
+    guard and then (broadcast mode) rides as bounded driver rows into
+    the Arrow scoring kernel (``routed_cosine_np`` — one corpus pass,
+    zero exchanges; r10: replaces the fold-per-pair broadcast join
+    that was ~19.6 s of the 23.1 s sf10 wall). The guard executes
+    inside the bounded probe collect, so corpus-scaling probe sets
+    still fail loudly instead of shipping unbounded driver rows at
+    100× scale (SURVEY §6 probe contract).
 
     Contract: vec_id is the vector identity (must be unique — the
     fit/rank machinery is multiplicity-stable only on a set; dup_rows
@@ -1186,7 +1222,9 @@ def ivf_topk(
     (cosine undefined for them); probe sets past MAX_PROBES fail
     loudly — corpus-scale probes belong on the _shuffle variant
     """
-    from ..functions.similarity import MAX_PROBES, cap_probes, dot, l2_norm, rankable_norm
+    from ..functions.similarity import (
+        MAX_PROBES, cap_probes, dot, l2_norm, rankable_norm, routed_cosine_np,
+    )
 
     # prune to the 3 live columns BEFORE the Arrow kernel —
     # mapInPandas materializes its declared input schema, so an
@@ -1194,8 +1232,14 @@ def ivf_topk(
     # and vecs feeds two consumers (assignment + probes), so per
     # invariant 9 it materializes once via lazy localCheckpoint
     vecs = (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
+        # conditional fan-out (no-op on real-lake scans): the fit's
+        # corpus passes, the Arrow assign and the scoring kernel are
+        # all per-row f64 work that otherwise inherits a few-file
+        # corpus's 1-2-task scan parallelism (the r9 scan seam; at
+        # sf10 the whole query ran on 2 of 32 cores)
+        ensure_fanout_parallelism(
+            t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        )
         # NULL and ZERO-NORM vectors are excluded from similarity
         # search by contract (mirrored in the oracle's _SQL_NZ):
         # NULLs can never rank (NULL cosine) and would crash the
@@ -1238,25 +1282,38 @@ def ivf_topk(
     )
     if shuffle:
         # corpus-scale probe fallback: both sides shuffle on the cell
-        # key (probe side builds the hash table) — no probe broadcast
+        # key (probe side builds the hash table) — no probe broadcast,
+        # no probe collect; cosines are the sequential JVM folds
         joined = assigned.join(
             probe_cells.hint("shuffle_hash"), F.col("cell") == F.col("p_cell")
         )
+        scored = (
+            joined
+            .where(F.col("vec_id") != F.col("probe_id"))
+            .select(
+                "probe_id", "vec_id",
+                (
+                    dot(F.col("embedding"), F.col("p_emb"))
+                    / (F.col("v_norm") * F.col("p_norm"))
+                ).alias("cosine"),
+            )
+        )
     else:
-        joined = assigned.join(
-            F.broadcast(probe_cells), F.col("cell") == F.col("p_cell")
-        )
-    scored = (
-        joined
-        .where(F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id", "vec_id",
-            (
-                dot(F.col("embedding"), F.col("p_emb"))
-                / (F.col("v_norm") * F.col("p_norm"))
-            ).alias("cosine"),
-        )
-    )
+        # user-query-sized probe regime: the routed probe frame
+        # (≤ max_probes × nprobe rows — cap_probes' assert_true guard
+        # executes inside this bounded collect job, so corpus-scaling
+        # probe sets still FAIL LOUDLY here) rides as driver rows into
+        # the Arrow scoring kernel — one corpus pass, zero exchanges,
+        # bit-identical cosines to the fold-per-pair broadcast join it
+        # replaces (r10: that interpreted fold was ~19.6 s of
+        # ivf_topk's 23.1 s at sf10; see routed_cosine_np's contract)
+        prows = probe_cells.select(
+            "probe_id", F.col("p_emb"), F.col("p_norm"),
+            F.col("p_cell").alias("p_route"),
+        ).collect()
+        scored = routed_cosine_np(
+            assigned, prows, route_col="cell"
+        ).where(F.col("vec_id") != F.col("probe_id"))
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

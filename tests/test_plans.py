@@ -262,23 +262,28 @@ def test_ann_topk_partial_topk_below_shuffle(spark):
     assert len(set(re.findall(r"\(\d+\) WindowGroupLimit", txt))) >= 2
 
 
-def test_ann_probe_broadcasts_are_capped(spark):
-    """Every broadcast probe frame in the ANN family carries the
-    in-plan assert_true cap (cap_probes): a corpus-scaling probe set
-    must fail loudly, never ship a multi-GB broadcast. Pinned for
-    both approximate paths; brute_topk's guard is covered by
-    test_functions.test_brute_topk_probe_cap_enforced."""
+def test_ann_routed_kernel_scoring_shape(spark):
+    """r10 shape of the capped-probe ANN paths: the routed probe
+    frame is collected as bounded driver rows (cap_probes' assert_true
+    guard executes inside that collect — loud-cap behavior pinned by
+    tests/test_probe_shuffle.py) and scoring runs in the Arrow kernel
+    (routed_cosine_np) over the corpus frame — ONE corpus pass, zero
+    probe broadcasts, zero exchanges between the materialized corpus
+    and the rank window's own shuffle."""
     for key in ("ann_lsh_topk", "ivf_topk"):
         df = REGISTRY[key](spark, SF_SMOKE)
         txt = plans.explain_str(df)
-        assert "max_probes" in txt, f"{key}: probe cap missing from plan"
-        # and the guard feeds an actual broadcast exchange
-        assert "BroadcastExchange" in txt
+        # the Arrow kernel is the scoring stage
+        assert "MapInPandas" in txt, f"{key}: routed kernel missing"
+        # no probe broadcast remains anywhere in the scoring plan
+        assert "BroadcastExchange" not in txt, f"{key}: stray broadcast"
         # invariant 9: the shared corpus frame (scan + norm/bucket
-        # folds) materializes once via lazy localCheckpoint — both
-        # the corpus side and the probe derivation read ExistingRDD,
-        # never a per-branch parquet re-scan
+        # folds) materializes once via lazy localCheckpoint — the
+        # kernel reads ExistingRDD, never a per-branch parquet re-scan
         assert "ExistingRDD" in txt, f"{key}: corpus frame not materialized"
+        # exactly ONE exchange: the rank window's partitionBy —
+        # scoring itself adds none
+        assert plans.count_shuffles(df) == 1, f"{key}: extra exchange"
 
 
 def test_fanout_repartition_is_conditional(spark):
