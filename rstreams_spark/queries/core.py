@@ -1104,33 +1104,11 @@ TSM_QUERY_USER = 0  # the query pattern = this user's first window
 TSM_MAX_SERIES = 100_000
 
 
-def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series subsequence similarity search (the UCR-suite
-    shape: z-normalized Euclidean distance between a query pattern
-    and every length-W sliding window of every series): the query is
-    user 0's first W values; output = the global top-K most similar
-    windows across all users (the query window itself excluded).
-    Complements the embedding ANN family with the raw-signal motif
-    search a market/telemetry engine owes its users.
-
-    Scale shape: one shuffle builds the per-user ordered series
-    (series length is bounded by retention per key — the same
-    contract as every per-key window operator here); windows explode
-    to W-length slices (linear in points × W); per-window mean/std/
-    distance are sequential JVM folds projected as columns; the
-    global top-K is ``orderBy().limit()`` — Spark's distributed
-    TakeOrderedAndProject, NEVER an unpartitioned data-sized window
-    (the final rank rides a ≤K-row window, bounded by construction).
-    FP parity: identical fold order both engines, one sqrt at the
-    end; zero-variance (flat) windows are excluded by an exact
-    ``> 0`` comparison on the identically-computed variance.
-
-    Contract: events rows with a NULL ts are dropped at entry on both
-    engines (invariant 18 — a NULL instant has no position on the time
-    axis); a single key's collected series is capped at TSM_MAX_SERIES
-    (loud in-plan raise, invariant 19-style); query user's series must
-    reach W values or the result is empty on both engines
-    """
+def _ts_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared entry for both ts_similarity_topk paths: per-user
+    time-ordered value series + the in-plan retention guard,
+    materialized once (feeds the query-window derivation AND the
+    window scan — invariant 9/11)."""
     ev = _tev(spark, sf_dir)
     series = ev.groupBy("user_id").agg(
         F.transform(
@@ -1156,7 +1134,17 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # feeds TWO consumers (qrow + wins): lazy-materialize per
     # invariant 9 so the events scan + collect_list agg plans once
-    series = series.localCheckpoint(eager=False)
+    return series.localCheckpoint(eager=False)
+
+
+def _ts_similarity_topk_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-JVM composition of the subsequence search — the parity
+    oracle for the Arrow kernel path (row-level equality pinned in
+    tests/test_operators.py): window slices explode in-plan and every
+    per-window mean/var/distance is a sequential HOF fold. Kept as
+    the bit-exactness reference; the catalog entry rides the kernel
+    (the interpreted folds were ~5.7×/decade on points × W work)."""
+    series = _ts_series(spark, sf_dir)
     # one-row broadcast query pattern (z-normalized once, driver-free).
     # The size guard keeps a short query series (< W values) from
     # producing a null-padded qp whose NULL dists order differently
@@ -1230,6 +1218,182 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(wr).cast("long")).select(
         "user_id", F.col("start_idx").cast("long").alias("start_idx"),
         "dist", "rank",
+    )
+
+
+def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (the UCR-suite
+    shape: z-normalized Euclidean distance between a query pattern
+    and every length-W sliding window of every series): the query is
+    user 0's first W values; output = the global top-K most similar
+    windows across all users (the query window itself excluded).
+    Complements the embedding ANN family with the raw-signal motif
+    search a market/telemetry engine owes its users.
+
+    Scale shape (r10): one shuffle builds the per-user ordered series
+    (retention-bounded per key, loud in-plan cap); windows never
+    explode — each series row enters the Arrow kernel ONCE and the
+    sliding-window mean/var/distances compute as dim-sequential
+    numpy accumulations BIT-IDENTICAL to the sequential JVM folds of
+    ``_ts_similarity_topk_jvm`` (same add order, same one-sqrt-at-
+    the-end; the parity twin is row-equality-pinned in tests). The
+    kernel emits only its per-batch top-K, so the global
+    ``orderBy().limit(K)`` (distributed TakeOrdered) sees ≤ K rows
+    per batch, never points-many rows. The interpreted HOF folds this
+    replaces were ~32 ops/window over points-many windows — the
+    dominant cost at sf10 (12.3 s).
+
+    Exact Spark-semantics notes, replicated in-kernel (all pinned by
+    the probe matrix — null_facts, nonfinite, big_ids, onerow):
+    a window containing a NULL value is DROPPED (its JVM fold mean is
+    NULL and ``NULL > 0`` filters it; NULL positions ride a JVM-built
+    boolean mask column because Arrow→pandas folds NULL and NaN
+    together); a window containing NaN is KEPT (``NaN > 0`` is TRUE
+    under Spark's NaN-greatest total ordering) and its NaN distance
+    sorts LAST; ordering is (dist, user_id NULLS FIRST, start_idx)
+    with NaN-greatest dist — reproduced with explicit NaN/NULL flag
+    sort keys; a NULL-user window at start_idx==1 is dropped exactly
+    like the JVM three-valued ``~((u=0) AND (s=1))`` filter does.
+
+    Contract: events rows with a NULL ts are dropped at entry on both
+    engines (invariant 18 — a NULL instant has no position on the time
+    axis); a single key's collected series is capped at TSM_MAX_SERIES
+    (loud in-plan raise, invariant 19-style); query user's series must
+    reach W values or the result is empty on both engines
+    """
+    import math
+
+    series = _ts_series(spark, sf_dir)
+    qrows = (
+        series.where(
+            (F.col("user_id") == TSM_QUERY_USER)
+            & (F.size("vals") >= TSM_W)
+        )
+        .select(F.slice("vals", 1, TSM_W).alias("qp"))
+        .collect()
+    )
+    empty = spark.createDataFrame(
+        [], "user_id bigint, start_idx bigint, dist double, rank bigint"
+    )
+    if not qrows:
+        return empty
+    qp = list(qrows[0]["qp"])
+    if any(x is None for x in qp):
+        # JVM twin: NULL in the query window → NULL mq/vq → the
+        # (vq > 0) filter drops every row → empty on both engines
+        return empty
+    mq = 0.0
+    for x in qp:
+        mq = mq + x
+    mq = mq / float(TSM_W)
+    vq = 0.0
+    for x in qp:
+        vq = vq + (x - mq) * (x - mq)
+    vq = vq / float(TSM_W)
+    if not (vq > 0 or math.isnan(vq)):
+        # exact JVM semantics: vq == 0 drops everything; NaN vq KEEPS
+        # rows (NaN > 0 is TRUE under Spark total ordering) — the
+        # all-NaN distances then tie-break on (user_id, start_idx)
+        return empty
+    sq = math.sqrt(vq)
+    qz = [(x - mq) / sq for x in qp]
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        W_, K_ = TSM_W, TSM_K
+        qzv = np.array(qz, dtype=np.float64)
+        for pdf in batches:
+            un_l, uv_l, st_l, di_l = [], [], [], []
+            for u_null, u_val, vals, nulls in zip(
+                pdf["u_null"], pdf["u_val"], pdf["vals"], pdf["nulls"]
+            ):
+                v = np.asarray(vals, dtype=np.float64)
+                if v.size < W_:
+                    continue
+                nullm = np.asarray(list(nulls), dtype=bool)
+                Wm = sliding_window_view(v, W_)
+                winnull = sliding_window_view(nullm, W_).any(axis=1)
+                m = Wm.shape[0]
+                mw = np.zeros(m)
+                for d in range(W_):
+                    mw = mw + Wm[:, d]
+                mw = mw / float(W_)
+                vw = np.zeros(m)
+                for d in range(W_):
+                    df_ = Wm[:, d] - mw
+                    vw = vw + df_ * df_
+                vw = vw / float(W_)
+                keep = (~winnull) & ((vw > 0) | np.isnan(vw))
+                if bool(u_null) or int(u_val) == TSM_QUERY_USER:
+                    # JVM ~((u=0) AND (s=1)): drops start_idx==1 for
+                    # user 0 AND (three-valued) for NULL users
+                    keep[0] = False
+                if not keep.any():
+                    continue
+                Wk, mwk, vwk = Wm[keep], mw[keep], vw[keep]
+                swk = np.sqrt(vwk)
+                acc = np.zeros(len(mwk))
+                with np.errstate(invalid="ignore"):
+                    for d in range(W_):
+                        df_ = (Wk[:, d] - mwk) / swk - qzv[d]
+                        acc = acc + df_ * df_
+                dist = np.sqrt(acc)
+                st = (np.nonzero(keep)[0] + 1).astype(np.int64)
+                un_l.append(np.full(len(st), bool(u_null)))
+                uv_l.append(np.full(len(st), np.int64(u_val)))
+                st_l.append(st)
+                di_l.append(dist)
+            if not un_l:
+                continue
+            un = np.concatenate(un_l)
+            uv = np.concatenate(uv_l)
+            st = np.concatenate(st_l)
+            di = np.concatenate(di_l)
+            # Spark total order: dist asc NaN-GREATEST, user_id asc
+            # NULLS FIRST, start_idx asc — explicit flag keys because
+            # np.lexsort's NaN placement is per-key, not total-order
+            nanf = np.isnan(di)
+            distf = np.where(nanf, 0.0, di)
+            order = np.lexsort(
+                (st, np.where(un, 0, uv), (~un).astype(np.int8),
+                 distf, nanf.astype(np.int8))
+            )[:K_]
+            yield pd.DataFrame(
+                {
+                    "u_null": un[order],
+                    "u_val": uv[order],
+                    "start_idx": st[order],
+                    "dist": di[order],
+                }
+            )
+
+    scored = (
+        series.select(
+            F.col("user_id").isNull().alias("u_null"),
+            F.coalesce(F.col("user_id"), F.lit(0)).alias("u_val"),
+            "vals",
+            # NULL positions as a JVM-built mask: Arrow→pandas turns
+            # NULL elements into NaN, indistinguishable from data NaN
+            F.transform(F.col("vals"), lambda x: x.isNull()).alias("nulls"),
+        )
+        .mapInPandas(
+            _score,
+            "u_null boolean, u_val bigint, start_idx bigint, dist double",
+        )
+        .select(
+            F.when(F.col("u_null"), F.lit(None).cast("bigint"))
+            .otherwise(F.col("u_val"))
+            .alias("user_id"),
+            "start_idx", "dist",
+        )
+    )
+    top = scored.orderBy("dist", "user_id", "start_idx").limit(TSM_K)
+    wr = Window.orderBy("dist", "user_id", "start_idx")  # <= K rows
+    return top.withColumn("rank", F.row_number().over(wr).cast("long")).select(
+        "user_id", "start_idx", "dist", "rank",
     )
 
 

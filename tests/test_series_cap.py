@@ -45,3 +45,14 @@ def test_default_cap_keeps_parity_rows(spark):
     con = _oracle_con()  # keep the connection alive past .sql()
     want = con.sql(ORACLES["ts_similarity_topk"]).fetchall()
     assert got.count() == len(want) > 0  # full hash parity rides `make oracle`
+
+
+def test_kernel_matches_jvm_twin(spark):
+    """r10: the Arrow sliding-window kernel must reproduce the all-JVM
+    fold composition row-for-row (same dists bit-for-bit, same order,
+    same ranks) — the kernel's dim-sequential accumulations claim
+    exact fold parity, so equality is on raw doubles, no tolerance."""
+    for sf in (SF, "/root/testdata/sf0.01"):
+        a = sorted(map(tuple, core.ts_similarity_topk(spark, sf).collect()))
+        b = sorted(map(tuple, core._ts_similarity_topk_jvm(spark, sf).collect()))
+        assert a == b and len(a) > 0
