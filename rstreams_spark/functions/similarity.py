@@ -23,7 +23,8 @@ from pyspark.sql.window import Window
 __all__ = [
     "dot", "l2_norm", "cosine", "cosine_pairs", "cosine_pairs_np",
     "brute_topk", "cap_probes", "hyperplanes", "lsh_bucket",
-    "lsh_topk", "rankable_norm", "routed_cosine_np", "stack_f64",
+    "bucketed_topk_np", "lsh_topk", "rankable_norm",
+    "routed_cosine_np", "stack_f64",
 ]
 
 MAX_PROBES = 1024
@@ -503,6 +504,104 @@ def routed_cosine_np(
 
     return corpus.select(id_col, vec_col, norm_col, route_col).mapInPandas(
         score, f"{probe_id_col} bigint, {id_col} bigint, cosine double"
+    )
+
+
+def bucketed_topk_np(
+    corpus: DataFrame,
+    probe_routed: DataFrame,
+    k: int,
+    route_col: str = "cell",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    norm_col: str = "v_norm",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Corpus-scale probe scoring as ONE bucket-grouped Arrow stage:
+    both sides shuffle on the route key (the same single exchange the
+    ShuffledHashJoin paid), each vector crosses Arrow ONCE per routed
+    bucket (the r10 pair kernel still shipped both embeddings PER
+    PAIR — ~35 s of Arrow transfer at sf30's 58M ivf pairs), the
+    bipartite cosine block computes dim-sequentially in-kernel, and
+    only the per-(probe, bucket) top-(k+1) candidates are emitted —
+    the downstream global rank window sees ≤ (k+1)·nprobe rows per
+    probe, never the pair count. Exact: per-probe global top-k is a
+    subset of its per-bucket top-(k+1)s (at most ONE self-pair per
+    bucket can drop), ties replicate the JVM rank's (cosine DESC,
+    id ASC) via a stable argsort over id-ASC-presorted rows, and the
+    cosines are the same dim-sequential accumulation the fold
+    computes, divided by the same hoisted-norm product (invariant 2 —
+    bit-identical doubles, no oracle change).
+
+    Memory contract: one task materializes one bucket's members —
+    O(bucket_members × routed_probes × 8) bytes for the score block.
+    With the IVF family's documented scale design (cells ∝ corpus,
+    SEMANTIC_CELL_MAX clamp) both factors are bounded; a fixed-cell
+    index at true corpus scale should size cells up before using
+    this path (same contract as cosine_pairs_np's bucket cap).
+
+    Self-pairs (shared ids across sides) are excluded in-kernel —
+    emitting them with a sentinel score would let a sparse bucket
+    rank a fake row. NULL/degenerate vectors are filtered upstream
+    by contract (rankable_norm on both sides)."""
+    import numpy as np
+    import pandas as pd
+
+    c_tag = corpus.select(
+        F.col(route_col).alias("__r"), F.lit(True).alias("__is_c"),
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        F.col(norm_col).alias("__n"),
+    )
+    p_tag = probe_routed.select(
+        F.col(route_col).alias("__r"), F.lit(False).alias("__is_c"),
+        F.col(probe_id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        F.col(norm_col).alias("__n"),
+    )
+
+    def score(key, pdf):
+        cm = pdf["__is_c"].to_numpy()
+        cpdf = pdf[cm]
+        ppdf = pdf[~cm]
+        if not len(cpdf) or not len(ppdf):
+            return pd.DataFrame(
+                {probe_id_col: [], id_col: [], "cosine": []}
+            ).astype({probe_id_col: "int64", id_col: "int64",
+                      "cosine": "float64"})
+        # id-ASC presort so the stable argsort below breaks cosine
+        # ties toward the smaller corpus id — the JVM rank's order
+        cpdf = cpdf.sort_values("__id")
+        ids = cpdf["__id"].to_numpy()
+        V = stack_f64(list(cpdf["__v"]), ids, "bucketed_topk_np")
+        vn = cpdf["__n"].to_numpy(dtype=np.float64)
+        pids = ppdf["__id"].to_numpy()
+        P = stack_f64(list(ppdf["__v"]), pids, "bucketed_topk_np")
+        pn = ppdf["__n"].to_numpy(dtype=np.float64)
+        m, p = len(ids), len(pids)
+        acc = np.zeros((m, p))
+        for d in range(V.shape[1]):
+            acc += V[:, d, None] * P[None, :, d]
+        cos = acc / (vn[:, None] * pn[None, :])
+        take = min(k + 1, m)
+        # stable ⇒ equal cosines keep id-ASC row order
+        sel = np.argsort(-cos, axis=0, kind="stable")[:take]  # take×p
+        out_pid = np.repeat(pids, take)
+        out_id = ids[sel].T.ravel()
+        out_cos = np.take_along_axis(cos, sel, axis=0).T.ravel()
+        keep = out_id != out_pid  # self-pairs excluded, like the JVM
+        return pd.DataFrame(
+            {
+                probe_id_col: out_pid[keep],
+                id_col: out_id[keep],
+                "cosine": out_cos[keep],
+            }
+        )
+
+    return (
+        c_tag.unionByName(p_tag)
+        .groupBy("__r")
+        .applyInPandas(
+            score, f"{probe_id_col} bigint, {id_col} bigint, cosine double"
+        )
     )
 
 

@@ -472,7 +472,8 @@ def _ann_lsh_impl(
     from pyspark.sql.window import Window as W
 
     from ..functions.similarity import (
-        MAX_PROBES, cap_probes, dot, l2_norm, rankable_norm, routed_cosine_np,
+        MAX_PROBES, bucketed_topk_np, cap_probes, l2_norm, rankable_norm,
+        routed_cosine_np,
     )
 
     # conditional fan-out (no-op on real-lake scans): the per-row
@@ -500,22 +501,20 @@ def _ann_lsh_impl(
         F.col("v_norm").alias("p_norm"),
     )
     if shuffle:
-        joined = vecs.join(
-            probes.hint("shuffle_hash"), F.col("bucket") == F.col("p_bucket")
-        )
-        # norms hoisted above the join: identical doubles (pure
-        # fold), one dot product per candidate pair instead of three
-        scored = (
-            joined
-            .where(F.col("vec_id") != F.col("probe_id"))
-            .select(
-                "probe_id", "vec_id",
-                (
-                    dot(F.col("embedding"), F.col("p_emb"))
-                    / (F.col("v_norm") * F.col("p_norm"))
-                ).alias("cos"),
-            )
-        )
+        # bucket-grouped Arrow kernel (r10): both sides shuffle once
+        # on the LSH bucket, the bipartite block computes in-kernel
+        # (bit-identical cosines to the per-pair fold), and only
+        # per-(probe, bucket) top-(k+1) rows reach the rank window
+        scored = bucketed_topk_np(
+            vecs.select("bucket", "vec_id", "embedding", "v_norm"),
+            probes.select(
+                F.col("p_bucket").alias("bucket"), "probe_id",
+                F.col("p_emb").alias("embedding"),
+                F.col("p_norm").alias("v_norm"),
+            ),
+            ANN_K,
+            route_col="bucket",
+        ).withColumnRenamed("cosine", "cos")
     else:
         # user-query-sized probe regime (r10, same shape as ivf_topk):
         # the capped probe frame rides as bounded driver rows into the
@@ -1223,7 +1222,8 @@ def ivf_topk(
     loudly — corpus-scale probes belong on the _shuffle variant
     """
     from ..functions.similarity import (
-        MAX_PROBES, cap_probes, dot, l2_norm, rankable_norm, routed_cosine_np,
+        MAX_PROBES, bucketed_topk_np, cap_probes, l2_norm, rankable_norm,
+        routed_cosine_np,
     )
 
     # prune to the 3 live columns BEFORE the Arrow kernel —
@@ -1281,22 +1281,21 @@ def ivf_topk(
         .select("probe_id", "p_emb", "p_norm", F.col("cell").alias("p_cell"))
     )
     if shuffle:
-        # corpus-scale probe fallback: both sides shuffle on the cell
-        # key (probe side builds the hash table) — no probe broadcast,
-        # no probe collect; cosines are the sequential JVM folds
-        joined = assigned.join(
-            probe_cells.hint("shuffle_hash"), F.col("cell") == F.col("p_cell")
-        )
-        scored = (
-            joined
-            .where(F.col("vec_id") != F.col("probe_id"))
-            .select(
-                "probe_id", "vec_id",
-                (
-                    dot(F.col("embedding"), F.col("p_emb"))
-                    / (F.col("v_norm") * F.col("p_norm"))
-                ).alias("cosine"),
-            )
+        # corpus-scale probe fallback: both sides shuffle ONCE on the
+        # cell key into the bucket-grouped Arrow kernel — no probe
+        # broadcast, no probe collect, each vector crosses Arrow once
+        # per routed cell (the r10 pair-frame kernel still shipped
+        # both embeddings per pair — ~35 s of transfer at sf30's 58M
+        # pairs; the interpreted fold before it was ~60 s), and only
+        # per-(probe, cell) top-(k+1) candidates reach the rank
+        scored = bucketed_topk_np(
+            assigned,
+            probe_cells.select(
+                F.col("p_cell").alias("cell"), "probe_id",
+                F.col("p_emb").alias("embedding"),
+                F.col("p_norm").alias("v_norm"),
+            ),
+            ANN_K,
         )
     else:
         # user-query-sized probe regime: the routed probe frame

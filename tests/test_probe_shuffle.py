@@ -73,13 +73,16 @@ def test_shuffle_variants_match_broadcast_values(spark):
 
 
 def test_shuffle_plans_have_no_probe_broadcast(spark):
-    """Plan pin for the fallback: the probe-side join is a
-    ShuffledHashJoin and carries NO cap guard (uncapped by design).
-    ivf_topk_shuffle still broadcasts the `cells`-row centroid table
-    — that broadcast is size-bounded by construction, not by a cap."""
+    """Plan pin for the fallback (r10 shape): both sides shuffle once
+    on the route key into the bucket-grouped Arrow kernel
+    (FlatMapGroupsInPandas) — NO cap guard (uncapped by design) and
+    NO probe broadcast. ivf_topk_shuffle still broadcasts the
+    `cells`-row centroid table for routing — that broadcast is
+    size-bounded by construction, not by a cap."""
     txt = plans.explain_str(REGISTRY["ann_lsh_topk_shuffle"](spark, SF_SMOKE))
-    assert "ShuffledHashJoin" in txt
+    assert "FlatMapGroupsInPandas" in txt
     assert "max_probes" not in txt
+    assert "BroadcastExchange" not in txt  # no cents routing here
     txt = plans.explain_str(REGISTRY["ivf_topk_shuffle"](spark, SF_SMOKE))
-    assert "ShuffledHashJoin" in txt
+    assert "FlatMapGroupsInPandas" in txt
     assert "max_probes" not in txt

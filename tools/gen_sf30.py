@@ -88,6 +88,74 @@ def main() -> None:
             "twins; pick a transform that is total on the corpus"
         )
 
+    # ---- embeddings ×3 (r10: third-decade rows for the similarity
+    # family after its kernel rewrites). Level-3 transforms must not
+    # alias the level-1 rotations (16i) or level-2 flip∘rot_{8j}
+    # composites — REVERSAL is an orientation-reversing permutation
+    # no rotation can express, so rev-family ∘ rot-family is disjoint
+    # from rot-family by construction: copy 1 = reverse + flip bit 3,
+    # copy 2 = reverse∘rot_4 + flip bit 4. All factors orthogonal
+    # (norms and intra-copy cosines exactly preserved); the empirical
+    # post-checks below (exact-twin count, cross-copy cosine tail)
+    # fail the build if any composite aliases anyway.
+    esrc = os.path.join(SRC, "embeddings.parquet")
+    estride = con.sql(
+        f"select max(vec_id) + 1 from read_parquet('{esrc}')"
+    ).fetchone()[0]
+    ecols = [
+        r[0] for r in con.sql(
+            f"describe select * from read_parquet('{esrc}')"
+        ).fetchall()
+    ]
+    eparts = []
+    for k in range(COPIES):
+        sel = []
+        for c in ecols:
+            if c == "vec_id":
+                sel.append(f"vec_id + {k * estride} as vec_id")
+            elif c == "embedding" and k > 0:
+                base = "list_reverse(embedding)"
+                if k == 2:
+                    base = f"({base}[5:] || {base}[1:4])"
+                flip_bit = 1 << (2 + k)  # bits 3, 4 — unused by levels 1-2
+                sel.append(
+                    f"list_transform(range(1, len(embedding) + 1), "
+                    f"d -> case when ((d - 1) & {flip_bit}) != 0 "
+                    f"then -{base}[d] else {base}[d] end) as embedding"
+                )
+            else:
+                sel.append(c)
+        eparts.append(f"select {', '.join(sel)} from read_parquet('{esrc}')")
+    eq = " union all ".join(eparts)
+    con.sql(f"copy ({eq}) to '{out}/embeddings.parquet' (format parquet)")
+    en, edup = con.sql(
+        f"select count(*), count(*) - count(distinct embedding::varchar) "
+        f"from read_parquet('{out}/embeddings.parquet')"
+    ).fetchone()
+    print(f"embeddings: {en} rows; exact twins {edup} (must be 0)")
+    if edup:
+        raise SystemExit("gen_sf30: level-3 embedding transform aliased")
+    tail = con.sql(f"""
+        with e as (select vec_id, embedding
+                   from read_parquet('{out}/embeddings.parquet')),
+        pairs as (
+          select list_reduce(list_transform(range(1, len(a.embedding)+1),
+                   d -> a.embedding[d]::double * b.embedding[d]::double),
+                 (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(range(1, len(a.embedding)+1),
+                   d -> a.embedding[d]::double * a.embedding[d]::double),
+                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1, len(b.embedding)+1),
+                   d -> b.embedding[d]::double * b.embedding[d]::double),
+                 (x, y) -> x + y))) as cos
+          from e a join e b
+            on a.vec_id % {estride} = b.vec_id % {estride}
+           and a.vec_id < b.vec_id)
+        select count(*) filter (cos >= 0.4), max(cos), count(*) from pairs
+    """).fetchone()
+    print(f"cross-copy same-base pairs: {tail[2]}, ≥0.4 tail {tail[0]} "
+          f"({tail[0] / max(tail[2], 1):.4%}), max {tail[1]:.3f}")
+
 
 if __name__ == "__main__":
     main()
