@@ -61,14 +61,24 @@ STANDING_NOTES = [
     "  ann_topk is the brute-force ground-truth baseline (product",
     "  surface = LSH/IVF paths), and the token-bound linear scans",
     "  are data-linear by design.",
-    "- THIRD-decade spot rows (documents-only sf30 tiling,",
-    "  tools/gen_sf30.py; min-of-2 after warm, r10): ngram_novelty",
-    "  15.4 s (sf10→sf30 2.7× on 3× data — linear token work);",
-    "  dedup_clusters 46.6 s (2.8× on 3×; edges 2.88M → 9.48M =",
-    "  ×3.3 with the CC stage ×2.1 — sublinear in edges, counted in",
-    "  PERF.md's cc_decomp table). Oracle spot-checks at sf30:",
-    "  doc_fingerprint, quality_repetition, ngram_novelty — 3/3",
-    "  hash-green at 1.5M docs, three decades above the gate SF.",
+    "- THIRD-decade spot rows (sf30 tiling — documents ×3 +",
+    "  embeddings ×3, tools/gen_sf30.py; min-of-2 after warm, r10):",
+    "  ngram_novelty 15.4 s (sf10→sf30 2.7× on 3× data — linear",
+    "  token work); dedup_clusters 46.6 s (2.8× on 3×; edges",
+    "  2.88M → 9.48M = ×3.3 with the CC stage ×2.1 — sublinear in",
+    "  edges, counted in PERF.md's cc_decomp table);",
+    "  semantic_clusters 12.6 s (2.6× on 3× vectors);",
+    "  ivf_topk_shuffle 8.7 s (2.0× on 3× — candidate pairs grow",
+    "  ×9 under fixed cells, absorbed by the bucket-grouped Arrow",
+    "  kernel); ann_lsh_topk_shuffle 2.4 s (1.3×). Oracle",
+    "  spot-checks at sf30: doc_fingerprint, quality_repetition,",
+    "  ngram_novelty — 3/3 hash-green at 1.5M docs, three decades",
+    "  above the gate SF.",
+    "- At sf30 the capped-probe broadcast entries (ivf_topk,",
+    "  ann_lsh_topk: corpus/50 = 1920 probes > max_probes=1024)",
+    "  FAIL LOUDLY by design — the probe contract's documented",
+    "  regime transition to the _shuffle variants, which the sf30",
+    "  rows above measure.",
 ]
 
 # the SECOND decade (sf10, tools/gen_sf10.py) is probed only for the
@@ -81,6 +91,7 @@ SF10_SET = {
     "tpch_q1", "tpch_q3", "tpch_q18",
     "dedup_minhash", "dedup_clusters", "minhash_lsh_topk",
     "semantic_clusters", "ivf_topk", "ann_lsh_topk",
+    "ivf_topk_shuffle", "ann_lsh_topk_shuffle",
     "decontaminate_ngrams", "decontaminate_fuzzy", "source_overlap",
     "quality_repetition", "ngram_novelty", "span_dedup",
     "ts_similarity_topk",
