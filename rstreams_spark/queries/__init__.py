@@ -34,11 +34,18 @@ for mod in (core, tpch, textq, dedupq):
     _SQL.update(mod.SQL_ORACLES)
 
 _FRONT = [
-    # — CHANGED this round (r10): single-gram-exchange rewrite —
+    # — CHANGED this round (r10): single-gram-exchange rewrite;
+    #   similarity-family Arrow kernels (routed_cosine_np /
+    #   bucketed_topk_np / fan-out) — changed-first outranks
+    #   staleness, so these re-enter even though r9-driver-green —
     "ngram_novelty",
-    # — stalest: last driver-green r7 (the r9 riders) —
-    "candles", "candles_rollup", "distinct_count", "strat_classify",
-    "throttle_sample", "stratified_sample", "split_routes",
+    "ivf_topk", "ivf_topk_shuffle", "ann_lsh_topk",
+    "ann_lsh_topk_shuffle", "ann_topk", "semantic_clusters",
+    # — stalest: last driver-green r7 (the r9 riders; candles/
+    #   candles_rollup/distinct_count/strat_classify/throttle_sample/
+    #   stratified_sample displaced by the changed six on 50-slot
+    #   arithmetic — unchanged, replica-green at r10 HEAD) —
+    "split_routes",
     "skip_take", "take_while", "skip_while", "cycle_take",
     # — r9 complement: TPC-H tail (driver-green r8, replica r9) —
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7",
