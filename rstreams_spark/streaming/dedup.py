@@ -363,7 +363,7 @@ def embedding_dedup_batch(
     re-fitted or re-assigned. Boundary semantics match batch
     SemDeDup: a near-dup pair straddling a Voronoi boundary is
     tolerated by design (deterministic partition, not exact NN)."""
-    from ..functions.similarity import dot, l2_norm, rankable_norm
+    from ..functions.similarity import l2_norm, rankable_norm
     from ..queries.dedupq import ivf_assign_np
 
     # batch feeds the assignment AND the final left-anti — one
@@ -372,24 +372,85 @@ def embedding_dedup_batch(
     assigned = ivf_assign_np(
         batch.select(id_col, vec_col), cents
     ).withColumn("v_norm", l2_norm(F.col(vec_col)))
-    cos = dot(F.col(vec_col), F.col("index_emb")) / (
-        F.col("v_norm") * F.col("index_norm")
-    )
-    dup_ids = (
-        # a degenerate-norm arrival (zero OR NaN/Inf — invariant 20)
-        # has no defined cosine, so it can never be a dup: it skips
-        # the candidate join and passes the gate via the left_anti
-        # below. A bare `> 0` here would KEEP a NaN-norm arrival
-        # (NaN > 0 is TRUE) whose NaN cosine satisfies `>= tau`
-        # under NaN-greatest ordering — silent suppression (r9
-        # advice, streaming twin of the nonfinite_vec probe class)
-        assigned.where(rankable_norm(F.col("v_norm")))
-        .join(indexed, "cell")
-        .where(cos >= tau)
-        .select(id_col)
-        .distinct()
+    # a degenerate-norm arrival (zero OR NaN/Inf — invariant 20)
+    # has no defined cosine, so it can never be a dup: it skips
+    # the candidate kernel and passes the gate via the left_anti
+    # below. A bare `> 0` here would KEEP a NaN-norm arrival
+    # (NaN > 0 is TRUE) whose NaN cosine satisfies `>= tau`
+    # under NaN-greatest ordering — silent suppression (r9
+    # advice, streaming twin of the nonfinite_vec probe class).
+    # r10: the same-cell compare is the cell-grouped Arrow kernel
+    # (each vector crosses Arrow once per trigger; the join+fold it
+    # replaces evaluated an interpreted 64-op HOF per candidate pair
+    # — the dominant per-trigger cost at the measured ~8k vecs/s)
+    dup_ids = _cell_dup_ids_np(
+        assigned.where(rankable_norm(F.col("v_norm"))),
+        indexed, tau, id_col, vec_col,
     )
     return batch.join(dup_ids, id_col, "left_anti")
+
+
+def _cell_dup_ids_np(
+    arrivals: DataFrame,
+    indexed: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrival ids with ANY same-cell index cosine ≥ tau, as one
+    cell-grouped Arrow stage — the gate twin of the batch family's
+    ``bucketed_topk_np`` (r10). Bit-exact to the join+fold form it
+    replaces: the bipartite dot block accumulates DIM-SEQUENTIALLY
+    (the zip_with/aggregate fold's add order) and divides by the
+    same hoisted-norm product, so the ``>= tau`` boundary decision
+    is the identical double on both shapes (pinned by the
+    gate-equivalence test). Arrivals chunk in-kernel (1024 rows) so
+    the block stays ≤ chunk × SEMANTIC_BUCKET_CAP doubles per task
+    regardless of arrival skew into one cell."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.similarity import stack_f64
+
+    a_tag = arrivals.select(
+        F.col("cell").alias("__r"), F.lit(True).alias("__is_a"),
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        F.col("v_norm").alias("__n"),
+    )
+    i_tag = indexed.select(
+        F.col("cell").alias("__r"), F.lit(False).alias("__is_a"),
+        F.col("index_id").alias("__id"),
+        F.col("index_emb").alias("__v"),
+        F.col("index_norm").alias("__n"),
+    )
+
+    def gate(key, pdf):
+        am = pdf["__is_a"].to_numpy()
+        apdf, ipdf = pdf[am], pdf[~am]
+        if not len(apdf) or not len(ipdf):
+            return pd.DataFrame({id_col: []}).astype({id_col: "int64"})
+        pids = ipdf["__id"].to_numpy()
+        P = stack_f64(list(ipdf["__v"]), pids, "_cell_dup_ids_np")
+        pn = ipdf["__n"].to_numpy(dtype=np.float64)
+        out = []
+        for lo in range(0, len(apdf), 1024):
+            sub = apdf.iloc[lo:lo + 1024]
+            ids = sub["__id"].to_numpy()
+            V = stack_f64(list(sub["__v"]), ids, "_cell_dup_ids_np")
+            vn = sub["__n"].to_numpy(dtype=np.float64)
+            acc = np.zeros((len(ids), len(pids)))
+            for d in range(V.shape[1]):
+                acc += V[:, d, None] * P[None, :, d]
+            cos = acc / (vn[:, None] * pn[None, :])
+            out.append(ids[(cos >= tau).any(axis=1)])
+        dup = np.concatenate(out) if out else np.array([], dtype=np.int64)
+        return pd.DataFrame({id_col: dup})
+
+    return (
+        a_tag.unionByName(i_tag)
+        .groupBy("__r")
+        .applyInPandas(gate, f"{id_col} bigint")
+    )
 
 
 def stream_dedup_embedding(
