@@ -24,7 +24,9 @@ __all__ = [
 ]
 
 
-def ensure_fanout_parallelism(df: DataFrame, by: str | None = None) -> DataFrame:
+def ensure_fanout_parallelism(
+    df: DataFrame, by: str | None = None, min_bytes: int = 0
+) -> DataFrame:
     """Repartition ahead of a row-multiplying explode ONLY when the
     input is under-parallel; a real-scale read passes through
     untouched (an unconditional repartition would shuffle the full
@@ -37,11 +39,34 @@ def ensure_fanout_parallelism(df: DataFrame, by: str | None = None) -> DataFrame
     the row-group start emits rows, so split count alone would skip
     the repartition exactly where the stall happens. Non-file inputs
     (memory, post-shuffle) are judged by partition count alone.
+
+    ``min_bytes`` (opt-in) skips the fan-out when the scanned files
+    total UNDER that size: below ~a couple MiB the downstream work is
+    too small to amortize a defaultParallelism-way shuffle plus
+    Python-worker spin-up (the r10 embedding-family call sites pass
+    1.5 MiB — toy corpora stay put, sf1+ fans out). Sizes come from
+    the local filesystem; any non-local/unreadable path falls back to
+    fanning out (the conservative choice — on a real lake the input
+    exceeds every threshold anyway).
     """
     n = df.sparkSession.sparkContext.defaultParallelism
+    files: list | None = None
     if df.rdd.getNumPartitions() >= n:
         files = df.inputFiles()
         if not files or len(files) >= n:
+            return df
+    if min_bytes:
+        import os
+
+        if files is None:
+            files = df.inputFiles()
+        try:
+            total = sum(
+                os.path.getsize(f.removeprefix("file:")) for f in files
+            )
+        except OSError:
+            total = min_bytes  # non-local paths: fan out
+        if files and total < min_bytes:
             return df
     return df.repartition(n, by) if by else df.repartition(n)
 

@@ -373,7 +373,7 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # conditional fan-out (no-op on real-lake scans): fit passes,
         # Arrow assign and the pair kernel are per-row f64 work that
         # otherwise runs at a few-file corpus's scan parallelism
-        ensure_fanout_parallelism(emb_all)
+        ensure_fanout_parallelism(emb_all, min_bytes=EMB_FANOUT_MIN_BYTES)
         .where(F.col("embedding").isNotNull())
         # zero-norm vectors excluded with the NULLs (same contract as
         # ivf_topk / the oracle's _SQL_NZ): no defined cosine, and the
@@ -438,7 +438,10 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus's scan parallelism (r9 scan seam). The probe branch stays
     # on the plain scan — its %-filter pushes down, and fanning it out
     # would re-run the corpus repartition per branch (invariant 9)
-    out = brute_topk(ensure_fanout_parallelism(vecs), probes, ANN_K)
+    out = brute_topk(
+        ensure_fanout_parallelism(vecs, min_bytes=EMB_FANOUT_MIN_BYTES),
+        probes, ANN_K,
+    )
     return out.select(
         "probe_id", "vec_id", "cosine",
         F.col("rank").cast("long").alias("rank"),
@@ -480,7 +483,8 @@ def _ann_lsh_impl(
     # plane dots + norm folds otherwise run at a few-file corpus's
     # 1-2-task scan parallelism (r9 scan seam)
     vecs = ensure_fanout_parallelism(
-        t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        t(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        min_bytes=EMB_FANOUT_MIN_BYTES,
     ).withColumn(
         "bucket", lsh_bucket(F.col("embedding"), _PLANES)
     ).withColumn("v_norm", l2_norm(F.col("embedding")))
@@ -585,6 +589,12 @@ def ann_lsh_topk_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return _ann_lsh_impl(spark, sf_dir, probe_mod=20, shuffle=True)
 
+
+# fan-out pays for itself only past ~a couple MiB of scanned input
+# (below it the 32-way shuffle + worker spin-up exceeds the kernel
+# work it parallelizes — r10 A/B at sf0.1); real lakes exceed this
+# unconditionally, so the knob only shapes toy-corpus runs
+EMB_FANOUT_MIN_BYTES = 3 * 2**19  # 1.5 MiB
 
 IVF_CELLS = 16
 IVF_NPROBE = 2
@@ -1238,7 +1248,8 @@ def ivf_topk(
         # corpus's 1-2-task scan parallelism (the r9 scan seam; at
         # sf10 the whole query ran on 2 of 32 cores)
         ensure_fanout_parallelism(
-            t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+            t(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+            min_bytes=EMB_FANOUT_MIN_BYTES,
         )
         # NULL and ZERO-NORM vectors are excluded from similarity
         # search by contract (mirrored in the oracle's _SQL_NZ):

@@ -30,6 +30,21 @@ THRESHOLD = 1.5
 # is cold-JVM variance, not a regression): a query must ALSO be at
 # least this many seconds over its floor in both runs
 ABS_MARGIN_SECONDS = 0.5
+# A deliberate design trade re-floors a query EXPLICITLY: the history
+# floor is a min over every recorded run, so it can never rise on its
+# own — after a documented rewrite that trades toy-SF latency for
+# scale (the only legitimate reason), grading against the old plan's
+# floor would flag the new design forever. Each entry names the new
+# expected floor and must cite the PERF.md section with the measured
+# A/B; the check then uses max(history_floor, rebaselined_floor), so
+# a real regression of the NEW design still flags.
+REBASELINED_FLOORS = {
+    # r10 "interpreted-fold seam" (PERF.md): ivf_topk pays one extra
+    # bounded probe-collect job at toy SF for 8.6x at sf10
+    # (23.1 -> 2.7 s); sf0.1 construction (3 fit jobs + collect)
+    # floors at ~2.3 s on this host.
+    "ivf_topk": 2.3,
+}
 STREAM_KEYS = (
     "processed_rows_per_sec",
     "stateful_processed_rows_per_sec",
@@ -74,7 +89,7 @@ def check(runs: list[dict], threshold: float = THRESHOLD,
         if len(cur) < 2:
             notes.append(f"{name}: present in <2 of the last runs — unconfirmed")
             continue
-        floor = min(base_times)
+        floor = max(min(base_times), REBASELINED_FLOORS.get(name, 0.0))
         if floor <= 0:
             continue
         if all(c > threshold * floor and c - floor > abs_margin for c in cur):
