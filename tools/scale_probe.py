@@ -70,10 +70,17 @@ STANDING_NOTES = [
     "  semantic_clusters 12.6 s (2.6× on 3× vectors);",
     "  ivf_topk_shuffle 8.7 s (2.0× on 3× — candidate pairs grow",
     "  ×9 under fixed cells, absorbed by the bucket-grouped Arrow",
-    "  kernel); ann_lsh_topk_shuffle 2.4 s (1.3×). Oracle",
-    "  spot-checks at sf30: doc_fingerprint, quality_repetition,",
-    "  ngram_novelty — 3/3 hash-green at 1.5M docs, three decades",
-    "  above the gate SF.",
+    "  kernel); ann_lsh_topk_shuffle 2.4 s (1.3×). Text-dedup",
+    "  family sf10→sf30 steps (same-session pairs, so the ratios",
+    "  are noise-consistent even when a draw's absolutes sit high",
+    "  in the host band): dedup_minhash 3.5×, minhash_lsh_topk",
+    "  2.5×, span_dedup 2.3×, source_overlap 2.7×,",
+    "  quality_repetition 1.2× — every step ≤ 3.5× on 3× data.",
+    "  Oracle spot-checks at sf30: doc_fingerprint,",
+    "  quality_repetition, ngram_novelty — 3/3 hash-green at 1.5M",
+    "  docs — plus ann_lsh_topk_shuffle (24,000 rows) and",
+    "  semantic_clusters (61,080 rows) at 96k vectors — 5/5, three",
+    "  decades above the gate SF.",
     "- At sf30 the capped-probe broadcast entries (ivf_topk,",
     "  ann_lsh_topk: corpus/50 = 1920 probes > max_probes=1024)",
     "  FAIL LOUDLY by design — the probe contract's documented",
