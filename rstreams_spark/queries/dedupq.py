@@ -808,6 +808,16 @@ def _ivf_fit_rows(emb: DataFrame, cells: int, two_level: bool) -> list:
             f"{bad}) — the fit contract excludes NULL vectors; filter "
             "upstream (callers do: `embedding IS NOT NULL`)"
         )
+    # the stack_f64 ragged guard, at seed time with SEED vec_ids: a
+    # mixed-dimension corpus otherwise surfaces as numpy's opaque
+    # "inhomogeneous shape" from the centroid stack inside the assign
+    # kernel (the ragged_dims probe class caught exactly that, r10)
+    from ..functions.similarity import stack_f64
+
+    stack_f64(
+        [r["embedding"] for r in rows], [r["vec_id"] for r in rows],
+        "ivf fit (seed sample)",
+    )
     cents_rows = [
         (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(rows)
     ]
@@ -914,7 +924,11 @@ def _assign_np_rows(
     small-table jobs (no checkpoint scan, no collect)."""
     import numpy as np
 
-    C = np.array([c for _, c in crows], dtype=np.float64)
+    # targeted ragged guard for direct callers (the catalog's fit
+    # already raised at seed time): a mixed-dim centroid list would
+    # otherwise be numpy's opaque "inhomogeneous shape" error
+    C = stack_f64([c for _, c in crows], [c for c, _ in crows],
+                  "ivf assign (centroid table)")
     cell_ids = np.array([c for c, _ in crows], dtype=np.int64)
 
     schema = ", ".join(

@@ -681,3 +681,27 @@ def test_nonfinite_arrival_passes_embedding_gate(spark):
     )
     out = embedding_dedup_batch(batch, cents, indexed, tau=0.9)
     assert {r.vec_id for r in out.collect()} == {11, 12, 13}
+
+
+def test_ivf_fit_ragged_seed_raises_targeted_error(spark):
+    """r10 (ragged_dims probe class): a mixed-dimension corpus must
+    fail the fit with the targeted stack_f64 error NAMING the
+    offending vec_ids — not numpy's opaque 'inhomogeneous shape'
+    (which is what the centroid stack raised before the seed-time
+    guard)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rstreams_spark.queries.dedupq import _ivf_fit_rows
+
+    vecs = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.when(
+            F.col("id") % 13 == 4,
+            F.array_repeat(F.lit(1.0).cast("float"), 32),
+        ).otherwise(
+            F.array_repeat(F.lit(1.0).cast("float"), 64)
+        ).alias("embedding"),
+    )
+    with pytest.raises(Exception, match="mixed embedding dimensions"):
+        _ivf_fit_rows(vecs, 16, False)

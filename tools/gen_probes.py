@@ -318,6 +318,22 @@ CLASSES: dict[str, dict] = {
             " else embedding end as embedding) from t"
         ),
     },
+    "ragged_dims": {
+        # MIXED embedding dimensionality (every 13th vector truncated
+        # to 32 of 64 dims): re-embedding drift and partial-write
+        # corruption both produce this. A ragged vector has a
+        # self-consistent norm, so entry filters pass it; the Arrow
+        # kernels then RAISE the targeted stack_f64 error naming the
+        # offending ids (deliberately STRICTER than the JVM/SQL
+        # folds, whose zip semantics silently NULL the mismatched
+        # pairs — r10 contract, kernel docstrings) while pure-JVM
+        # and per-element paths stay engine-identical.
+        "embeddings": (
+            "select * replace ("
+            " case when vec_id % 13 = 4 then embedding[1:32]"
+            " else embedding end as embedding) from t"
+        ),
+    },
     "nonfinite_vec": {
         # IEEE specials inside embedding COMPONENTS (the nonfinite
         # class covers scalar measures only): parser junk and

@@ -9,7 +9,7 @@ Expected steady state: every class PASSes. Known, documented
 exceptions are listed in EXPECTED_DIVERGENCES — a run flags anything
 outside that list.
 
-Wall clock: the full matrix (22 classes × full catalog) is ~1.5-2 h;
+Wall clock: the full matrix (26 classes × full catalog) is ~1.5-2 h;
 use --classes/--queries while iterating on one bug class.
 """
 
@@ -100,6 +100,35 @@ EXPECTED_RAISE: dict[tuple[str, str], str] = {
 EXPECTED_RAISE[("nonfinite_vec", "embedding_quantize")] = (
     "finite-component domain")
 EXPECTED_RAISE[("nonfinite_vec", "embedding_dim_stats")] = _MICROS_GUARD
+
+# MIXED embedding dimensionality (ragged_dims, r10) is corrupt data
+# and OUT OF the similarity contract ("embeddings share one
+# dimensionality" — stack_f64's documented stricter-than-JVM
+# surface). The Arrow-kernel paths FAIL LOUDLY on the Spark side
+# with the targeted mixed-dimensions error naming the offending ids
+# (the oracle's SQL folds run — one-sided raise, so these live here
+# rather than in EXPECTED_RAISE); the pure-JVM paths do not raise,
+# and their zip semantics genuinely differ across engines on ragged
+# pairs: Spark's zip_with pads the SHORTER side with NULL (NULL
+# cosine, pair silently dropped), while the oracle's
+# list_transform(range(1, len(a)+1)) iterates ONE side's length (a
+# real 32-term cosine when that side is the short one) — a
+# documented engine-semantics divergence on out-of-domain input,
+# the same contract shape as big_ids/span_dedup's guard.
+_RAGGED_KERNEL = (
+    "Arrow kernel raises the targeted stack_f64 mixed-dimensions "
+    "error (ids named) BY DESIGN; the SQL twin's folds run"
+)
+_RAGGED_ZIP = (
+    "pure-JVM path: Spark zip_with NULL-pads ragged pairs (dropped) "
+    "while DuckDB's one-side-length fold scores them — engine zip "
+    "semantics on out-of-contract input"
+)
+for _q in ("ivf_topk", "ivf_topk_shuffle", "semantic_clusters",
+           "ann_lsh_topk_shuffle"):
+    EXPECTED_DIVERGENCES[("ragged_dims", _q)] = _RAGGED_KERNEL
+for _q in ("ann_lsh_topk", "ann_topk", "embedding_cosine_dup"):
+    EXPECTED_DIVERGENCES[("ragged_dims", _q)] = _RAGGED_ZIP
 
 
 def main() -> int:
