@@ -484,27 +484,51 @@ def routed_cosine_np(
                 pids, P, pn = hit
                 ids = sub[id_col].to_numpy()
                 V = stack_f64(list(sub[vec_col]), ids, "routed_cosine_np")
+                if V.shape[1] != P.shape[1]:
+                    raise ValueError(
+                        f"routed_cosine_np: corpus dims {V.shape[1]} "
+                        f"!= probe dims {P.shape[1]} in route {route} "
+                        "— both sides must share one embedding "
+                        "dimensionality"
+                    )
                 vn = sub[norm_col].to_numpy(dtype=np.float64)
                 m, p = len(ids), len(pids)
                 acc = np.zeros((m, p))
                 for d in range(V.shape[1]):
                     acc += V[:, d, None] * P[None, :, d]
                 cos = acc / (vn[:, None] * pn[None, :])
+                c = cos.ravel()
+                # NaN→NULL across Arrow (invariant 22) would demote a
+                # NaN cosine from rank-FIRST to rank-LAST downstream —
+                # flag and restore JVM-side (library surface: callers
+                # supply norm_col, so NaN cosines are reachable)
+                nf = np.isnan(c)
                 outs.append(
                     pd.DataFrame(
                         {
                             probe_id_col: np.tile(pids, m),
                             id_col: np.repeat(ids, p),
-                            "cosine": cos.ravel(),
+                            "cosine": np.where(nf, 0.0, c),
+                            "__nan": nf,
                         }
                     )
                 )
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return corpus.select(id_col, vec_col, norm_col, route_col).mapInPandas(
-        score, f"{probe_id_col} bigint, {id_col} bigint, cosine double"
+    raw = corpus.select(id_col, vec_col, norm_col, route_col).mapInPandas(
+        score,
+        f"{probe_id_col} bigint, {id_col} bigint, cosine double, "
+        "__nan boolean",
     )
+    return raw.select(
+        probe_id_col, id_col,
+        F.when(F.col("__nan"), F.lit(float("nan")))
+        .otherwise(F.col("cosine")).alias("cosine"),
+    )
+
+
+BUCKETED_TOPK_CHUNK = 4096
 
 
 def bucketed_topk_np(
@@ -516,6 +540,8 @@ def bucketed_topk_np(
     vec_col: str = "embedding",
     norm_col: str = "v_norm",
     probe_id_col: str = "probe_id",
+    max_members: int | None = None,
+    chunk: int = BUCKETED_TOPK_CHUNK,
 ) -> DataFrame:
     """Corpus-scale probe scoring as ONE bucket-grouped Arrow stage:
     both sides shuffle on the route key (the same single exchange the
@@ -527,18 +553,28 @@ def bucketed_topk_np(
     the downstream global rank window sees ≤ (k+1)·nprobe rows per
     probe, never the pair count. Exact: per-probe global top-k is a
     subset of its per-bucket top-(k+1)s (at most ONE self-pair per
-    bucket can drop), ties replicate the JVM rank's (cosine DESC,
-    id ASC) via a stable argsort over id-ASC-presorted rows, and the
-    cosines are the same dim-sequential accumulation the fold
-    computes, divided by the same hoisted-norm product (invariant 2 —
-    bit-identical doubles, no oracle change).
+    bucket can drop), the candidate order replicates the JVM rank's
+    total order EXACTLY — cosine DESC with NaN GREATEST (Spark's
+    double total ordering; a plain ``argsort(-cos)`` would bury NaN
+    LAST and silently drop such rows from the candidate set — r10
+    advice), ties id-ASC — and the cosines are the same
+    dim-sequential accumulation the fold computes, divided by the
+    same hoisted-norm product (invariant 2 — bit-identical doubles,
+    no oracle change). Pinned row-equal against the retained JVM
+    join+window composition in tests/test_kernel_parity.py.
 
-    Memory contract: one task materializes one bucket's members —
-    O(bucket_members × routed_probes × 8) bytes for the score block.
-    With the IVF family's documented scale design (cells ∝ corpus,
-    SEMANTIC_CELL_MAX clamp) both factors are bounded; a fixed-cell
-    index at true corpus scale should size cells up before using
-    this path (same contract as cosine_pairs_np's bucket cap).
+    Memory contract: one task materializes one bucket's MEMBER FRAME
+    (O(bucket_members × dims) — inherent to applyInPandas grouping),
+    but the score block is CHUNKED (``BUCKETED_TOPK_CHUNK`` corpus
+    rows × routed probes doubles at a time, per-chunk top-(k+1)
+    candidates merged under the same total order — exact, since a
+    global top-(k+1) row is its own chunk's top-(k+1)), so the
+    quadratic term never materializes (r10 advice). ``max_members``
+    adds a LOUD in-kernel cap on either side of the bipartite block
+    (same pattern as cosine_pairs_np): a fixed-bucket index (LSH with
+    constant bits) grows buckets linearly with the corpus, and past
+    the cap the answer is more bits / corpus-sized cells, not a
+    bigger task.
 
     Self-pairs (shared ids across sides) are excluded in-kernel —
     emitting them with a sentinel score would let a sparse bucket
@@ -558,50 +594,99 @@ def bucketed_topk_np(
         F.col(norm_col).alias("__n"),
     )
 
+    def _sel_topk(ids2d, cos, take):
+        # per-probe-column top-`take` under the JVM rank's TOTAL
+        # order: cosine DESC NaN-GREATEST, ties id ASC. np.lexsort's
+        # last key is primary; NaN is neutralized in the secondary
+        # key because the primary (~isnan — False sorts first) has
+        # already segregated it to the front.
+        nanm = np.isnan(cos)
+        negc = np.where(nanm, 0.0, -cos)
+        order = np.lexsort((ids2d.T, negc.T, (~nanm).T))  # p × m
+        return order[:, :take].T  # take × p
+
     def score(key, pdf):
         cm = pdf["__is_c"].to_numpy()
         cpdf = pdf[cm]
         ppdf = pdf[~cm]
         if not len(cpdf) or not len(ppdf):
             return pd.DataFrame(
-                {probe_id_col: [], id_col: [], "cosine": []}
+                {probe_id_col: [], id_col: [], "cosine": [], "__nan": []}
             ).astype({probe_id_col: "int64", id_col: "int64",
-                      "cosine": "float64"})
-        # id-ASC presort so the stable argsort below breaks cosine
-        # ties toward the smaller corpus id — the JVM rank's order
+                      "cosine": "float64", "__nan": "bool"})
+        m, p = len(cpdf), len(ppdf)
+        if max_members and max(m, p) > max_members:
+            raise ValueError(
+                f"bucketed_topk_np: route {key} has {m} corpus / {p} "
+                f"probe members, exceeds max_members={max_members}; "
+                "fixed-width buckets grow with the corpus — use more "
+                "LSH bits or corpus-proportional cells for this path"
+            )
+        # id-ASC presort so candidate merge ties break toward the
+        # smaller corpus id with ids as the explicit tertiary key
         cpdf = cpdf.sort_values("__id")
-        ids = cpdf["__id"].to_numpy()
-        V = stack_f64(list(cpdf["__v"]), ids, "bucketed_topk_np")
-        vn = cpdf["__n"].to_numpy(dtype=np.float64)
         pids = ppdf["__id"].to_numpy()
         P = stack_f64(list(ppdf["__v"]), pids, "bucketed_topk_np")
         pn = ppdf["__n"].to_numpy(dtype=np.float64)
-        m, p = len(ids), len(pids)
-        acc = np.zeros((m, p))
-        for d in range(V.shape[1]):
-            acc += V[:, d, None] * P[None, :, d]
-        cos = acc / (vn[:, None] * pn[None, :])
         take = min(k + 1, m)
-        # stable ⇒ equal cosines keep id-ASC row order
-        sel = np.argsort(-cos, axis=0, kind="stable")[:take]  # take×p
-        out_pid = np.repeat(pids, take)
-        out_id = ids[sel].T.ravel()
-        out_cos = np.take_along_axis(cos, sel, axis=0).T.ravel()
+        cand_ids, cand_cos = [], []
+        for lo in range(0, m, chunk):
+            sub = cpdf.iloc[lo:lo + chunk]
+            ids = sub["__id"].to_numpy()
+            V = stack_f64(list(sub["__v"]), ids, "bucketed_topk_np")
+            if V.shape[1] != P.shape[1]:
+                raise ValueError(
+                    f"bucketed_topk_np: corpus dims {V.shape[1]} != "
+                    f"probe dims {P.shape[1]} in route {key} — both "
+                    "sides must share one embedding dimensionality"
+                )
+            vn = sub["__n"].to_numpy(dtype=np.float64)
+            mc = len(ids)
+            acc = np.zeros((mc, p))
+            for d in range(V.shape[1]):
+                acc += V[:, d, None] * P[None, :, d]
+            cos = acc / (vn[:, None] * pn[None, :])
+            sel = _sel_topk(
+                np.broadcast_to(ids[:, None], cos.shape),
+                cos, min(take, mc),
+            )
+            cand_ids.append(ids[sel])
+            cand_cos.append(np.take_along_axis(cos, sel, axis=0))
+        aid = np.concatenate(cand_ids, axis=0)  # C × p
+        aco = np.concatenate(cand_cos, axis=0)
+        sel = _sel_topk(aid, aco, min(take, len(aid)))
+        out_pid = np.repeat(pids, sel.shape[0])
+        out_id = np.take_along_axis(aid, sel, axis=0).T.ravel()
+        out_cos = np.take_along_axis(aco, sel, axis=0).T.ravel()
         keep = out_id != out_pid  # self-pairs excluded, like the JVM
+        oc = out_cos[keep]
+        # a NaN cosine would degrade to NULL crossing Arrow
+        # (invariant 22's NULL/NaN fold) and then rank LAST in the
+        # downstream desc window where the JVM twin ranks it FIRST —
+        # carry the flag, restore NaN JVM-side
+        nf = np.isnan(oc)
         return pd.DataFrame(
             {
                 probe_id_col: out_pid[keep],
                 id_col: out_id[keep],
-                "cosine": out_cos[keep],
+                "cosine": np.where(nf, 0.0, oc),
+                "__nan": nf,
             }
         )
 
-    return (
+    raw = (
         c_tag.unionByName(p_tag)
         .groupBy("__r")
         .applyInPandas(
-            score, f"{probe_id_col} bigint, {id_col} bigint, cosine double"
+            score,
+            f"{probe_id_col} bigint, {id_col} bigint, cosine double, "
+            "__nan boolean",
         )
+    )
+    return raw.select(
+        probe_id_col, id_col,
+        F.when(F.col("__nan"), F.lit(float("nan")))
+        .otherwise(F.col("cosine")).alias("cosine"),
     )
 
 

@@ -450,6 +450,13 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LSH_BITS = 6
 _PLANES = hyperplanes(LSH_BITS, 64)
+# loud per-bucket member bound for the FIXED-width sign-LSH shuffle
+# path: with constant LSH_BITS the 2^bits buckets grow linearly with
+# the corpus, so bucketed_topk_np's member frame (O(members × dims))
+# would grow unbounded per task — past this the answer is more bits
+# (or IVF's corpus-proportional cells), and the kernel must say so
+# rather than OOM (r10 advice). 1.5M × 64-dim float64 ≈ 0.77 GB/task.
+LSH_SHUFFLE_BUCKET_CAP = 1_500_000
 
 
 def _ann_lsh_impl(
@@ -518,6 +525,7 @@ def _ann_lsh_impl(
             ),
             ANN_K,
             route_col="bucket",
+            max_members=LSH_SHUFFLE_BUCKET_CAP,
         ).withColumnRenamed("cosine", "cos")
     else:
         # user-query-sized probe regime (r10, same shape as ivf_topk):
@@ -951,6 +959,16 @@ def _assign_np_rows(
                     pdf.loc[valid, "vec_id"].to_numpy(),
                     "ivf_assign_np",
                 )
+                if V.shape[1] != C.shape[1]:
+                    # V and C stack independently — an internally
+                    # consistent batch NARROWER than the centroid
+                    # table would otherwise silently argmin over a
+                    # truncated centroid prefix (r10 advice)
+                    raise ValueError(
+                        f"ivf_assign_np: vector dims {V.shape[1]} != "
+                        f"centroid dims {C.shape[1]} — vectors must "
+                        "match the fitted centroid dimensionality"
+                    )
                 acc = np.zeros((V.shape[0], C.shape[0]))
                 for d in range(V.shape[1]):
                     diff = V[:, d, None] - C[None, :, d]

@@ -403,8 +403,10 @@ def _cell_dup_ids_np(
     replaces: the bipartite dot block accumulates DIM-SEQUENTIALLY
     (the zip_with/aggregate fold's add order) and divides by the
     same hoisted-norm product, so the ``>= tau`` boundary decision
-    is the identical double on both shapes (pinned by the
-    gate-equivalence test). Arrivals chunk in-kernel (1024 rows) so
+    is the identical double on both shapes (pinned by
+    tests/test_streaming.py::test_stream_dedup_embedding_matches_jvm_model,
+    which drives the gate end-to-end against an independent JVM
+    join+fold model). Arrivals chunk in-kernel (1024 rows) so
     the block stays ≤ chunk × SEMANTIC_BUCKET_CAP doubles per task
     regardless of arrival skew into one cell."""
     import numpy as np
@@ -437,6 +439,12 @@ def _cell_dup_ids_np(
             sub = apdf.iloc[lo:lo + 1024]
             ids = sub["__id"].to_numpy()
             V = stack_f64(list(sub["__v"]), ids, "_cell_dup_ids_np")
+            if V.shape[1] != P.shape[1]:
+                raise ValueError(
+                    f"_cell_dup_ids_np: arrival dims {V.shape[1]} != "
+                    f"index dims {P.shape[1]} in cell {key} — arrivals "
+                    "must match the index embedding dimensionality"
+                )
             vn = sub["__n"].to_numpy(dtype=np.float64)
             acc = np.zeros((len(ids), len(pids)))
             for d in range(V.shape[1]):

@@ -71,26 +71,31 @@ def main() -> None:
         t_pairs = float("inf")
         pairs = None
         for _ in range(2):
-            if pairs is not None:
-                pairs.unpersist()
+            # superseded checkpoints free with the dropped reference
+            # (ContextCleaner) — DataFrame.unpersist() does NOT
+            # release localCheckpoint blocks (r10 advice)
             t0 = time.perf_counter()
             pairs = build_pairs().localCheckpoint(eager=True)
             t_pairs = min(t_pairs, time.perf_counter() - t0)
         n_edges = pairs.count()
 
         t_cc = float("inf")
+        n_nodes = 0
         for _ in range(2):
+            # lazy checkpoint + count = ONE materializing job
+            # (invariant 11's idiom), and the node count comes from
+            # the TIMED execution instead of an untimed third re-plan
             t0 = time.perf_counter()
-            cc = connected_components_hybrid(pairs)
-            cc.write.format("noop").mode("overwrite").save()
+            cc = connected_components_hybrid(pairs).localCheckpoint(
+                eager=False
+            )
+            n_nodes = cc.count()
             t_cc = min(t_cc, time.perf_counter() - t0)
-        n_nodes = cc.count()
 
         rows.append((label, t_pairs, n_edges, t_cc, n_nodes))
         print(f"# {label}: pairs {t_pairs:.2f} s ({n_edges} edges), "
               f"cc {t_cc:.2f} s ({n_nodes} labeled nodes)",
               file=sys.stderr)
-        pairs.unpersist()
 
     print("| sf | stage A pairs s | edges | stage B cc s | labeled nodes |")
     print("|---|---|---|---|---|")
