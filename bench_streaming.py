@@ -208,8 +208,8 @@ def measure_dedup_gates(spark, sf_dir: str | None = None,
     from rstreams_spark.queries._util import t
     from rstreams_spark.sources.files import stream_rate_micro_batch
     from rstreams_spark.streaming.dedup import (
-        embedding_index, minhash_index, stream_dedup_embedding,
-        stream_dedup_minhash,
+        embedding_index, minhash_index, minhash_index_fps,
+        stream_dedup_embedding, stream_dedup_minhash,
     )
 
     sf = sf_dir or _gate_sf_dir()
@@ -230,6 +230,9 @@ def measure_dedup_gates(spark, sf_dir: str | None = None,
     # against the written index table at corpus scale
     index_bands = index_bands.localCheckpoint()
     index_sets = index_sets.localCheckpoint()
+    # exact-copy pre-gate sidecar (r11): the production config — a
+    # fingerprint-matched arrival skips the signature pipeline
+    index_fps = minhash_index_fps(docs).localCheckpoint()
     src = stream_rate_micro_batch(spark, docs_per_batch, num_partitions=8)
     novel = F.concat_ws(
         " ", *[
@@ -250,7 +253,9 @@ def measure_dedup_gates(spark, sf_dir: str | None = None,
              .otherwise(novel).alias("text"),
         )
     )
-    writer = stream_dedup_minhash(arriving, index_bands, index_sets, _noop_sink)
+    writer = stream_dedup_minhash(
+        arriving, index_bands, index_sets, _noop_sink, index_fps=index_fps
+    )
     # one UNTIMED warm-up run before the timed repeats: the first
     # stream of a gate in a session pays one-time costs past batch 1
     # (codegen/JIT of the gate plan, Arrow kernel spin-up) that the

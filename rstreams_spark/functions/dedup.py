@@ -25,6 +25,7 @@ from .text import hash64, tokens
 
 __all__ = [
     "grams", "shingles", "doc_shingles", "minhash_signature",
+    "minhash_signature_np",
     "lsh_band_rows", "lsh_band_pairs", "simhash32", "P61", "perm_coeffs",
     "connected_components", "connected_components_star",
     "connected_components_hybrid", "incremental_dedup_exact",
@@ -214,6 +215,90 @@ def minhash_signature(
         # off the signature stage vs array_distinct∘collect_list (r8)
         aggs.append(F.array_sort(F.collect_set("__h")).alias("__shset"))
     return with_h.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signature_np(
+    exploded: DataFrame,
+    num_perm: int,
+    id_col: str = "doc_id",
+    with_hash_set: bool = True,
+) -> DataFrame:
+    """Arrow/numpy twin of ``minhash_signature(with_hash_set=True)``
+    for PARTITION-LOCAL exploded views — identical (id, h0..h{K-1},
+    __shset) rows (row-equality-pinned against the JVM aggregation,
+    invariant 22). The JVM form evaluates num_perm pmod expressions
+    and updates num_perm+1 agg buffers PER SHINGLE ROW — the dominant
+    per-trigger cost of the streaming minhash gate (1.65 s of a
+    ~4.3 s trigger at 50k docs — tools/gate_minhash_decomp.py); here
+    each Arrow batch computes the whole (rows × num_perm) permutation
+    block in ~3·num_perm vector ops and reduces per-doc with one
+    cython groupby-min.
+
+    Exactness: the base hash stays the JVM md5 ``hash64`` (computed
+    in-plan before the kernel); the permutation algebra
+    (a·h_lo + c·h_hi + b) mod P61 is int64-exact in numpy (operands
+    < 2^61, sum < 3·2^61 < 2^63, ``%`` on non-negatives == pmod),
+    and the hash set is the same sorted-distinct list as
+    ``array_sort(collect_set)``.
+
+    CONTRACT: all rows of one id must live in ONE partition — the
+    shape every narrow explode (``doc_shingles`` over a source/
+    checkpointed frame) produces. The kernel merges per-id state
+    across Arrow batches WITHIN a partition and emits one row per id
+    at partition end; an id straddling partitions would emit partial
+    signatures (duplicate id rows downstream). Inputs that have been
+    re-shuffled on another key belong on ``minhash_signature``.
+    Per-partition state is O(ids × (num_perm + distinct hashes))
+    int64s — bounded by the partition's doc count."""
+    import numpy as np
+    import pandas as pd
+
+    coeffs = perm_coeffs(num_perm)
+    with_h = exploded.select(
+        F.col(id_col), hash64(F.col("shingle")).alias("__h")
+    )
+
+    def run(batches):
+        A = np.array([a for a, _, _ in coeffs], dtype=np.int64)
+        C = np.array([c for _, c, _ in coeffs], dtype=np.int64)
+        B = np.array([b for _, _, b in coeffs], dtype=np.int64)
+        sigs: dict = {}
+        hsets: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = pdf["__h"].to_numpy(dtype=np.int64)
+            hlo = h & _LO_MASK
+            hhi = h >> 30
+            M = (hlo[:, None] * A[None, :] + hhi[:, None] * C[None, :]
+                 + B[None, :]) % P61
+            mf = pd.DataFrame(M)
+            mf.insert(0, "__id", pdf[id_col].to_numpy(dtype=np.int64))
+            mins = mf.groupby("__id", sort=False).min()
+            for did, row in zip(mins.index.to_numpy(),
+                                mins.to_numpy(dtype=np.int64)):
+                prev = sigs.get(did)
+                sigs[did] = row if prev is None else np.minimum(prev, row)
+            if with_hash_set:
+                hf = pd.DataFrame({"__id": mf["__id"], "__h": h})
+                for did, grp in hf.groupby("__id", sort=False)["__h"]:
+                    hsets.setdefault(did, []).append(grp.to_numpy())
+        if sigs:
+            ids = np.array(list(sigs), dtype=np.int64)
+            out = {id_col: ids, "sig": [sigs[i] for i in ids]}
+            if with_hash_set:
+                out["__shset"] = [
+                    np.unique(np.concatenate(hsets[i])) for i in ids
+                ]
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} long, sig array<long>"
+    cols = [F.col("sig")[i].alias(f"h{i}") for i in range(num_perm)]
+    if with_hash_set:
+        schema += ", __shset array<long>"
+        cols.append(F.col("__shset"))
+    raw = with_h.mapInPandas(run, schema)
+    return raw.select(id_col, *cols)
 
 
 def lsh_band_rows(

@@ -133,6 +133,124 @@ REP_TOP2_NUM, REP_TOP2_DEN = 1, 5
 REP_DUP3_NUM, REP_DUP3_DEN = 9, 50
 
 
+def _qrep_stats_np(staged: DataFrame) -> DataFrame:
+    """Arrow/numpy twin of the run-length-fold repetition stats —
+    identical integer (doc_id, __nc, w_total, w_distinct, top2_chars,
+    dup3_chars) rows (row-equality-pinned against the JVM fold in
+    tests/test_kernel_parity.py). The JVM form runs TWO interpreted
+    ``F.aggregate`` run-length folds (+ two array_sorts) per doc —
+    ~2·|tokens| uncompiled lambda evals with struct rebuilds
+    (invariant 22's seam; the dominant cost at sf10). Here the whole
+    Arrow batch vectorizes: one ``pd.factorize`` builds token
+    equality classes (string equality == the JVM/oracle gram-string
+    equality, since whitespace-split tokens cannot contain the join
+    space), gram keys are integer codes of adjacent class pairs
+    (cross-doc boundaries masked), and the per-(doc, gram) counts /
+    char masses reduce with cython groupbys. Every output is an
+    exact integer — the fractions and the keep flag stay in the
+    shared JVM projection, so the oracle is unchanged.
+
+    Exactness notes: gram char length = Σ token lengths + (n-1)
+    separators, equal for equal gram strings, so taking it from any
+    occurrence matches the fold's length-of-string; top2 = max over
+    distinct 2-grams of count×len; dup3 = Σ over distinct 3-grams
+    with count ≥ 2 of count×len — the run-length fold computes
+    exactly these over the sorted gram array."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks_col = list(pdf["__toks"])
+            counts = np.fromiter(
+                (len(t) for t in toks_col), dtype=np.int64,
+                count=len(toks_col),
+            )
+            flat = pd.Series(
+                [s for t in toks_col for s in t], dtype=object
+            )
+            doc_ix = np.repeat(
+                np.arange(len(toks_col), dtype=np.int64), counts
+            )
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "__nc": pdf["__nc"].to_numpy(),
+                    "w_total": counts,
+                    "w_distinct": np.zeros(len(counts), dtype=np.int64),
+                    "top2_chars": np.zeros(len(counts), dtype=np.int64),
+                    "dup3_chars": np.zeros(len(counts), dtype=np.int64),
+                }
+            )
+            if not len(flat):
+                yield out
+                continue
+            codes, uniq = pd.factorize(flat)
+            codes = codes.astype(np.int64)
+            lens = flat.str.len().to_numpy(dtype=np.int64)
+            nuni = len(uniq)
+            wd = (
+                pd.DataFrame({"d": doc_ix, "c": codes})
+                .groupby("d", sort=False)["c"].nunique()
+            )
+            out.loc[wd.index.to_numpy(), "w_distinct"] = wd.to_numpy()
+
+            same_doc2 = doc_ix[:-1] == doc_ix[1:]
+            if same_doc2.any():
+                k2 = codes[:-1] * nuni + codes[1:]
+                l2 = lens[:-1] + lens[1:] + 1
+                g2 = pd.DataFrame(
+                    {
+                        "d": doc_ix[:-1][same_doc2],
+                        "k": k2[same_doc2],
+                        "l": l2[same_doc2],
+                    }
+                )
+                per2 = g2.groupby(["d", "k"], sort=False).agg(
+                    n=("l", "size"), l=("l", "first")
+                )
+                per2["mass"] = per2["n"].to_numpy() * per2["l"].to_numpy()
+                t2 = per2.groupby(level="d", sort=False)["mass"].max()
+                out.loc[t2.index.to_numpy(), "top2_chars"] = t2.to_numpy()
+
+                # 3-grams: pair-code of (i, i+1) recombined with the
+                # third token's class — stays far inside int64
+                p2, _ = pd.factorize(pd.Series(k2))
+                p2 = p2.astype(np.int64)
+                same_doc3 = same_doc2[:-1] & (doc_ix[:-2] == doc_ix[2:])
+                if same_doc3.any():
+                    k3 = p2[:-1] * nuni + codes[2:]
+                    l3 = lens[:-2] + lens[1:-1] + lens[2:] + 2
+                    g3 = pd.DataFrame(
+                        {
+                            "d": doc_ix[:-2][same_doc3],
+                            "k": k3[same_doc3],
+                            "l": l3[same_doc3],
+                        }
+                    )
+                    per3 = g3.groupby(["d", "k"], sort=False).agg(
+                        n=("l", "size"), l=("l", "first")
+                    )
+                    dup = per3[per3["n"] >= 2]
+                    if len(dup):
+                        d3 = (
+                            (dup["n"] * dup["l"])
+                            .groupby(level="d", sort=False).sum()
+                        )
+                        out.loc[d3.index.to_numpy(), "dup3_chars"] = (
+                            d3.to_numpy()
+                        )
+            yield out
+
+    return staged.mapInPandas(
+        run,
+        "doc_id bigint, __nc bigint, w_total bigint, w_distinct bigint, "
+        "top2_chars bigint, dup3_chars bigint",
+    )
+
+
 def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality filter (Gopher Table-A1 shape):
     per-document duplicate-word fraction, the char share of the
@@ -161,28 +279,64 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats row (the oracle groups grams under a row number), never a
     merged double-counted group
     """
-    from ..functions.core import ensure_fanout_parallelism
-    from ..functions.dedup import grams
+    # the r11 Arrow kernel computes the integer stats (the JVM
+    # run-length fold stays as the pinned twin — _qrep_stats_jvm)
+    stats = _qrep_stats_np(_qrep_staged(spark, sf_dir)).withColumnsRenamed(
+        {"w_total": "__w_total", "w_distinct": "__w_distinct",
+         "top2_chars": "__top2_chars", "dup3_chars": "__dup3_chars"}
+    )
+    return _qrep_select(stats)
 
-    # the per-doc fold work is ~|tokens| log |tokens| per ROW: when
-    # the scan arrives under-parallel (few files / one row group —
-    # the local-corpus layout), redistribute the NARROW docs table
-    # first; on a real multi-file lake layout this is a no-op and
-    # the query stays exchange-free end to end (measured: sf1 went
-    # 8.9 s on a 2-split scan → 1.9 s redistributed)
+
+def _qrep_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, __nc, __toks) staging shared by the kernel and the
+    JVM twin. The per-doc work downstream is ~|tokens| per ROW: when
+    the scan arrives under-parallel (few files / one row group — the
+    local-corpus layout), redistribute the NARROW docs table first;
+    on a real multi-file lake layout this is a no-op (measured: sf1
+    went 8.9 s on a 2-split scan → 1.9 s redistributed). The token
+    array materializes ONCE per row (invariant 5), and zero-token
+    docs drop — the gram explode of the original plan emitted no
+    rows for them, so absence IS the contract."""
+    from ..functions.core import ensure_fanout_parallelism
+
     docs = ensure_fanout_parallelism(
         t(spark, sf_dir, "documents"), by="doc_id"
     )
     toks = tokens(F.col("text"))
     nc = F.greatest(F.length(norm_text(F.col("text"))), F.lit(1)).cast("long")
-
-    # materialize the token array ONCE per row (invariant 5: a
-    # fold's outer expressions would re-evaluate per element), then
-    # drop zero-token docs — the gram explode of the previous plan
-    # emitted no rows for them, so absence IS the contract
-    staged = docs.select(
+    return docs.select(
         "doc_id", nc.alias("__nc"), toks.alias("__toks")
     ).filter(F.size("__toks") >= 1)
+
+
+def _qrep_select(stats: DataFrame) -> DataFrame:
+    """Shared final projection: fractions are ONE double division of
+    identical integers on both engines; keep is multiplication-only
+    integer algebra (no FP threshold)."""
+    w_total = F.greatest(F.col("__w_total"), F.lit(1))
+    keep = (
+        (F.col("__top2_chars") * REP_TOP2_DEN <= F.col("__nc") * REP_TOP2_NUM)
+        & (F.col("__dup3_chars") * REP_DUP3_DEN <= F.col("__nc") * REP_DUP3_NUM)
+    )
+    return stats.select(
+        "doc_id",
+        F.col("__w_total").cast("long").alias("n_words"),
+        ((F.col("__w_total") - F.col("__w_distinct")) / w_total).alias(
+            "dup_word_frac"
+        ),
+        (F.col("__top2_chars") / F.col("__nc")).alias("top2gram_char_frac"),
+        (F.col("__dup3_chars") / F.col("__nc")).alias("dup3gram_char_frac"),
+        keep.alias("keep"),
+    )
+
+
+def _qrep_stats_jvm(staged: DataFrame) -> DataFrame:
+    """The retained all-JVM repetition stats (two run-length
+    ``F.aggregate`` folds over sorted gram arrays) — the parity twin
+    the Arrow kernel is row-equality-pinned against, and the
+    documented fallback for inputs that must not cross Arrow."""
+    from ..functions.dedup import grams
 
     tk = F.col("__toks")
     zl = F.lit(0).cast("long")
@@ -224,27 +378,12 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(acc.run >= 2, _close_chars(acc)).otherwise(zl), zl)
     dup3 = _rl_fold(F.array_sort(grams(tk, 3)), _dup_close, _dup_close)
 
-    stats = staged.select(
+    return staged.select(
         "doc_id", "__nc",
-        F.size(tk).cast("long").alias("__w_total"),
-        F.size(F.array_distinct(tk)).cast("long").alias("__w_distinct"),
-        top2.alias("__top2_chars"),
-        dup3.alias("__dup3_chars"),
-    )
-    w_total = F.greatest(F.col("__w_total"), F.lit(1))
-    keep = (
-        (F.col("__top2_chars") * REP_TOP2_DEN <= F.col("__nc") * REP_TOP2_NUM)
-        & (F.col("__dup3_chars") * REP_DUP3_DEN <= F.col("__nc") * REP_DUP3_NUM)
-    )
-    return stats.select(
-        "doc_id",
-        F.col("__w_total").cast("long").alias("n_words"),
-        ((F.col("__w_total") - F.col("__w_distinct")) / w_total).alias(
-            "dup_word_frac"
-        ),
-        (F.col("__top2_chars") / F.col("__nc")).alias("top2gram_char_frac"),
-        (F.col("__dup3_chars") / F.col("__nc")).alias("dup3gram_char_frac"),
-        keep.alias("keep"),
+        F.size(tk).cast("long").alias("w_total"),
+        F.size(F.array_distinct(tk)).cast("long").alias("w_distinct"),
+        top2.alias("top2_chars"),
+        dup3.alias("dup3_chars"),
     )
 
 

@@ -20,7 +20,8 @@ from ..functions.text import md5_fingerprint
 
 __all__ = [
     "stream_dedup_exact", "stream_dedup_exact_against", "stream_span_dedup",
-    "minhash_index", "stream_dedup_minhash", "minhash_dedup_batch",
+    "minhash_index", "minhash_index_fps", "stream_dedup_minhash",
+    "minhash_dedup_batch",
     "embedding_index", "stream_dedup_embedding", "embedding_dedup_batch",
 ]
 
@@ -126,6 +127,38 @@ MINHASH_SHINGLE_N = 2     # same gram order as the batch fuzzy family
 MINHASH_DEDUP_TAU = 0.5   # near-dup threshold (cf. DECON_FUZZY_TAU)
 
 
+def minhash_index_fps(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-copy PRE-GATE sidecar for ``stream_dedup_minhash`` (r11):
+    distinct md5 text fingerprints of index docs that CARRY at least
+    one shingle (≥ ``MINHASH_SHINGLE_N`` tokens). An arriving doc
+    whose fingerprint matches has the IDENTICAL non-empty shingle set
+    as its index twin — jaccard exactly 1.0 ≥ any tau — so it is
+    provably a dup before any signature work runs: on real ingest
+    traffic the dup mass is dominated by exact copies, and each one
+    skips the whole shingle→64-permutation→band→verify pipeline (the
+    measured 85%+ of per-trigger cost — tools/gate_minhash_decomp.py).
+
+    Docs BELOW the shingle order are excluded on purpose: their
+    shingle set is empty, the minhash gate scores them 0/0 → no
+    match → KEEP, so the pre-gate must keep their exact copies too —
+    semantics are bit-identical to the fingerprint-less gate (pinned
+    by the gate-vs-batch-fuzzy parity test, parametrized over both
+    paths)."""
+    from ..functions.text import tokens
+
+    return (
+        docs.where(
+            F.size(tokens(F.col(text_col))) >= MINHASH_SHINGLE_N
+        )
+        .select(md5_fingerprint(F.col(text_col)).alias("fp"))
+        .distinct()
+    )
+
+
 def minhash_index(
     docs: DataFrame,
     text_col: str = "text",
@@ -186,6 +219,8 @@ def minhash_dedup_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     tau: float = MINHASH_DEDUP_TAU,
+    index_fps: DataFrame | None = None,
+    use_np_signature: bool = True,
 ) -> DataFrame:
     """One microbatch of near-dup suppression against a static LSH
     index: signature + bands for the ARRIVING docs only, candidate
@@ -195,9 +230,17 @@ def minhash_dedup_batch(
     ops, so it composes under ``foreachBatch`` with no stateful
     operator restrictions; the index side is never recomputed.
     Identical machinery (shingle order, permutation family, band
-    keys, verify algebra) to the batch ``fuzzy_contaminated``."""
+    keys, verify algebra) to the batch ``fuzzy_contaminated``.
+
+    With ``index_fps`` (built by ``minhash_index_fps``) an arriving
+    doc whose md5 text fingerprint matches a shingle-bearing index
+    doc is dropped BEFORE the signature pipeline — jaccard exactly
+    1.0 by construction, so the kept set is bit-identical to the
+    fingerprint-less path while exact-copy traffic (the dominant dup
+    mass on real firehoses) skips the expensive stages."""
     from ..functions.dedup import (
         doc_shingles, lsh_band_rows, minhash_signature,
+        minhash_signature_np,
     )
     from ..queries.dedupq import BANDS, NUM_PERM
 
@@ -205,20 +248,54 @@ def minhash_dedup_batch(
     # — materialize once so each trigger reads its source files once
     # (invariant 9)
     batch = batch.localCheckpoint(eager=False)
+    if index_fps is not None:
+        batch = (
+            batch.withColumn("__fp", md5_fingerprint(F.col(text_col)))
+            .join(index_fps.select(F.col("fp").alias("__fp")),
+                  "__fp", "left_anti")
+            .drop("__fp")
+            # survivors feed the shingle pipeline AND the final
+            # left-anti — same invariant-9 barrier as the batch above
+            .localCheckpoint(eager=False)
+        )
     sh = doc_shingles(batch, text_col, MINHASH_SHINGLE_N, id_col=id_col)
-    sig = minhash_signature(
-        sh, NUM_PERM, id_col=id_col, with_hash_set=True
-    ).localCheckpoint(False)
+    # both signature shapes are row-identical (pinned); the Arrow
+    # kernel frees JVM agg threads for the rest of the trigger and
+    # measured slightly ahead at bench batch sizes (PERF.md r11 A/B).
+    # NO hash set here (r11): verify sets are recomputed below for
+    # CANDIDATE docs only — after the fp pre-gate candidates are the
+    # rare case, so collecting per-doc hash sets for every arrival
+    # was the signature stage's dead weight
+    sig = (
+        minhash_signature_np(sh, NUM_PERM, id_col=id_col,
+                             with_hash_set=False)
+        if use_np_signature
+        else minhash_signature(sh, NUM_PERM, id_col=id_col,
+                               with_hash_set=False)
+    )
     bands = lsh_band_rows(sig, NUM_PERM, BANDS, id_col=id_col)
     cands = (
         bands.join(index_bands, ["band_idx", "band_key"])
         .select(id_col, "index_id")
         .distinct()
+        # feeds the verify-set derivation AND the verify join
+        .localCheckpoint(eager=False)
     )
-    arriving = sig.select(
-        id_col,
-        F.col("__shset").alias("s1"),
-        F.size("__shset").cast("long").alias("n1"),
+    # exact-verify hash sets for candidate docs ONLY — identical sets
+    # to a with_hash_set signature pass (same shingles, same hash64),
+    # but the per-doc distinct-collect runs on the candidate subset
+    from ..functions.text import hash64
+
+    cand_docs = batch.join(
+        cands.select(id_col).distinct(), id_col
+    )
+    cand_sh = doc_shingles(cand_docs, text_col, MINHASH_SHINGLE_N,
+                           id_col=id_col)
+    arriving = (
+        cand_sh.select(id_col, hash64(F.col("shingle")).alias("__h"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("__h")).alias("s1"))
+        .withColumn("n1", F.size("s1").cast("long"))
     )
     inter = F.size(F.array_intersect(F.col("s1"), F.col("shset")))
     jac = inter / (F.col("n1") + F.col("n") - inter)
@@ -240,6 +317,7 @@ def stream_dedup_minhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     tau: float = MINHASH_DEDUP_TAU,
+    index_fps: DataFrame | None = None,
 ):
     """Ingest-time NEAR-duplicate suppression against an existing
     corpus — the live counterpart of the batch minhash-LSH dedup,
@@ -270,6 +348,7 @@ def stream_dedup_minhash(
             minhash_dedup_batch(
                 batch, index_bands, index_sets,
                 text_col=text_col, id_col=id_col, tau=tau,
+                index_fps=index_fps,
             ),
             epoch_id,
         )
@@ -457,6 +536,64 @@ def _cell_dup_ids_np(
     return (
         a_tag.unionByName(i_tag)
         .groupBy("__r")
+        .applyInPandas(gate, f"{id_col} bigint")
+    )
+
+
+def _cell_dup_ids_np_cogroup(
+    arrivals: DataFrame,
+    indexed: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cogroup-shaped twin of ``_cell_dup_ids_np`` for BUCKETED index
+    lakes (r10 verdict item 7): the union→groupBy shape must
+    re-shuffle BOTH sides every trigger (a union discards the
+    children's partitioning), while ``cogroup`` requires each side
+    clustered by the key independently — an index table WRITTEN
+    bucketed by cell satisfies its side with ZERO exchange, so each
+    trigger shuffles only the arriving batch (plan-pinned in
+    tests/test_plans.py; same math, same chunking, row-identical —
+    tools/bucketed_dedup_bench.py measures the delta)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.similarity import stack_f64
+
+    def gate(apdf, ipdf):
+        if not len(apdf) or not len(ipdf):
+            return pd.DataFrame({id_col: []}).astype({id_col: "int64"})
+        pids = ipdf["index_id"].to_numpy()
+        P = stack_f64(list(ipdf["index_emb"]), pids, "_cell_dup_ids_np")
+        pn = ipdf["index_norm"].to_numpy(dtype=np.float64)
+        out = []
+        for lo in range(0, len(apdf), 1024):
+            sub = apdf.iloc[lo:lo + 1024]
+            ids = sub[id_col].to_numpy()
+            V = stack_f64(list(sub[vec_col]), ids, "_cell_dup_ids_np")
+            if V.shape[1] != P.shape[1]:
+                raise ValueError(
+                    f"_cell_dup_ids_np: arrival dims {V.shape[1]} != "
+                    f"index dims {P.shape[1]} — arrivals must match "
+                    "the index embedding dimensionality"
+                )
+            vn = sub["v_norm"].to_numpy(dtype=np.float64)
+            acc = np.zeros((len(ids), len(pids)))
+            for d in range(V.shape[1]):
+                acc += V[:, d, None] * P[None, :, d]
+            cos = acc / (vn[:, None] * pn[None, :])
+            out.append(ids[(cos >= tau).any(axis=1)])
+        dup = np.concatenate(out) if out else np.array([], dtype=np.int64)
+        return pd.DataFrame({id_col: dup})
+
+    return (
+        arrivals.select("cell", id_col, vec_col, "v_norm")
+        .groupBy("cell")
+        .cogroup(
+            indexed.select("cell", "index_id", "index_emb", "index_norm")
+            .groupBy("cell")
+        )
         .applyInPandas(gate, f"{id_col} bigint")
     )
 

@@ -199,6 +199,78 @@ def test_kernels_raise_on_cross_stack_dim_mismatch(spark):
         ).collect()
 
 
+def test_minhash_signature_np_matches_jvm(spark):
+    """The streaming gate's Arrow signature kernel must emit the
+    IDENTICAL (doc_id, h0..h63, __shset) rows as the JVM
+    64-min-aggregate it replaces (invariant 22's JVM-twin pin): same
+    md5 base hashes, int64-exact permutation algebra, same
+    sorted-distinct hash set."""
+    from rstreams_spark.functions.dedup import (
+        NUM_PERM, doc_shingles, minhash_signature, minhash_signature_np,
+    )
+
+    docs = t(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    sh = doc_shingles(docs, "text", 2)
+    jvm = sorted(
+        minhash_signature(sh, NUM_PERM, with_hash_set=True).collect()
+    )
+    kern = sorted(minhash_signature_np(sh, NUM_PERM).collect())
+    assert len(jvm) > 0
+    assert jvm == kern
+
+
+def test_qrep_stats_np_matches_jvm_fold(spark):
+    """quality_repetition's Arrow stats kernel must emit IDENTICAL
+    integer rows to the retained JVM run-length folds — same token
+    equality classes, same gram char masses (invariant 22's twin
+    pin)."""
+    from rstreams_spark.queries.textq import (
+        _qrep_staged, _qrep_stats_jvm, _qrep_stats_np,
+    )
+
+    staged = _qrep_staged(spark, SF_SMOKE).localCheckpoint(eager=False)
+    jvm = sorted(_qrep_stats_jvm(staged).collect())
+    kern = sorted(_qrep_stats_np(staged).collect())
+    assert len(jvm) > 0
+    assert jvm == kern
+
+
+def test_qrep_stats_np_edge_docs(spark):
+    """Single-token (no 2-grams), two-token (no 3-grams), repeated
+    single-token runs, and multi-space/empty-ish docs through both
+    stats shapes — the boundary cases of the run-length fold."""
+    from rstreams_spark.queries.textq import (
+        _qrep_stats_jvm, _qrep_stats_np,
+    )
+    from rstreams_spark.functions.text import norm_text, tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one"),
+            (2, "two tokens"),
+            (3, "a a a a a a"),
+            (4, "x y x y x y x y"),
+            (5, "unique words only here now"),
+            (6, "a  b   a  b"),
+        ],
+        "doc_id long, text string",
+    )
+    staged = docs.select(
+        "doc_id",
+        F.greatest(F.length(norm_text(F.col("text"))), F.lit(1))
+         .cast("long").alias("__nc"),
+        tokens(F.col("text")).alias("__toks"),
+    ).filter(F.size("__toks") >= 1).localCheckpoint(eager=False)
+    jvm = sorted(_qrep_stats_jvm(staged).collect())
+    kern = sorted(_qrep_stats_np(staged).collect())
+    assert jvm == kern
+    by_id = {r["doc_id"]: r for r in kern}
+    assert by_id[1]["top2_chars"] == 0 and by_id[1]["dup3_chars"] == 0
+    assert by_id[2]["dup3_chars"] == 0
+    assert by_id[3]["w_distinct"] == 1
+    assert by_id[5]["dup3_chars"] == 0
+
+
 def test_ivf_assign_np_raises_on_dim_mismatch(spark):
     """A batch narrower than the centroid table silently argmin'd
     over a truncated centroid prefix before the r10-advice guard."""

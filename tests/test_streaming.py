@@ -1325,13 +1325,20 @@ def test_stream_decontaminate_bloom_gate(spark, tmp_path):
     assert live_kept == bloom_kept
 
 
-def test_stream_dedup_minhash_matches_batch_fuzzy(spark, tmp_path):
+@pytest.mark.parametrize("with_fps", [False, True])
+def test_stream_dedup_minhash_matches_batch_fuzzy(spark, tmp_path, with_fps):
     """Ingest-time near-dup suppression (foreachBatch vs a batch-built
     LSH index) must drop EXACTLY the documents the oracle-verified
     batch machinery (fuzzy_contaminated) flags against the same index
     at the same tau — identical shingles, permutation family, band
     keys, bucket cap and verify algebra. Exact copies of index docs
-    (jaccard 1.0) make the check non-vacuous."""
+    (jaccard 1.0) make the check non-vacuous.
+
+    Parametrized over the exact-fingerprint PRE-GATE (r11): with
+    ``index_fps`` the exact copies short-circuit before the signature
+    pipeline, and the kept set must be bit-identical to the
+    fingerprint-less path (a fingerprint match on a shingle-bearing
+    doc is jaccard 1.0 by construction)."""
     import json as _json
 
     from conftest import SF_SMOKE
@@ -1339,7 +1346,8 @@ def test_stream_dedup_minhash_matches_batch_fuzzy(spark, tmp_path):
     from rstreams_spark.queries._util import t
     from rstreams_spark.queries.dedupq import fuzzy_contaminated
     from rstreams_spark.streaming.dedup import (
-        MINHASH_DEDUP_TAU, minhash_index, stream_dedup_minhash,
+        MINHASH_DEDUP_TAU, minhash_index, minhash_index_fps,
+        stream_dedup_minhash,
     )
 
     docs = t(spark, SF_SMOKE, "documents").select("doc_id", "text")
@@ -1353,6 +1361,10 @@ def test_stream_dedup_minhash_matches_batch_fuzzy(spark, tmp_path):
     index_bands, index_sets = minhash_index(index_docs)
     index_bands = index_bands.localCheckpoint()  # freeze the static side
     index_sets = index_sets.localCheckpoint()
+    index_fps = (
+        minhash_index_fps(index_docs).localCheckpoint() if with_fps
+        else None
+    )
 
     src = tmp_path / "minhash_dedup_src"
     src.mkdir()
@@ -1373,6 +1385,7 @@ def test_stream_dedup_minhash_matches_batch_fuzzy(spark, tmp_path):
         sink=lambda df, epoch: kept_rows.extend(
             r["doc_id"] for r in df.select("doc_id").collect()
         ),
+        index_fps=index_fps,
     ).start()
     q.processAllAvailable()
     q.stop()

@@ -98,6 +98,8 @@ def main() -> None:
         .localCheckpoint()
     )
 
+    from rstreams_spark.functions.text import hash64
+
     # S1: signature (+ hash sets), from the materialized batch
     def s1():
         sh = doc_shingles(batch, "text", MINHASH_SHINGLE_N)
@@ -105,6 +107,33 @@ def main() -> None:
 
     t1 = _timed(s1)
     sig = s1().localCheckpoint()
+
+    # S1a: shingle explode + md5 hash64 only (tokens → grams →
+    # distinct → explode → hash) — isolates the text work from the
+    # 64-permutation aggregation
+    def s1a():
+        sh = doc_shingles(batch, "text", MINHASH_SHINGLE_N)
+        return sh.select("doc_id", hash64(F.col("shingle")).alias("__h"))
+
+    t1a = _timed(s1a)
+    hashed = s1a().localCheckpoint()
+
+    # S1b: the 64 pmod-min aggregates + collect_set from the
+    # materialized (doc_id, __h) rows
+    def s1b():
+        from rstreams_spark.functions.dedup import P61, perm_coeffs
+        _LO = (1 << 30) - 1
+        hlo = F.col("__h").bitwiseAND(F.lit(_LO))
+        hhi = F.shiftright(F.col("__h"), 30)
+        aggs = [
+            F.min(F.pmod(F.lit(a) * hlo + F.lit(c) * hhi + F.lit(b),
+                         F.lit(P61))).alias(f"h{i}")
+            for i, (a, c, b) in enumerate(perm_coeffs(NUM_PERM))
+        ]
+        aggs.append(F.array_sort(F.collect_set("__h")).alias("__shset"))
+        return hashed.groupBy("doc_id").agg(*aggs)
+
+    t1b = _timed(s1b)
 
     # S2: band rows + candidate join, from the materialized signature
     def s2():
@@ -138,6 +167,39 @@ def main() -> None:
         )
 
     t3 = _timed(s3)
+
+    # S3a: the candidate set-pair join WITHOUT the intersect (ships
+    # both hash-set arrays per candidate) — isolates join+shuffle
+    # from the array_intersect evaluation
+    def s3a():
+        return (
+            cands.join(arriving, "doc_id")
+            .join(index_sets, "index_id")
+            .select("doc_id", "index_id")
+        )
+
+    t3a = _timed(s3a)
+
+    # S3b: intersect computed ONCE via a projection (is the double
+    # evaluation of array_intersect inside `jac` costing a pass?)
+    def s3b():
+        joined = (
+            cands.join(arriving, "doc_id")
+            .join(index_sets, "index_id")
+            .select(
+                "doc_id",
+                F.size(F.array_intersect(F.col("s1"), F.col("shset")))
+                 .alias("__i"),
+                "n1", "n",
+            )
+        )
+        jac = F.col("__i") / (F.col("n1") + F.col("n") - F.col("__i"))
+        return (
+            joined.where(jac >= MINHASH_DEDUP_TAU)
+            .select("doc_id").distinct()
+        )
+
+    t3b = _timed(s3b)
     dup_ids = s3().localCheckpoint()
     n_dups = dup_ids.count()
 
@@ -153,17 +215,72 @@ def main() -> None:
 
     tf = _timed(full)
 
+    # FULL + the r11 exact-fingerprint pre-gate (the bench config)
+    from rstreams_spark.streaming.dedup import minhash_index_fps
+
+    index_fps = minhash_index_fps(docs).localCheckpoint()
+
+    def full_fps():
+        return minhash_dedup_batch(
+            batch, index_bands, index_sets, index_fps=index_fps
+        )
+
+    tff = _timed(full_fps)
+
+    # A/B: fp pre-gate with the JVM signature agg instead of the
+    # Arrow kernel (is the kernel actually paying for itself?)
+    def full_fps_jvm():
+        return minhash_dedup_batch(
+            batch, index_bands, index_sets, index_fps=index_fps,
+            use_np_signature=False,
+        )
+
+    tfj = _timed(full_fps_jvm)
+
+    # the pre-gate survivors alone (fp anti-join cost)
+    def pregate():
+        from rstreams_spark.functions.text import md5_fingerprint
+        return (
+            batch.withColumn("__fp", md5_fingerprint(F.col("text")))
+            .join(index_fps.select(F.col("fp").alias("__fp")),
+                  "__fp", "left_anti")
+            .drop("__fp")
+        )
+
+    tpg = _timed(pregate)
+
+    # kernel signature over the pre-gate survivors (the new S1)
+    fresh = pregate().localCheckpoint()
+
+    def s1k():
+        from rstreams_spark.functions.dedup import minhash_signature_np
+        sh = doc_shingles(fresh, "text", MINHASH_SHINGLE_N)
+        return minhash_signature_np(sh, NUM_PERM)
+
+    t1k = _timed(s1k)
+
     print(f"# sf={os.path.basename(sf.rstrip('/'))} docs/batch={per_batch} "
           f"candidates={n_cands} dups={n_dups}", file=sys.stderr)
     print("| stage | s | share of Σ |")
     print("|---|---|---|")
     tot = t1 + t2 + t3 + t4
-    for name, tv in (("S1 signature", t1), ("S2 candidates", t2),
-                     ("S3 verify", t3), ("S4 anti-join", t4)):
+    for name, tv in (("S1 signature", t1),
+                     ("S1a shingle+md5 only", t1a),
+                     ("S1b 64-min agg only", t1b),
+                     ("S2 candidates", t2),
+                     ("S3 verify", t3),
+                     ("S3a set-pair join only", t3a),
+                     ("S3b verify, single intersect", t3b),
+                     ("S4 anti-join", t4)):
         print(f"| {name} | {tv:.2f} | {tv / tot:.0%} |")
     print(f"| Σ stages | {tot:.2f} | |")
-    print(f"| FULL fused | {tf:.2f} | |")
-    print(f"| implied docs/s (fused) | {per_batch / tf:.0f} | |")
+    print(f"| FULL fused (no fps) | {tf:.2f} | |")
+    print(f"| FULL fused + fp pre-gate | {tff:.2f} | |")
+    print(f"| FULL fused + fp, JVM sig | {tfj:.2f} | |")
+    print(f"| pre-gate anti-join alone | {tpg:.2f} | |")
+    print(f"| S1 kernel on survivors | {t1k:.2f} | |")
+    print(f"| implied docs/s (no fps) | {per_batch / tf:.0f} | |")
+    print(f"| implied docs/s (fps) | {per_batch / tff:.0f} | |")
 
 
 if __name__ == "__main__":

@@ -356,6 +356,31 @@ CLASSES: dict[str, dict] = {
             " else embedding end as embedding) from t"
         ),
     },
+    # --- pathological single rows ------------------------------------------
+    "giant_doc": {
+        # ONE ~10^7-token document (5M distinct tokens + a 5M-token
+        # single-token run) appended to the normal corpus (r10 verdict
+        # item 6): every per-doc explode (shingles, spans, grams,
+        # winnowing windows) fans this row out ~10^7×, every
+        # whole-doc array op (sort/run-length folds) builds a
+        # ~10^7-element array in ONE task, and the run stresses
+        # run-length/repetition folds — each path must finish within
+        # task memory or raise its documented domain guard; nothing
+        # may silently truncate. The distinct-token half keeps LSH/
+        # df-cap paths honest (10M distinct shingles from one doc);
+        # the run half collapses to 2 distinct shingles, so the
+        # minhash family sees both extremes in one row.
+        "documents": (
+            "select * from t union all "
+            "select doc_id, text, lang, source,"
+            " length(text)::bigint as n_chars from ("
+            "  select (select max(doc_id) + 1 from t) as doc_id,"
+            "  (select string_agg('g' || i::varchar, ' ' order by i)"
+            "   from range(1, 5000001) i)"
+            "  || ' ' || repeat('r ', 4999999) || 'r' as text,"
+            "  'en' as lang, 'giant' as source)"
+        ),
+    },
     # --- everything at once ----------------------------------------------
     "torture": {
         "documents": (

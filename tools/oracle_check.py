@@ -44,6 +44,8 @@ def main() -> int:
                 f"create view {tname} as select * from '{sf_dir}/{tname}.parquet'"
             )
 
+    from cc_oracle import ITERATIVE_CC_NAMES, run_iterative
+
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
     for name in names:
@@ -52,7 +54,13 @@ def main() -> int:
             if name not in oracles:
                 print(f"  ~ {name}: rows-only ({len(sdf)} rows)")
                 continue
-            odf = con.sql(oracles[name]).df()
+            if name in ITERATIVE_CC_NAMES:
+                # bounded-memory twin of the recursive-CTE oracle
+                # (>44 GB at sf1); equality vs the CTE is pinned by
+                # tests/test_cc_oracle.py at sf0.01/sf0.1
+                odf = run_iterative(con, name)
+            else:
+                odf = con.sql(oracles[name]).df()
             if sorted(sdf.columns) != sorted(odf.columns):
                 print(f"  ✗ {name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
                 failures += 1
