@@ -182,8 +182,10 @@ def run(spark, sf_dir: str) -> dict:
     # account for the tokens it reclaims (catalog constants — this
     # demonstrates the same operator as queries/textq.py::span_dedup)
     spans = clean.select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    ).select(  # materialized tokens: invariant 5 (per-chunk lambda)
         "doc_id",
-        F.explode(token_chunks(tokens(F.col("text")), SPAN_SIZE, 0)).alias("c"),
+        F.explode(token_chunks(F.col("__toks"), SPAN_SIZE, 0)).alias("c"),
     ).select(
         "doc_id",
         F.col("c.chunk_idx").cast("long").alias("span_idx"),
@@ -228,9 +230,11 @@ def run(spark, sf_dir: str) -> dict:
 
     # chunk survivors into training windows
     chunks = survivors.select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    ).select(  # materialized tokens: invariant 5 (per-chunk lambda)
         "doc_id",
         F.explode(
-            token_chunks(tokens(F.col("text")), CHUNK_SIZE, CHUNK_OVERLAP)
+            token_chunks(F.col("__toks"), CHUNK_SIZE, CHUNK_OVERLAP)
         ).alias("c"),
     ).select("doc_id", "c.chunk_idx", "c.n_tokens")
     n_chunks = chunks.count()

@@ -6,20 +6,19 @@
 Iteration order is DELIBERATE: the driver's correctness artifact
 covers the first ~50 insertion-order entries (r01 checked all 46
 then-existing, r02-r07 stopped at exactly 50), so ``_FRONT`` rotates
-per round. Round 10 = the r9 complement (the 53 entries outside
-CORRECTNESS_r09 — VERDICT r9 item 4), r10-CHANGED entries first:
-ngram_novelty (single-gram-exchange rewrite, row-identical but the
-plan is new), then the eleven entries whose last driver-green is
-oldest (r7: candles, candles_rollup, distinct_count, strat_classify,
-throttle_sample, stratified_sample, split_routes, skip_take,
-take_while, skip_while, cycle_take — exactly the r9 riders), then
-the r8-green remainder: the 20-query TPC-H tail, the span/winnowing/
-commonness/top_terms text family, the minhash/clusters/fuzzy dedup
-tail, and the stream-shaped core ops. 50-slot arithmetic forces
-three r8-driver-green, r9-replica-green, unchanged-since-r2 entries
-to ride outside this round: map_filter, merge_take, chunk_fold
-(each re-verified in this round's full oracle replica at sf0.01 AND
-sf0.1 and in the probe sweep). The union of CORRECTNESS_r01-r10
+per round. Round 11 = the r10 complement (the 53 entries outside
+CORRECTNESS_r10 — VERDICT r10 item 5), r11-CHANGED entries first:
+quality_repetition (Arrow stats kernel — already in the complement)
+and span_dedup (invariant-5 token re-materialization, r10-green but
+plan changed) plus the five similarity entries the r11 kernel
+hardening touched
+(chunked score block, NaN rank order, dim guards — r10-driver-green
+but changed-first outranks staleness). 50-slot arithmetic forces
+nine r9-driver-green, unchanged, replica-bridged entries to ride
+outside this round: map_filter, fold_count, wordcount, merge_take,
+chunk_fold, distinct_count, stream_table_join, lag_window, gap_detect
+(each re-verified in this round's full oracle replicas at sf0.01 AND
+sf0.1 and in the probe sweep). The union of CORRECTNESS_r01-r11
 plus per-round replica runs still covers every entry every round.
 """
 
@@ -34,35 +33,32 @@ for mod in (core, tpch, textq, dedupq):
     _SQL.update(mod.SQL_ORACLES)
 
 _FRONT = [
-    # — CHANGED this round (r10): single-gram-exchange rewrite;
-    #   similarity-family Arrow kernels (routed_cosine_np /
-    #   bucketed_topk_np / fan-out) — changed-first outranks
-    #   staleness, so these re-enter even though r9-driver-green —
-    "ngram_novelty",
+    # — CHANGED this round (r11): qrep Arrow stats kernel; the
+    #   similarity kernels' chunked/NaN/dim hardening — changed-first
+    #   outranks staleness —
+    "quality_repetition", "span_dedup",
     "ivf_topk", "ivf_topk_shuffle", "ann_lsh_topk",
-    "ann_lsh_topk_shuffle", "ann_topk", "semantic_clusters",
-    # — stalest: last driver-green r7 (the r9 riders; candles/
-    #   candles_rollup/distinct_count/strat_classify/throttle_sample/
-    #   stratified_sample displaced by the changed six on 50-slot
-    #   arithmetic — unchanged, replica-green at r10 HEAD) —
-    "split_routes",
-    "skip_take", "take_while", "skip_while", "cycle_take",
-    # — r9 complement: TPC-H tail (driver-green r8, replica r9) —
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q14",
-    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
-    "tpch_q20", "tpch_q21", "tpch_q22", "orders_rollup",
-    # — r9 complement: text/dedup tail —
-    "span_dedup", "doc_winnowing", "dedup_winnowing", "top_terms",
-    "doc_commonness", "salted_sum",
-    "dedup_minhash", "minhash_lsh_topk", "dedup_clusters",
-    "dedup_keep_best", "decontaminate_ngrams", "decontaminate_fuzzy",
-    "ts_similarity_topk",
-    # — r9 complement: stream-shaped core ops (map_filter,
-    #   merge_take, chunk_fold ride outside this round: 50-slot
-    #   arithmetic, see module docstring) —
-    "asof_enrich", "latest_per_key", "session_window",
-    "pattern_followed_by", "parse_json_props",
+    "ann_lsh_topk_shuffle", "semantic_clusters",
+    # — r10 complement: stream-shaped core + windows (driver-green
+    #   r9) —
+    "chunk_fold_timeout", "tumbling_window", "tumbling_window_gapfill",
+    "hopping_window", "hopping_window_gapfill",
+    "interval_join", "interval_join_left",
+    "candles", "candles_rollup", "strat_classify",
+    "range_band_count", "value_percentiles",
+    "throttle_sample", "stratified_sample", "funnel_3step",
+    "cohort_retention", "twap_daily", "value_histogram",
+    # — r10 complement: TPC-H remainder —
+    "tpch_q4", "tpch_q12", "tpch_q13",
+    # — r10 complement: text/dedup/multimodal tail —
+    "dedup_exact", "incremental_dedup_exact", "text_redact",
+    "doc_fingerprint", "token_count", "text_quality",
+    "source_mix", "lang_id", "doc_chunks", "pack_sequences",
+    "dataset_split", "budget_sample", "vocab_coverage",
+    "source_overlap", "dedup_ngram_jaccard", "dedup_simhash",
+    "embedding_cosine_dup", "embedding_quantize",
+    "multimodal_meta", "audio_meta", "video_meta",
+    "embedding_dim_stats",
 ]
 
 _missing = [k for k in _FRONT if k not in _ALL]

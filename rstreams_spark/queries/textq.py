@@ -717,9 +717,16 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.core import ensure_fanout_parallelism
 
     docs = t(spark, sf_dir, "documents")
+    # materialize the token array ONCE per row before the chunk
+    # transform (invariant 5): token_chunks' per-chunk lambda
+    # re-evaluates its token expression per CHUNK, so passing the
+    # raw tokens() regex re-tokenized every document n_chunks times
+    # (r11: the span explode was 2.6× slower that way at sf10)
     spans = ensure_fanout_parallelism(docs).select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    ).select(
         "doc_id",
-        F.explode(token_chunks(tokens(F.col("text")), SPAN_SIZE, 0)).alias("c"),
+        F.explode(token_chunks(F.col("__toks"), SPAN_SIZE, 0)).alias("c"),
     ).select(
         "doc_id",
         F.col("c.chunk_idx").cast("long").alias("span_idx"),

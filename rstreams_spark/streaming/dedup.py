@@ -108,8 +108,15 @@ def stream_span_dedup(
     spans = df.select(
         id_col,
         ts_col,
+        # materialized token column (invariant 5): token_chunks'
+        # per-chunk lambda re-evaluates its token expression, so a
+        # raw tokens() here re-tokenizes per chunk
+        tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        id_col,
+        ts_col,
         F.explode(
-            token_chunks(tokens(F.col(text_col)), span_size, 0)
+            token_chunks(F.col("__toks"), span_size, 0)
         ).alias("__c"),
     ).select(
         id_col,

@@ -88,21 +88,13 @@ STANDING_NOTES = [
     "  rows above measure.",
 ]
 
-# the SECOND decade (sf10, tools/gen_sf10.py) is probed only for the
-# scale-path headliners — the queries whose 100 TB story rests on
-# sublinear machinery (banded LSH, CC closure, IVF cells, bipartite
-# decontamination, micros TPC-H aggs); exact baselines (ann_topk) and
-# token-bound linear scans are declared outliers already and would
-# dominate the probe's wall for no new information
-SF10_SET = {
-    "tpch_q1", "tpch_q3", "tpch_q18",
-    "dedup_minhash", "dedup_clusters", "minhash_lsh_topk",
-    "semantic_clusters", "ivf_topk", "ann_lsh_topk",
-    "ivf_topk_shuffle", "ann_lsh_topk_shuffle",
-    "decontaminate_ngrams", "decontaminate_fuzzy", "source_overlap",
-    "quality_repetition", "ngram_novelty", "span_dedup",
-    "ts_similarity_topk",
-}
+# the SECOND decade (sf10, tools/gen_sf10.py) is probed FULL-WIDTH
+# since r11 (verdict item 3: every SCALING.md row carries an sf10
+# cell, so a super-linear step anywhere in the benched set is
+# attributed, not assumed). Through r10 only the scale-path
+# headliners were probed; the r11 run found the remainder's steps
+# unremarkable, at the cost of a longer probe session.
+SF10_SET = None  # None = all benched queries
 
 
 def main() -> None:
@@ -140,24 +132,33 @@ def main() -> None:
     for name in HEADLINERS:
         times = []
         for sf in sfs:
-            if sf == SF10 and name not in SF10_SET:
+            if sf == SF10 and SF10_SET is not None and name not in SF10_SET:
                 times.append(None)
                 continue
-            if sf == SF10:
-                # the second decade gets an UNTIMED warm execution
-                # first: a query's first sf10 run in a session can
-                # pay one-time costs (page-cache fill of the 2.3 GB
-                # tiling, JIT of the cold SMJ/sort paths) that land
-                # on BOTH min-of-2 draws — the r9 probe recorded
-                # tpch_q3 at 17.5 s this way where warm draws are
-                # 2.7-4.9 s (VERDICT r9 item 1)
-                run(name, sf)
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                run(name, sf)
-                best = min(best, time.perf_counter() - t0)
-            times.append(best)
+            try:
+                if sf == SF10:
+                    # the second decade gets an UNTIMED warm execution
+                    # first: a query's first sf10 run in a session can
+                    # pay one-time costs (page-cache fill of the 2.3 GB
+                    # tiling, JIT of the cold SMJ/sort paths) that land
+                    # on BOTH min-of-2 draws — the r9 probe recorded
+                    # tpch_q3 at 17.5 s this way where warm draws are
+                    # 2.7-4.9 s (VERDICT r9 item 1)
+                    run(name, sf)
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    run(name, sf)
+                    best = min(best, time.perf_counter() - t0)
+                times.append(best)
+            except Exception as ex:
+                # a raising query (e.g. a documented cap/regime
+                # transition at a new SF) must not kill the session —
+                # record the hole and keep probing
+                print(f"# {name} @ {os.path.basename(sf)}: RAISED "
+                      f"{type(ex).__name__}: {str(ex)[:160]}",
+                      file=sys.stderr)
+                times.append(None)
         measured_by_name[name] = times
         print(f"# {name}: {[None if t is None else round(t, 3) for t in times]}",
               file=sys.stderr)
