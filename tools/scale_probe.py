@@ -46,6 +46,17 @@ FLAG_RATIO = 12.0  # growth on the final 10× step that warrants review
 STANDING_NOTES = [
     "Standing notes (tools/scale_probe.py::STANDING_NOTES):",
     "",
+    "- r11: the sf10 column is FULL-WIDTH (every benched row) — the",
+    "  full 62-query probe session carries heavier per-session load",
+    "  than the r10 18-row sessions, so single-session sf10 cells",
+    "  sit higher in the host noise band; the min-merge discipline",
+    "  (per-cell min over the last 2 same-layout sessions) is what",
+    "  makes the table comparable. decontaminate_fuzzy's sf10 cell",
+    "  drew 11.5/15.6/16.3 s across three same-day draws (noise",
+    "  band); its best-draw decade step is 3.6x — the bipartite",
+    "  LSH candidate growth tracks dup mass, same law as",
+    "  dedup_minhash. span_dedup's 6.5 s cell reflects the r11",
+    "  invariant-5 fix (was 9.3 s at r10; solo warm draws 7.1 s).",
     "- tpch_q3 at sf10 crosses the designed broadcast→shuffle-join",
     "  transition: the date-filtered orders side (~7M rows) outgrows",
     "  the broadcast threshold, so lineitem⋈orders becomes a",
