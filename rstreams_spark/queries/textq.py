@@ -1409,21 +1409,30 @@ SQL_ORACLES = {
         from ranked where rank <= {TOPTERMS_K}
     """,
     "span_dedup": f"""
+        -- spans are built as ONE struct comprehension per document
+        -- and then unnested: the previous shape unnested the span
+        -- INDEX while carrying the full token list into every span
+        -- row, which re-materializes a giant document's list per
+        -- span (the giant_doc probe's 10^7-token row turned that
+        -- quadratic — r11); values are byte-identical
         with tk as (select doc_id, {_TOKS} as toks from documents),
         sp as (
-          select doc_id, toks,
-                 unnest(range(0, (len(toks) - 1) // {SPAN_SIZE} + 1)) as span_idx
+          select doc_id,
+                 unnest([{{'span_idx': i,
+                   'span_text': array_to_string(
+                     toks[i * {SPAN_SIZE} + 1
+                          : i * {SPAN_SIZE} + {SPAN_SIZE}], ' '),
+                   'n_tokens': least(len(toks) - i * {SPAN_SIZE},
+                                     {SPAN_SIZE})}}
+                   for i in range(0, (len(toks) - 1) // {SPAN_SIZE} + 1)])
+                   as s
           from tk where len(toks) > 0
         ),
         spans as (
-          select doc_id, span_idx,
-                 array_to_string(
-                   toks[span_idx * {SPAN_SIZE} + 1
-                        : span_idx * {SPAN_SIZE} + {SPAN_SIZE}], ' ')
-                   as span_text,
-                 least(len(toks) - span_idx * {SPAN_SIZE}, {SPAN_SIZE})
-                   as n_tokens,
-                 doc_id * {_SPAN_KEY_MUL} + span_idx as key
+          select doc_id, s.span_idx as span_idx,
+                 s.span_text as span_text,
+                 s.n_tokens as n_tokens,
+                 doc_id * {_SPAN_KEY_MUL} + s.span_idx as key
           from sp
         ),
         first as (

@@ -369,7 +369,11 @@ CLASSES: dict[str, dict] = {
         # may silently truncate. The distinct-token half keeps LSH/
         # df-cap paths honest (10M distinct shingles from one doc);
         # the run half collapses to 2 distinct shingles, so the
-        # minhash family sees both extremes in one row.
+        # minhash family sees both extremes in one row. Swept
+        # SPARK-ONLY (probe_sweep.SPARK_ONLY_CLASSES): DuckDB's
+        # list-value model takes 20-30 min per gram oracle over a
+        # 10M-element token list and OOMs on the span oracle — a
+        # real oracle-side bound this class discovered (r11).
         "documents": (
             "select * from t union all "
             "select doc_id, text, lang, source,"

@@ -131,6 +131,20 @@ for _q in ("ann_lsh_topk", "ann_topk", "embedding_cosine_dup"):
     EXPECTED_DIVERGENCES[("ragged_dims", _q)] = _RAGGED_ZIP
 
 
+# Classes swept SPARK-ONLY (run to completion / loud documented
+# guard; no DuckDB compare): the giant_doc class's 10^7-token row is
+# a SPARK task-memory contract probe, and the r11 run found a real
+# ORACLE-side bound — DuckDB's list-value model evaluates
+# comprehensions/slices over a 10M-element token list in 20-30 min
+# per query (several gram oracles) and OOMs outright on the span
+# oracle (any shape tried: index-unnest and struct-comprehension
+# both), so an oracle compare over this class is not computable on
+# this engine. The Spark side is the contract; row values for the
+# giant row are spot-checkable at smaller token counts where the
+# oracle runs.
+SPARK_ONLY_CLASSES = {"giant_doc"}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--classes", default=None)
@@ -160,13 +174,24 @@ def main() -> int:
             )
         failures = []
         expected = []
+        import time as _time
         for name in names:
+            print(f"#   [{cls}] {name} @ {_time.strftime('%H:%M:%S')}",
+                  file=sys.stderr, flush=True)
             raise_sub = EXPECTED_RAISE.get((cls, name))
             sdf = serr = odf = oerr = None
             try:
                 sdf = qs[name](spark, d).toPandas()
             except Exception as ex:
                 serr = ex
+            if cls in SPARK_ONLY_CLASSES:
+                if serr is not None and (cls, name) not in EXPECTED_DIVERGENCES:
+                    failures.append(
+                        (name, f"EXCEPTION {type(serr).__name__}:"
+                               f" {str(serr)[:200]}"))
+                elif serr is not None:
+                    expected.append(name)
+                continue
             if name not in oracles:
                 if serr is not None:
                     failures.append(
