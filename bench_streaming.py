@@ -247,7 +247,9 @@ def measure_dedup_gates(spark, sf_dir: str | None = None,
     index_sets = index_sets.localCheckpoint()
     # exact-copy pre-gate sidecar (r11): the production config — a
     # fingerprint-matched arrival skips the signature pipeline
-    index_fps = minhash_index_fps(docs).localCheckpoint()
+    index_fps = minhash_index_fps(
+        docs, index_bands=index_bands
+    ).localCheckpoint()
     src = stream_rate_micro_batch(spark, docs_per_batch, num_partitions=8)
     novel = F.concat_ws(
         " ", *[

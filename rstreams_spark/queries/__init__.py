@@ -6,20 +6,19 @@
 Iteration order is DELIBERATE: the driver's correctness artifact
 covers the first ~50 insertion-order entries (r01 checked all 46
 then-existing, r02-r07 stopped at exactly 50), so ``_FRONT`` rotates
-per round. Round 11 = the r10 complement (the 53 entries outside
-CORRECTNESS_r10 — VERDICT r10 item 5), r11-CHANGED entries first:
-quality_repetition (Arrow stats kernel — already in the complement)
-and span_dedup (invariant-5 token re-materialization, r10-green but
-plan changed) plus the five similarity entries the r11 kernel
-hardening touched
-(chunked score block, NaN rank order, dim guards — r10-driver-green
-but changed-first outranks staleness). 50-slot arithmetic forces
-nine r9-driver-green, unchanged, replica-bridged entries to ride
-outside this round: map_filter, fold_count, wordcount, merge_take,
-chunk_fold, distinct_count, stream_table_join, lag_window, gap_detect
-(each re-verified in this round's full oracle replicas at sf0.01 AND
-sf0.1 and in the probe sweep). The union of CORRECTNESS_r01-r11
-plus per-round replica runs still covers every entry every round.
+per round. Round 12 = the r11 complement (the 53 entries outside
+CORRECTNESS_r11 — VERDICT r11 item 4), ordered: the three sf10
+attribution targets this round touches first (dedup_clusters,
+source_overlap, decontaminate_fuzzy), then strictly by driver
+staleness — distinct_count (last driver-green r7),
+map_filter/merge_take/chunk_fold (r8), the five r9 entries, then the
+r10 block. source_overlap double-dips (r11-green but an r12
+attribution target — changed-first outranks), so 50-slot arithmetic
+forces four r10-driver-green, unchanged entries to ride outside on
+the replica bridge: tpch_q6, skip_take, cycle_take,
+decontaminate_ngrams (each re-verified in this round's full oracle
+replicas at sf0.01 AND sf0.1 and in the probe sweep). The union of CORRECTNESS_r01-r12 plus per-round replica runs
+still covers every entry every round.
 """
 
 from __future__ import annotations
@@ -33,32 +32,29 @@ for mod in (core, tpch, textq, dedupq):
     _SQL.update(mod.SQL_ORACLES)
 
 _FRONT = [
-    # — CHANGED this round (r11): qrep Arrow stats kernel; the
-    #   similarity kernels' chunked/NaN/dim hardening — changed-first
+    # — r12 sf10 attribution targets (VERDICT r11 item 1): these are
+    #   the entries this round's perf work may touch — changed-first
     #   outranks staleness —
-    "quality_repetition", "span_dedup",
-    "ivf_topk", "ivf_topk_shuffle", "ann_lsh_topk",
-    "ann_lsh_topk_shuffle", "semantic_clusters",
-    # — r10 complement: stream-shaped core + windows (driver-green
-    #   r9) —
-    "chunk_fold_timeout", "tumbling_window", "tumbling_window_gapfill",
-    "hopping_window", "hopping_window_gapfill",
-    "interval_join", "interval_join_left",
-    "candles", "candles_rollup", "strat_classify",
-    "range_band_count", "value_percentiles",
-    "throttle_sample", "stratified_sample", "funnel_3step",
-    "cohort_retention", "twap_daily", "value_histogram",
-    # — r10 complement: TPC-H remainder —
-    "tpch_q4", "tpch_q12", "tpch_q13",
-    # — r10 complement: text/dedup/multimodal tail —
-    "dedup_exact", "incremental_dedup_exact", "text_redact",
-    "doc_fingerprint", "token_count", "text_quality",
-    "source_mix", "lang_id", "doc_chunks", "pack_sequences",
-    "dataset_split", "budget_sample", "vocab_coverage",
-    "source_overlap", "dedup_ngram_jaccard", "dedup_simhash",
-    "embedding_cosine_dup", "embedding_quantize",
-    "multimodal_meta", "audio_meta", "video_meta",
-    "embedding_dim_stats",
+    "dedup_clusters", "source_overlap", "decontaminate_fuzzy",
+    # — stalest driver-verified (r7/r8) —
+    "distinct_count", "map_filter", "merge_take", "chunk_fold",
+    # — r9 block —
+    "fold_count", "gap_detect", "lag_window", "stream_table_join",
+    "wordcount",
+    # — r10 block: core stream shapes —
+    "asof_enrich", "latest_per_key", "session_window",
+    "pattern_followed_by", "salted_sum", "split_routes",
+    "skip_while", "take_while", "parse_json_props",
+    "ts_similarity_topk",
+    # — r10 block: TPC-H + rollup —
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q5", "tpch_q7",
+    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q14",
+    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
+    "tpch_q20", "tpch_q21", "tpch_q22", "orders_rollup",
+    # — r10 block: dedup/text/similarity tail —
+    "ann_topk", "dedup_minhash", "dedup_keep_best",
+    "dedup_winnowing", "doc_winnowing", "doc_commonness",
+    "minhash_lsh_topk", "ngram_novelty", "top_terms",
 ]
 
 _missing = [k for k in _FRONT if k not in _ALL]

@@ -138,32 +138,49 @@ def minhash_index_fps(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    index_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-copy PRE-GATE sidecar for ``stream_dedup_minhash`` (r11):
     distinct md5 text fingerprints of index docs that CARRY at least
     one shingle (≥ ``MINHASH_SHINGLE_N`` tokens). An arriving doc
     whose fingerprint matches has the IDENTICAL non-empty shingle set
-    as its index twin — jaccard exactly 1.0 ≥ any tau — so it is
-    provably a dup before any signature work runs: on real ingest
-    traffic the dup mass is dominated by exact copies, and each one
-    skips the whole shingle→64-permutation→band→verify pipeline (the
-    measured 85%+ of per-trigger cost — tools/gate_minhash_decomp.py).
+    as its index twin — jaccard exactly 1.0 ≥ tau for any tau ≤ 1 —
+    so it is provably a dup before any signature work runs: on real
+    ingest traffic the dup mass is dominated by exact copies, and
+    each one skips the whole shingle→64-permutation→band→verify
+    pipeline (the measured 85%+ of per-trigger cost —
+    tools/gate_minhash_decomp.py).
 
     Docs BELOW the shingle order are excluded on purpose: their
     shingle set is empty, the minhash gate scores them 0/0 → no
-    match → KEEP, so the pre-gate must keep their exact copies too —
-    semantics are bit-identical to the fingerprint-less gate (pinned
-    by the gate-vs-batch-fuzzy parity test, parametrized over both
-    paths)."""
+    match → KEEP, so the pre-gate must keep their exact copies too.
+
+    ``index_bands`` (the post-cap band table from ``minhash_index``)
+    makes the pre-gate BIT-IDENTICAL to the fingerprint-less gate
+    (r12, advice fix): an index doc duplicated past ``LSH_BUCKET_CAP``
+    loses ALL its band rows to the bucket cap, so the capped gate
+    KEEPS its exact copies (no candidate ever forms) — its
+    fingerprint must therefore not pre-drop them. Restricting fps to
+    docs that RETAIN ≥1 post-cap band row restores exact equivalence:
+    a retained doc's exact copy shares its full signature, hits the
+    retained bucket, and verifies at jaccard 1.0 on the capped path
+    too (pinned by the gate-vs-batch-fuzzy parity test, parametrized
+    over both paths, over-cap corpus included). Without
+    ``index_bands`` the pre-gate is a documented strict SUPERSET of
+    the capped gate's drops (it also drops exact copies of over-cap
+    boilerplate — defensible dedup semantics, but not parity)."""
     from ..functions.text import tokens
 
-    return (
-        docs.where(
-            F.size(tokens(F.col(text_col))) >= MINHASH_SHINGLE_N
+    fps = docs.where(
+        F.size(tokens(F.col(text_col))) >= MINHASH_SHINGLE_N
+    ).select(F.col(id_col), md5_fingerprint(F.col(text_col)).alias("fp"))
+    if index_bands is not None:
+        fps = fps.join(
+            index_bands.select(F.col("index_id").alias(id_col)).distinct(),
+            id_col,
+            "semi",
         )
-        .select(md5_fingerprint(F.col(text_col)).alias("fp"))
-        .distinct()
-    )
+    return fps.select("fp").distinct()
 
 
 def minhash_index(
@@ -256,6 +273,14 @@ def minhash_dedup_batch(
     # (invariant 9)
     batch = batch.localCheckpoint(eager=False)
     if index_fps is not None:
+        # the pre-gate's drop proof is "jaccard exactly 1.0 >= tau" —
+        # it silently assumed tau <= 1; make the domain loud instead
+        if tau > 1.0:
+            raise ValueError(
+                f"index_fps pre-gate requires tau <= 1.0 (got {tau}): "
+                "a fingerprint match proves jaccard 1.0, which only "
+                "implies a dup when tau <= 1"
+            )
         batch = (
             batch.withColumn("__fp", md5_fingerprint(F.col(text_col)))
             .join(index_fps.select(F.col("fp").alias("__fp")),
@@ -572,18 +597,23 @@ def _cell_dup_ids_np_cogroup(
         if not len(apdf) or not len(ipdf):
             return pd.DataFrame({id_col: []}).astype({id_col: "int64"})
         pids = ipdf["index_id"].to_numpy()
-        P = stack_f64(list(ipdf["index_emb"]), pids, "_cell_dup_ids_np")
+        P = stack_f64(
+            list(ipdf["index_emb"]), pids, "_cell_dup_ids_np_cogroup"
+        )
         pn = ipdf["index_norm"].to_numpy(dtype=np.float64)
         out = []
         for lo in range(0, len(apdf), 1024):
             sub = apdf.iloc[lo:lo + 1024]
             ids = sub[id_col].to_numpy()
-            V = stack_f64(list(sub[vec_col]), ids, "_cell_dup_ids_np")
+            V = stack_f64(
+                list(sub[vec_col]), ids, "_cell_dup_ids_np_cogroup"
+            )
             if V.shape[1] != P.shape[1]:
                 raise ValueError(
-                    f"_cell_dup_ids_np: arrival dims {V.shape[1]} != "
-                    f"index dims {P.shape[1]} — arrivals must match "
-                    "the index embedding dimensionality"
+                    f"_cell_dup_ids_np_cogroup: arrival dims "
+                    f"{V.shape[1]} != index dims {P.shape[1]} — "
+                    "arrivals must match the index embedding "
+                    "dimensionality"
                 )
             vn = sub["v_norm"].to_numpy(dtype=np.float64)
             acc = np.zeros((len(ids), len(pids)))

@@ -107,6 +107,50 @@ def test_bench_payload_stays_under_driver_tail_capture():
     assert len(payload["queries"]) == len(full)
 
 
+def test_bench_min_of_two_merge():
+    """The min-of-two artifact (r12, VERDICT r11 item 5): per-query
+    MIN across runs, per-run totals preserved, streaming rates take
+    the best run with raw lists concatenated, a query timed in SOME
+    run keeps its time, and the merged FULL-list line still fits the
+    driver's tail capture."""
+    import json
+
+    from bench import HEADLINERS, LONG_TAIL, build_payload, merge_payloads
+
+    full = HEADLINERS + LONG_TAIL
+    s1 = {"offered_rows_per_sec": 8_000_000,
+          "processed_rows_per_sec": 7_000_000,
+          "runs": [7_000_000, 6_900_000, 6_800_000],
+          "gate_minhash_docs_per_sec": 22_000,
+          "gate_minhash_runs": [22_000, 21_000, 20_000]}
+    s2 = {"offered_rows_per_sec": 8_000_000,
+          "processed_rows_per_sec": 8_100_000,
+          "runs": [8_100_000, 8_000_000, 7_900_000],
+          "gate_minhash_docs_per_sec": 21_500,
+          "gate_minhash_runs": [21_500, 21_400, 21_300]}
+    p1 = build_payload(
+        {**{n: 123.456789 for n in full}, "q_slow1": 2.0, "q_only1": 1.0},
+        "0.1", s1, {"q_dead": "boom"})
+    p2 = build_payload(
+        {**{n: 123.456789 for n in full}, "q_slow1": 1.5},
+        "0.1", s2, {"q_only1": "flaked", "q_dead": "boom"})
+    m = merge_payloads([p1, p2])
+    assert m["queries"]["q_slow1"] == 1.5          # min across runs
+    assert m["queries"]["q_only1"] == 1.0          # timed in SOME run
+    assert "q_only1" not in m.get("errors", {})
+    assert m["errors"] == {"q_dead": "boom"}       # timed in NO run
+    assert m["valid"] is False
+    assert m["totals"] == [p1["value"], p2["value"]]
+    assert m["value"] == round(sum(m["queries"].values()), 3)
+    st = m["streaming"]
+    assert st["processed_rows_per_sec"] == 8_100_000   # best run
+    assert st["runs"] == s1["runs"] + s2["runs"]       # all raw draws
+    assert st["gate_minhash_docs_per_sec"] == 22_000
+    assert len(st["gate_minhash_runs"]) == 6
+    line = json.dumps(m)
+    assert len(line) < 2500, f"merged artifact line is {len(line)} bytes"
+
+
 def _run_bench_parent(tmp_path, inner_src: str) -> tuple[str, str]:
     """Run bench.py's parent against a stub inner script; returns
     (stdout, stderr). No Spark involved."""

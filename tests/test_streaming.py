@@ -1338,11 +1338,18 @@ def test_stream_dedup_minhash_matches_batch_fuzzy(spark, tmp_path, with_fps):
     ``index_fps`` the exact copies short-circuit before the signature
     pipeline, and the kept set must be bit-identical to the
     fingerprint-less path (a fingerprint match on a shingle-bearing
-    doc is jaccard 1.0 by construction)."""
+    doc is jaccard 1.0 by construction).
+
+    The corpus includes an OVER-CAP boilerplate family (r12, advice
+    fix): ``LSH_BUCKET_CAP + 12`` exact copies of one text in the
+    index lose ALL band rows to the bucket cap, so the capped gate
+    KEEPS an arriving exact copy — index_fps (built from the post-cap
+    band table) must keep it too, on both parametrizations."""
     import json as _json
 
     from conftest import SF_SMOKE
     from pyspark.sql import functions as F
+    from rstreams_spark.functions.dedup import LSH_BUCKET_CAP
     from rstreams_spark.queries._util import t
     from rstreams_spark.queries.dedupq import fuzzy_contaminated
     from rstreams_spark.streaming.dedup import (
@@ -1351,18 +1358,33 @@ def test_stream_dedup_minhash_matches_batch_fuzzy(spark, tmp_path, with_fps):
     )
 
     docs = t(spark, SF_SMOKE, "documents").select("doc_id", "text")
-    index_docs = docs.where(F.col("doc_id") % 3 == 0)
+    base_index = docs.where(F.col("doc_id") % 3 == 0)
+    boiler_text = "verbatim boilerplate footer repeated across the lake"
+    boiler = spark.range(LSH_BUCKET_CAP + 12).select(
+        (F.lit(900000) + F.col("id")).alias("doc_id"),
+        F.lit(boiler_text).alias("text"),
+    )
+    index_docs = base_index.unionByName(boiler)
     # arriving stream = every doc, ids shifted so the index overlap
     # becomes a guaranteed jaccard-1.0 near-dup (not an id collision)
+    # — plus ONE exact copy of the over-cap boilerplate text, which
+    # the capped gate must KEEP (its index twin has no band rows)
     arriving = docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    ).unionByName(
+        spark.createDataFrame(
+            [(990001, boiler_text)], "doc_id bigint, text string"
+        )
     )
 
     index_bands, index_sets = minhash_index(index_docs)
     index_bands = index_bands.localCheckpoint()  # freeze the static side
     index_sets = index_sets.localCheckpoint()
     index_fps = (
-        minhash_index_fps(index_docs).localCheckpoint() if with_fps
+        minhash_index_fps(
+            index_docs, index_bands=index_bands
+        ).localCheckpoint()
+        if with_fps
         else None
     )
 
@@ -1399,9 +1421,13 @@ def test_stream_dedup_minhash_matches_batch_fuzzy(spark, tmp_path, with_fps):
     }
     all_ids = {r["doc_id"] for r in rows}
     assert set(kept_rows) == all_ids - flagged
-    # every index doc's shifted copy is a jaccard-1.0 dup — dropped
-    index_ids = {r["doc_id"] + 100000 for r in index_docs.collect()}
+    # every BASE index doc's shifted copy is a jaccard-1.0 dup — dropped
+    index_ids = {r["doc_id"] + 100000 for r in base_index.collect()}
     assert index_ids <= flagged
+    # the over-cap boilerplate copy survives BOTH paths: its index
+    # twins have zero post-cap band rows (no candidate forms) and the
+    # fps pre-gate excludes their fingerprint for exactly that reason
+    assert 990001 in set(kept_rows)
     assert len(kept_rows) == len(set(kept_rows))  # no doc emitted twice
 
 

@@ -218,7 +218,9 @@ def main() -> None:
     # FULL + the r11 exact-fingerprint pre-gate (the bench config)
     from rstreams_spark.streaming.dedup import minhash_index_fps
 
-    index_fps = minhash_index_fps(docs).localCheckpoint()
+    index_fps = minhash_index_fps(
+        docs, index_bands=index_bands
+    ).localCheckpoint()
 
     def full_fps():
         return minhash_dedup_batch(

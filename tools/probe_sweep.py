@@ -185,7 +185,17 @@ def main() -> int:
             except Exception as ex:
                 serr = ex
             if cls in SPARK_ONLY_CLASSES:
-                if serr is not None and (cls, name) not in EXPECTED_DIVERGENCES:
+                # a documented domain-guard raise (EXPECTED_RAISE) is a
+                # pass here too — the class contract is "finish within
+                # task memory OR raise the documented guard" (r12 fix:
+                # this branch previously only honored
+                # EXPECTED_DIVERGENCES, whose values mark value-level
+                # divergences, not raise substrings)
+                if serr is not None and (
+                    raise_sub is not None and raise_sub in str(serr)
+                ):
+                    expected.append(name)
+                elif serr is not None and (cls, name) not in EXPECTED_DIVERGENCES:
                     failures.append(
                         (name, f"EXCEPTION {type(serr).__name__}:"
                                f" {str(serr)[:200]}"))
