@@ -198,7 +198,7 @@ def run(spark, sf_dir: str) -> dict:
         F.assert_true(
             F.col("span_idx") < SPAN_KEY_MUL,
             F.lit("span_idx overflows the composite-key domain; "
-                  "raise SPAN_KEY_MUL for multi-16M-token documents"),
+                  "raise SPAN_KEY_MUL for multi-1.6B-token documents"),
         ).isNull()
     ).withColumn(
         "__key", F.col("doc_id") * SPAN_KEY_MUL + F.col("span_idx")

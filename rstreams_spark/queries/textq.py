@@ -679,11 +679,16 @@ def incremental_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPAN_SIZE = 16  # tokens per dedup span (non-overlapping)
-# span_idx is bounded by len(tokens)/SPAN_SIZE — 1e6 leaves room for
-# ~16M-token documents while keeping doc_id*1e6+idx inside bigint.
+# span_idx is bounded by len(tokens)/SPAN_SIZE — 1e8 leaves room for
+# ~1.6-BILLION-token documents while keeping doc_id*1e8+idx inside
+# bigint (doc_id domain shrinks to ~9.2e10 ids, still far past any
+# corpus). Was 1e6 (~16M-token cap) through r11: the giant_doc probe
+# landed a legal 20M-token document on the guard in r12 — a real
+# document class at 100 TB (logs, concatenated dumps), so the domain
+# widened rather than the raise staying documented.
 # Public: part of the demonstrated span_dedup contract (the example
 # and downstream consumers build the same keeper key).
-SPAN_KEY_MUL = 1_000_000
+SPAN_KEY_MUL = 100_000_000
 _SPAN_KEY_MUL = SPAN_KEY_MUL  # internal alias, kept for oracle text
 
 
@@ -698,7 +703,7 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     text is reassembled in span order.
 
     Exactness: the keeper key is the exact integer
-    ``doc_id*1e6 + span_idx`` (min per span text — portable integer
+    ``doc_id*1e8 + span_idx`` (min per span text — portable integer
     algebra, no struct-min dialect differences); outputs are strings
     and integer counts only, no FP anywhere.
 
@@ -736,11 +741,11 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = (
         spans.where(
             # in-plan key-domain guard (cf. brute_topk's probe cap):
-            # assert_true raises the moment a document has ≥1e6 spans
-            # (≥16M tokens), where doc_id·1e6+idx keys would collide
+            # assert_true raises the moment a document has ≥1e8 spans
+            # (≥1.6B tokens), where doc_id·1e8+idx keys would collide
             # across documents and silently corrupt keeper selection —
             # AND the moment doc_id itself outgrows the composite-key
-            # domain (~9.2e12 ids; an r6 probe with 2^62 ids hit a raw
+            # domain (~9.2e10 ids; an r6 probe with 2^62 ids hit a raw
             # ANSI long-overflow here — loud either way, but this
             # message says what to do). isNull() keeps every legal row
             F.assert_true(
@@ -749,8 +754,8 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("doc_id") >= 0),
                 F.lit(
                     "span_dedup: (doc_id, span_idx) outside the "
-                    "doc_id*1e6+idx key domain (span_idx < 1e6, "
-                    "0 <= doc_id < 9.2e12); raise _SPAN_KEY_MUL / "
+                    "doc_id*1e8+idx key domain (span_idx < 1e8, "
+                    "0 <= doc_id < 9.2e10); raise _SPAN_KEY_MUL / "
                     "re-key doc ids for corpora beyond it"
                 ),
             ).isNull()

@@ -369,18 +369,31 @@ CLASSES: dict[str, dict] = {
         # may silently truncate. The distinct-token half keeps LSH/
         # df-cap paths honest (10M distinct shingles from one doc);
         # the run half collapses to 2 distinct shingles, so the
-        # minhash family sees both extremes in one row. Swept
-        # SPARK-ONLY (probe_sweep.SPARK_ONLY_CLASSES): DuckDB's
+        # minhash family sees both extremes in one row. DuckDB
+        # compares are out (probe_sweep.SPARK_ONLY_CLASSES): its
         # list-value model takes 20-30 min per gram oracle over a
         # 10M-element token list and OOMs on the span oracle — a
-        # real oracle-side bound this class discovered (r11).
+        # real oracle-side bound this class discovered (r11). Since
+        # r12 the gram/span-heavy names are oracle-compared anyway
+        # via the bounded-memory Python twins (tools/text_oracle.py),
+        # and the class's second find landed: the (mis-generated,
+        # 20M-token) row sat on span_dedup's composite-key guard —
+        # a legal document class at corpus scale — so SPAN_KEY_MUL
+        # widened 1e6 -> 1e8.
         "documents": (
             "select * from t union all "
             "select doc_id, text, lang, source,"
             " length(text)::bigint as n_chars from ("
             "  select (select max(doc_id) + 1 from t) as doc_id,"
+            # t(i) names the COLUMN: a bare table alias ('range(...) i')
+            # makes unqualified i resolve to the ROW STRUCT, whose
+            # varchar render injected 2 extra tokens per element —
+            # the corpus was silently 20M tokens, not the documented
+            # 10M (found when the r12 span-key widening traced the
+            # span count; determinism across DuckDB versions matters
+            # more than the accidental extra mass)
             "  (select string_agg('g' || i::varchar, ' ' order by i)"
-            "   from range(1, 5000001) i)"
+            "   from range(1, 5000001) t(i))"
             "  || ' ' || repeat('r ', 4999999) || 'r' as text,"
             "  'en' as lang, 'giant' as source)"
         ),
@@ -420,11 +433,63 @@ CLASSES: dict[str, dict] = {
 }
 
 
+# --- adversarial SOURCE LAYOUT (r12, VERDICT r11 item 8) ----------------
+# Same rows as the base corpus, pathological physical layout: the
+# row-identity classes (row_shuffle) probe logical order independence,
+# this one probes the SCAN seams — per-file task fan-out, empty part
+# files, and many-tiny-row-group files. Every query must produce the
+# base corpus's exact answers (value-preserving class, full oracle
+# compare): a divergence here is a file-order dependence, an
+# empty-split crash, or an Arrow chunk-boundary bug (the batch cousin
+# of CLAUDE.md invariant 7's concat-all-chunks rule).
+#   tiny:      one file per K rows (K=1 for documents — maximal file
+#              fan-out) plus one ZERO-ROW part file in the directory;
+#   rowgroups: a single file whose row groups hold K rows each.
+LAYOUT_SPEC: dict[str, tuple[str, int]] = {
+    "documents": ("tiny", 1),
+    "events": ("tiny", 37),
+    "lineitem": ("tiny", 101),
+    "orders": ("rowgroups", 16),
+    "embeddings": ("rowgroups", 8),
+}
+
+
+def _build_layout(d: str, src: str) -> None:
+    import pyarrow.parquet as pq
+
+    for tbl in TABLES:
+        spec = LAYOUT_SPEC.get(tbl)
+        tab = pq.read_table(f"{src}/{tbl}.parquet")
+        if spec is None:
+            pq.write_table(tab, f"{d}/{tbl}.parquet")
+            continue
+        kind, k = spec
+        if kind == "rowgroups":
+            pq.write_table(tab, f"{d}/{tbl}.parquet", row_group_size=k)
+            continue
+        part_dir = f"{d}/{tbl}.parquet"
+        os.makedirs(part_dir, exist_ok=True)
+        for old in os.listdir(part_dir):  # deterministic rebuilds
+            os.unlink(os.path.join(part_dir, old))
+        n = tab.num_rows
+        for i, lo in enumerate(range(0, n, k)):
+            pq.write_table(tab.slice(lo, k),
+                           f"{part_dir}/part-{i:05d}.parquet")
+        # one zero-row part: readers must skip it, not crash on it
+        pq.write_table(tab.slice(0, 0), f"{part_dir}/part-empty.parquet")
+
+
+CLASSES["source_layout"] = {}  # handled structurally by _build_layout
+
+
 def build(cls: str, out_root: str, src: str) -> str:
     """Write one probe corpus; returns its directory."""
     spec = CLASSES[cls]
     d = os.path.join(out_root, cls)
     os.makedirs(d, exist_ok=True)
+    if cls == "source_layout":
+        _build_layout(d, src)
+        return d
     con = duckdb.connect()
     try:
         for tbl in TABLES:
