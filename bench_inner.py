@@ -73,7 +73,13 @@ def main() -> None:
     # capture all three. Draws ride in bench_history.jsonl so the
     # judge (and bench_diff) can see the spread behind every median.
     draws: dict[str, list[float]] = {}
+    from rstreams_spark.session import gc_hygiene
+
     for _ in range(3):
+        # round-boundary hygiene: dead checkpoint blocks from the
+        # previous round otherwise accumulate across ~120 query
+        # executions and skew late draws (session.gc_hygiene)
+        gc_hygiene(spark)
         for name in headliners:
             if name in errors:
                 continue

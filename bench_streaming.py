@@ -214,20 +214,12 @@ def measure_dedup_gates(spark, sf_dir: str | None = None,
 
     sf = sf_dir or _gate_sf_dir()
     # cross-measurement hygiene: in the full bench this runs after
-    # 4×30 headline passes whose DEAD lazy-localCheckpoint frames
-    # still pin RDD blocks until a JVM GC lets the ContextCleaner
-    # release them — with a 48 GB heap that GC may simply never have
-    # happened, so the gates' per-trigger checkpoints land on a full
-    # block store and triggers stall erratically (r11: in-bench
-    # gate_minhash drew 2.5-11k docs/s where a fresh session draws
-    # 23-25k). Collect the dead Python refs, then ask the JVM to GC.
-    import gc as _gc
+    # 4×30 headline passes whose dead checkpoint blocks would
+    # otherwise stall the gates' per-trigger checkpoints (see
+    # session.gc_hygiene — r11 root cause)
+    from rstreams_spark.session import gc_hygiene
 
-    _gc.collect()
-    try:
-        spark.sparkContext._jvm.System.gc()
-    except Exception:
-        pass
+    gc_hygiene(spark)
     out: dict = {
         "gate_docs_per_batch": docs_per_batch,
         "gate_vecs_per_batch": vecs_per_batch,

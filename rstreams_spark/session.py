@@ -48,6 +48,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # batch exchanges START wide and let AQE coalesce down by
+        # advisory size — the 1000-executor discipline, and measured
+        # locally at the third decade (r12): tpch_q5's 180M-row SMJ
+        # sorts spill at 32 fixed partitions (5.6M rows/task; floor
+        # 22.5 s, GCLocker alloc stalls) but run linear at 256
+        # initial (16.2 s, 3.2× on 3× data). Small stages coalesce
+        # to the same few partitions as before, so sf0.1 plans and
+        # times are unchanged. Streaming is unaffected: structured
+        # streaming ignores AQE, so state-store partitioning stays
+        # pinned at spark.sql.shuffle.partitions.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "256"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -81,6 +95,28 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def gc_hygiene(spark: SparkSession) -> None:
+    """Release dead lazy-localCheckpoint blocks before a measurement.
+
+    Frames checkpointed by earlier queries in the same session pin
+    RDD blocks until a JVM GC lets the ContextCleaner release them —
+    with a large heap that GC may never happen on its own, so later
+    heavy measurements land on a full block store and read as fake
+    superlinear scale steps (r11: in-bench gate_minhash drew
+    2.5-11k docs/s where a fresh session draws 23-25k; r12: the
+    fact_sf30 probe drew tpch_q21 at 37.5 s where a fresh session
+    draws 14.8 s — same code, same data). Collect the dead Python
+    refs, then ask the JVM to GC. Every timing tool calls this
+    before its timed draws; correctness paths never need it."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
 
 
 OHA_THRESHOLD = 8192

@@ -211,7 +211,7 @@ def _fuzzy_stages(spark, sf_dir):
 
 def main() -> None:
     from rstreams_spark.queries import REGISTRY
-    from rstreams_spark.session import get_spark
+    from rstreams_spark.session import gc_hygiene, get_spark
 
     out_path = os.environ.get(
         "ATTR_OUT", os.path.join(HERE, "attr_decomp_results.txt"))
@@ -223,6 +223,7 @@ def main() -> None:
     first = True
     for sf in sfs:
         # ---- source_overlap ------------------------------------
+        gc_hygiene(spark)
         fused = _noop(REGISTRY["source_overlap"](spark, sf))
         gsets, ta, n_gsets = _eager(_overlap_gsets(spark, sf))
         tb = _noop(_overlap_tail(gsets))
@@ -238,6 +239,7 @@ def main() -> None:
         print(lines[-1], file=sys.stderr, flush=True)
 
         # ---- decontaminate_fuzzy --------------------------------
+        gc_hygiene(spark)
         fused = _noop(REGISTRY["decontaminate_fuzzy"](spark, sf))
         build_sig, build_cands, build_verify = _fuzzy_stages(spark, sf)
         sig, ta, n_sig = _eager(build_sig())

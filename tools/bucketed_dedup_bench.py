@@ -36,6 +36,11 @@ N_BUCKETS = 32
 
 
 def _timed(build, draws: int = 2) -> float:
+    from pyspark.sql import SparkSession
+
+    from rstreams_spark.session import gc_hygiene
+
+    gc_hygiene(SparkSession.getActiveSession())
     build().localCheckpoint(eager=False).count()  # warm
     best = float("inf")
     for _ in range(draws):
@@ -55,7 +60,7 @@ def main() -> None:
     from rstreams_spark.functions.similarity import l2_norm, rankable_norm
     from rstreams_spark.queries._util import t
     from rstreams_spark.queries.dedupq import BANDS, COSINE_TAU, NUM_PERM
-    from rstreams_spark.session import get_spark, oha_session
+    from rstreams_spark.session import gc_hygiene, get_spark, oha_session
     from rstreams_spark.sinks.writers import write_bucketed
     from rstreams_spark.streaming.dedup import (
         MINHASH_SHINGLE_N, _cell_dup_ids_np, _cell_dup_ids_np_cogroup,

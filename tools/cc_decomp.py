@@ -45,7 +45,7 @@ def main() -> None:
     from rstreams_spark.queries.dedupq import (
         BANDS, LSH_BUCKET_CAP, NUM_PERM,
     )
-    from rstreams_spark.session import get_spark, oha_session
+    from rstreams_spark.session import gc_hygiene, get_spark, oha_session
 
     sfs = sys.argv[1:] or [p for p in DEFAULT_SFS if os.path.isdir(p)]
     spark = oha_session(get_spark("cc-decomp"))
@@ -67,6 +67,7 @@ def main() -> None:
         # warm pass (page cache + codegen), then min-of-2 per stage —
         # single draws land inside this host's noise bands (a first
         # cut drew stage A at 53 s where the warm floor is 9.5 s)
+        gc_hygiene(spark)
         build_pairs().write.format("noop").mode("overwrite").save()
         t_pairs = float("inf")
         pairs = None

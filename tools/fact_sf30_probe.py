@@ -43,7 +43,7 @@ DEFAULT_QUERIES = [
 
 def main() -> None:
     from rstreams_spark.queries import REGISTRY
-    from rstreams_spark.session import get_spark
+    from rstreams_spark.session import gc_hygiene, get_spark
 
     names = sys.argv[1:] or DEFAULT_QUERIES
     out_path = os.environ.get(
@@ -61,6 +61,10 @@ def main() -> None:
         row = {}
         for sf_dir, tag in ((SF10, "sf10"), (SF30, "sf30")):
             try:
+                # without this, dead checkpoint blocks from earlier
+                # queries read as fake superlinear steps (q21 37.5 s
+                # mid-session vs 14.8 s fresh — session.gc_hygiene)
+                gc_hygiene(spark)
                 run(REGISTRY[name](spark, sf_dir))  # warm (untimed)
                 best = float("inf")
                 for _ in range(2):

@@ -38,6 +38,11 @@ DRAWS = 3
 def _timed(build, draws: int = DRAWS) -> float:
     """Warm pass + min-of-draws to an eager materialization (one
     job per draw: lazy checkpoint + count — invariant 11)."""
+    from pyspark.sql import SparkSession
+
+    from rstreams_spark.session import gc_hygiene
+
+    gc_hygiene(SparkSession.getActiveSession())
     build().localCheckpoint(eager=False).count()  # warm
     best = float("inf")
     for _ in range(draws):
@@ -55,7 +60,7 @@ def main() -> None:
     )
     from rstreams_spark.queries._util import t
     from rstreams_spark.queries.dedupq import BANDS, NUM_PERM
-    from rstreams_spark.session import get_spark, oha_session
+    from rstreams_spark.session import gc_hygiene, get_spark, oha_session
     from rstreams_spark.streaming.dedup import (
         MINHASH_DEDUP_TAU, MINHASH_SHINGLE_N, minhash_dedup_batch,
         minhash_index,

@@ -112,7 +112,7 @@ def main() -> None:
     from bench import HEADLINERS, LONG_TAIL
     HEADLINERS = HEADLINERS + LONG_TAIL  # tools sweep the full benched set
     from rstreams_spark.queries import REGISTRY
-    from rstreams_spark.session import get_spark
+    from rstreams_spark.session import gc_hygiene, get_spark
 
     sfs = list(SFS)
     have_sf1 = os.path.isdir(SF1)
@@ -147,6 +147,10 @@ def main() -> None:
                 times.append(None)
                 continue
             try:
+                # dead checkpoint blocks from earlier rows otherwise
+                # pile up across the 62-query session and read as
+                # fake superlinear cells (session.gc_hygiene)
+                gc_hygiene(spark)
                 if sf == SF10:
                     # the second decade gets an UNTIMED warm execution
                     # first: a query's first sf10 run in a session can

@@ -87,7 +87,7 @@ def main() -> None:
         build()
 
     from rstreams_spark.queries import REGISTRY
-    from rstreams_spark.session import get_spark
+    from rstreams_spark.session import gc_hygiene, get_spark
 
     spark = get_spark("skew-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -103,6 +103,7 @@ def main() -> None:
 
     def run(name: str, sess, sf: str) -> tuple[float, object]:
         df = REGISTRY[name](sess, sf)
+        gc_hygiene(sess)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0, df
