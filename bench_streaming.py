@@ -92,36 +92,71 @@ def _median_run(results: list[tuple[float, int, int]]) -> tuple[float, int, int]
     return sorted(results, key=lambda r: r[0])[(len(results) - 1) // 2]
 
 
+def _collapsed(results: list[tuple[float, int, int]]) -> bool:
+    """True when the run set cannot yield a warm rate: the median run
+    has rate 0, i.e. most runs never completed 2 batches. With the
+    plain ``rate`` source this is the backlog balloon (r02, re-hit
+    r12): offered > capacity makes every batch swallow the accumulated
+    lag, so on a degraded host batch 2 grows to 100 M+ rows and the
+    wait window only ever sees the cold batch — the engine is
+    processing millions of rows/s but the measurement reads 0."""
+    return _median_run(results)[0] == 0
+
+
 def measure(spark, offered: int = OFFERED_ROWS_PER_SEC,
             min_batches: int = MIN_BATCHES,
             max_wait: float = MAX_WAIT_SECONDS,
             repeats: int = REPEATS) -> dict:
     from pyspark.sql import functions as F
 
-    from rstreams_spark.sources.files import stream_rate
+    from rstreams_spark.sources.files import (
+        stream_rate, stream_rate_micro_batch,
+    )
     from rstreams_spark.streaming.windows import stream_tumbling_window
 
-    src = stream_rate(spark, offered).withColumn(
-        "key", (F.col("value") % 100).cast("long")
-    )
-    agg = stream_tumbling_window(
-        src, "key", "timestamp", "1 second",
-        F.count("*").alias("n"), F.avg("value").alias("avg_v"),
-        watermark="2 seconds",
-    )
+    def pipeline(src):
+        keyed = src.withColumn("key", (F.col("value") % 100).cast("long"))
+        return stream_tumbling_window(
+            keyed, "key", "timestamp", "1 second",
+            F.count("*").alias("n"), F.avg("value").alias("avg_v"),
+            watermark="2 seconds",
+        )
+
+    agg = pipeline(stream_rate(spark, offered))
     results = [
         _run_stream(agg, "bench_stream_ckpt_", min_batches, max_wait)
         for _ in range(repeats)
     ]
-    med = _median_run(results)
-    return {
+    out = {
         "offered_rows_per_sec": offered,
-        "processed_rows_per_sec": round(med[0]),
         "runs": [round(r[0]) for r in results],
         "run_batches": [r[1] for r in results],
-        "total_rows": med[2],
-        "batches": med[1],
     }
+    if _collapsed(results):
+        # measurement-bug fallback (r12, documented in
+        # OPTIMIZATION_r12.md): re-measure through the SAME pipeline
+        # fed by rate-micro-batch at `offered` rows per batch — fixed
+        # batch sizes cannot balloon, so warm batches complete and the
+        # rate computation (warm rows / trigger-busy seconds) is
+        # unchanged. The plain-rate zeros stay visible in `runs`;
+        # the flag marks the artifact as fallback-sourced so rounds
+        # stay comparable.
+        agg_mb = pipeline(
+            stream_rate_micro_batch(spark, offered, num_partitions=8)
+        )
+        results = [
+            _run_stream(agg_mb, "bench_stream_ckpt_mb_",
+                        min_batches, max_wait)
+            for _ in range(repeats)
+        ]
+        out["stateless_fallback"] = "rate-micro-batch"
+        out["runs"] = out["runs"] + [round(r[0]) for r in results]
+        out["run_batches"] = out["run_batches"] + [r[1] for r in results]
+    med = _median_run(results)
+    out["processed_rows_per_sec"] = round(med[0])
+    out["total_rows"] = med[2]
+    out["batches"] = med[1]
+    return out
 
 
 # Python/Arrow path; capacity ≪ JVM agg. 2M/batch amortizes per-trigger

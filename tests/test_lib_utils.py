@@ -151,6 +151,26 @@ def test_bench_min_of_two_merge():
     assert len(line) < 2500, f"merged artifact line is {len(line)} bytes"
 
 
+def test_stateless_collapse_detector():
+    """The plain-rate backlog balloon (r02 failure mode, re-hit r12 on
+    a degraded host) reads as rate 0 with only the cold batch seen;
+    ``_collapsed`` must trigger the rate-micro-batch fallback exactly
+    when the MEDIAN run has no warm batches — one bad draw among
+    healthy ones is host noise, not a collapse."""
+    from bench_streaming import _collapsed
+
+    healthy = [(8.1e6, 4, 32_000_000), (7.9e6, 4, 32_000_000),
+               (8.0e6, 4, 32_000_000)]
+    assert not _collapsed(healthy)
+    one_bad = [(0.0, 1, 8_000_000), (7.9e6, 4, 32_000_000),
+               (8.0e6, 4, 32_000_000)]
+    assert not _collapsed(one_bad)      # median run is still warm
+    collapsed = [(6.5e6, 2, 8_000_000), (0.0, 1, 8_000_000),
+                 (0.0, 1, 8_000_000)]
+    assert _collapsed(collapsed)        # the r12 run-2 shape
+    assert _collapsed([(0.0, 1, 0), (0.0, 1, 0), (0.0, 1, 0)])
+
+
 def _run_bench_parent(tmp_path, inner_src: str) -> tuple[str, str]:
     """Run bench.py's parent against a stub inner script; returns
     (stdout, stderr). No Spark involved."""
