@@ -148,6 +148,22 @@ def test_r4_tpch_broadcast_discipline(spark):
         assert plans.count_sortmerge_joins(REGISTRY["tpch_q2"](spark, SF_SMOKE)) == 0
 
 
+def test_q21_both_agg_levels_share_one_corpus_exchange(spark):
+    """r12: the joined lineitem frame repartitions by l_orderkey,
+    which satisfies the clustering requirement of BOTH groupBy
+    levels ((l_orderkey, l_suppkey) then (l_orderkey)) — exactly one
+    corpus-sized exchange, keyed by l_orderkey alone. Letting the
+    first groupBy pick hash(l_orderkey, l_suppkey) scatters each
+    order's suppliers and forces a second ≈|lineitem|-row exchange
+    (measured sf10: 10.7 → 5.7 s). The __lone re-key exchange and
+    broadcasts are the only other exchanges."""
+    df = REGISTRY["tpch_q21"](spark, SF_SMOKE)
+    txt = plans.explain_str(df)
+    assert len(re.findall(r"hashpartitioning\(l_orderkey#\d+L?, ", txt)) == 1
+    assert not re.search(r"hashpartitioning\(l_orderkey#\d+L?, l_suppkey", txt)
+    assert plans.count_shuffles(df) == 2  # orderkey corpus + __lone pair-agg
+
+
 def test_q8_widest_join_discipline(spark):
     """q8 (8-way join): exactly the 5 dim hints broadcast (part,
     customer-nation, region, supplier, supplier-nation); the
