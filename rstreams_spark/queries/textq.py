@@ -87,39 +87,75 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the exact character sets of text_quality's ratio counts — listed
+# out so translate() (per-char table lookup) can count them instead
+# of a regex char-class pass; the DuckDB twin keeps the
+# length(regexp_replace(...)) form (identical integer counts)
+_TQ_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_TQ_DIGIT = "0123456789"
+_TQ_SPACE = " \t\n"
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     Contract: NULL/empty text scores the defined floor (no divide-by-
     zero: ratios guard the zero-token case identically on both
     engines)
+
+    Shape (r12): TWO stacked projections — integer counts first
+    (class counts via length − length(translate(text, set, '')):
+    same integers as length(regexp_replace(text, '[^set]', '')), but
+    a per-char lookup instead of a regex pass over every document —
+    the regex form cost 15.1 s of the stock 23.3 s at sf10), then
+    every ratio off those plain count columns. One projection let
+    each multi-referenced expensive expression (alpha and the
+    stopword HOF feed both their ratio and quality_score; tokens()
+    feeds n_toks and the filter) evaluate per reference —
+    CollapseProject keeps the split because the lower aliases are
+    non-cheap and multi-referenced. Measured min-of-2: sf1
+    3.12 → 1.88 s, sf10 23.3 → 2.6 s (the 10.1× sf10 SCALING step
+    was the regex passes on the long-document tail). Ratios are the
+    identical doubles (same integer inputs, same op order) — A/B
+    row-equality asserted at sf0.01/sf1/sf10.
     """
     docs = ensure_fanout_parallelism(
         t(spark, sf_dir, "documents"), by="doc_id"
     )  # heavy per-row scan work: redistribute when under-parallel
-    n = F.length("text").cast("double")
-    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("double")
-    digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("double")
-    space = F.length(F.regexp_replace(F.col("text"), r"[^ \t\n]", "")).cast("double")
-    toks = tokens(F.col("text"))
     stop = F.array([F.lit(s) for s in STOPWORDS["en"]])
-    n_toks = F.size(toks).cast("double")
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).cast("double")
-    alpha_ratio = alpha / F.nullif(n, F.lit(0.0))
-    digit_ratio = digit / F.nullif(n, F.lit(0.0))
-    space_ratio = space / F.nullif(n, F.lit(0.0))
-    stop_ratio = n_stop / F.nullif(n_toks, F.lit(0.0))
+    nlen = F.length("text")
+    counts = docs.select(
+        "doc_id",
+        nlen.alias("__n"),
+        (nlen - F.length(F.translate(F.col("text"), _TQ_ALPHA, ""))).alias("__alpha"),
+        (nlen - F.length(F.translate(F.col("text"), _TQ_DIGIT, ""))).alias("__digit"),
+        (nlen - F.length(F.translate(F.col("text"), _TQ_SPACE, ""))).alias("__space"),
+        tokens(F.col("text")).alias("__toks"),
+    ).select(
+        "doc_id", "__n", "__alpha", "__digit", "__space",
+        F.size("__toks").alias("__ntoks"),
+        F.size(
+            F.filter(F.col("__toks"), lambda x: F.array_contains(stop, x))
+        ).alias("__nstop"),
+    )
+    n = F.col("__n").cast("double")
+    alpha = F.col("__alpha").cast("double")
+    digit = F.col("__digit").cast("double")
+    space = F.col("__space").cast("double")
+    n_toks = F.col("__ntoks").cast("double")
+    n_stop = F.col("__nstop").cast("double")
+    z = F.lit(0.0)
     quality = (
-        0.5 * alpha / F.nullif(n, F.lit(0.0))
-        + 0.3 * n_stop / F.nullif(n_toks, F.lit(0.0))
+        0.5 * alpha / F.nullif(n, z)
+        + 0.3 * n_stop / F.nullif(n_toks, z)
         + 0.2 * F.least(n_toks / 100.0, F.lit(1.0))
     )
-    return docs.select(
+    return counts.select(
         "doc_id",
-        F.length("text").cast("long").alias("n_chars"),
-        alpha_ratio.alias("alpha_ratio"),
-        digit_ratio.alias("digit_ratio"),
-        space_ratio.alias("space_ratio"),
-        stop_ratio.alias("stopword_ratio"),
+        F.col("__n").cast("long").alias("n_chars"),
+        (alpha / F.nullif(n, z)).alias("alpha_ratio"),
+        (digit / F.nullif(n, z)).alias("digit_ratio"),
+        (space / F.nullif(n, z)).alias("space_ratio"),
+        (n_stop / F.nullif(n_toks, z)).alias("stopword_ratio"),
         quality.alias("quality_score"),
     )
 
@@ -440,22 +476,43 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     Contract: NULL/empty text classifies as 'unknown'; n-gram profiles
     are engine-identical string ops
+
+    Shape (r12): THREE stacked projections — token set, then the five
+    per-language scores off the plain __toks column, then best/pred
+    off the plain score columns. One projection inlined the tokenize
+    into every score and every score into best + each pred branch
+    (~15 tokenize evaluations per row in the before-plan;
+    plans/r12/lang_id_before.txt) — fine on short documents, 10×
+    on the sf10 long-document tail. Measured min-of-2: sf1 0.87 vs
+    0.83 s (tie — short docs), sf10 29.2 → 2.7 s. Identical rows
+    asserted at sf1/sf10 (integer scores, same tie-break).
     """
     docs = ensure_fanout_parallelism(
         t(spark, sf_dir, "documents"), by="doc_id"
     )  # heavy per-row scan work: redistribute when under-parallel
-    toks = F.array_distinct(tokens(F.col("text")))
-    scores = {
-        lang: F.size(
-            F.array_intersect(toks, F.array([F.lit(s) for s in words]))
-        )
-        for lang, words in STOPWORDS.items()
-    }
+    base = docs.select(
+        "doc_id",
+        F.col("lang"),
+        F.array_distinct(tokens(F.col("text"))).alias("__toks"),
+    )
+    scored = base.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(
+                F.array_intersect(
+                    F.col("__toks"), F.array([F.lit(s) for s in words])
+                )
+            ).alias(f"__s_{lang}")
+            for lang, words in STOPWORDS.items()
+        ],
+    )
+    scores = {lang: F.col(f"__s_{lang}") for lang in STOPWORDS}
     best = F.greatest(*scores.values())
     pred = F.when(best <= 0, "unknown")
     for lang in sorted(STOPWORDS):  # alphabetical tie-break
         pred = pred.when(scores[lang] == best, lang)
-    return docs.select(
+    return scored.select(
         "doc_id",
         F.col("lang").alias("label_lang"),
         *[scores[lang].cast("long").alias(f"s_{lang}") for lang in sorted(STOPWORDS)],
