@@ -46,6 +46,15 @@ FLAG_RATIO = 12.0  # growth on the final 10× step that warrants review
 STANDING_NOTES = [
     "Standing notes (tools/scale_probe.py::STANDING_NOTES):",
     "",
+    "- r12: the tpch_q21 / text_quality cells PREDATE the r12",
+    "  rewrites (one-corpus-exchange q21; single-evaluation +",
+    "  translate-count text_quality) — same-session isolated A/Bs",
+    "  measured q21 sf10 10.7→5.7 s and text_quality sf10",
+    "  23.3→2.6 s, sf1 3.12→1.88 s (PERF.md round-12; row identity",
+    "  asserted). text_quality's 10.1× sf1→sf10 step was the regex",
+    "  class-count passes over the long-document tail, now gone.",
+    "  The r12 full-probe session was cut short by wall-clock (host",
+    "  ~2× degraded); the next probe session refreshes these cells.",
     "- r11: the sf10 column is FULL-WIDTH (every benched row) — the",
     "  full 62-query probe session carries heavier per-session load",
     "  than the r10 18-row sessions, so single-session sf10 cells",
