@@ -164,6 +164,23 @@ def test_q21_both_agg_levels_share_one_corpus_exchange(spark):
     assert plans.count_shuffles(df) == 2  # orderkey corpus + __lone pair-agg
 
 
+def test_text_quality_lang_id_single_tokenize_evaluation(spark):
+    """r12: codegen CSE does not common codegen-fallback HOF subtrees,
+    so every reference to an expression containing the tokenizer
+    (filter∘split) re-evaluates it per row. The stacked-projection
+    rewrite pins exactly ONE tokenize subtree in each plan (the r11
+    one-Project forms carried 5 and 40 respectively — sf10 23.3→2.6 s
+    and 29.2→2.7 s). text_quality's char-class counts must also stay
+    on translate(), not regex passes."""
+    txt = plans.explain_str(REGISTRY["text_quality"](spark, SF_SMOKE))
+    assert txt.count("filter(split") == 1, "text_quality re-tokenizes"
+    # 3 class counts via translate; the only regexp_replace left is
+    # the tokenizer's normalizer
+    assert txt.count("regexp_replace") == 1
+    txt = plans.explain_str(REGISTRY["lang_id"](spark, SF_SMOKE))
+    assert txt.count("filter(split") == 1, "lang_id re-tokenizes"
+
+
 def test_q8_widest_join_discipline(spark):
     """q8 (8-way join): exactly the 5 dim hints broadcast (part,
     customer-nation, region, supplier, supplier-nation); the
