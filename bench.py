@@ -64,6 +64,11 @@ HEADLINERS = [
     "decontaminate_ngrams", "decontaminate_fuzzy", "source_overlap",
     "quality_repetition", "ngram_novelty", "span_dedup",
     "ts_similarity_topk",
+    # r13 (VERDICT r12 item 1): the two r12 rewrites with the largest
+    # measured wins (text_quality sf10 23.3->2.6 s, lang_id 29.2->2.7 s)
+    # were invisible to the driver's bench; promoted from LONG_TAIL so
+    # a future regression of exactly these plans shows in BENCH_r13+.
+    "text_quality", "lang_id",
 ]
 
 # The rest of the r7 headline list — benched only with
@@ -75,7 +80,7 @@ LONG_TAIL = [
     "pattern_followed_by", "funnel_3step", "cohort_retention",
     "twap_daily", "tumbling_window_gapfill", "dedup_simhash",
     "doc_chunks", "embedding_quantize", "pack_sequences", "top_terms",
-    "orders_rollup", "embedding_dim_stats", "ann_topk", "text_quality",
+    "orders_rollup", "embedding_dim_stats", "ann_topk",
     "doc_commonness", "dedup_winnowing", "vocab_coverage", "audio_meta",
     "video_meta", "budget_sample", "ann_lsh_topk_shuffle",
     "ivf_topk_shuffle",
@@ -88,13 +93,19 @@ def active_headliners() -> list[str]:
     return list(HEADLINERS)
 
 
-def build_payload(times: dict, sf: str, streaming: dict, errors: dict) -> dict:
+def build_payload(times: dict, sf: str, streaming: dict, errors: dict,
+                  cpus: int | None = None) -> dict:
     """The single stdout artifact line, kept COMPACT by construction:
     the driver captures only a tail of stdout, and r6's line with
     per-query raw draws grew to ~5 KB and truncated past the capture
     window (BENCH_r06 parsed:null). Medians only, rounded to 3 dp;
     raw draws persist in bench_history.jsonl and the child log.
-    tests/test_lib_utils.py bounds the serialized size."""
+    tests/test_lib_utils.py bounds the serialized size.
+
+    ``cpus`` is the session's ACTUAL ``sc.defaultParallelism`` —
+    proof in the artifact that ``$SPARK_GRAFT_CPUS`` reached the
+    master URL (PERF_r12 flagged ``suspect_cpus_ignored`` because the
+    payload carried no parallelism field; VERDICT r12 item 2)."""
     payload = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(times.values()), 3),
@@ -103,6 +114,8 @@ def build_payload(times: dict, sf: str, streaming: dict, errors: dict) -> dict:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "streaming": streaming,
     }
+    if cpus is not None:
+        payload["cpus"] = cpus
     if errors:
         # a partial sum must never read as a speedup: flag the
         # headline value invalid whenever any query errored
@@ -161,6 +174,9 @@ def merge_payloads(payloads: list[dict]) -> dict:
         "totals": [p.get("value") for p in payloads],
         "streaming": streaming,
     }
+    cpus = [p["cpus"] for p in payloads if p.get("cpus") is not None]
+    if cpus:
+        merged["cpus"] = cpus[0]
     if errors:
         merged["errors"] = errors
         merged["valid"] = False

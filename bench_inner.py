@@ -121,7 +121,10 @@ def main() -> None:
         streaming["gate_err"] = f"{type(exc).__name__}: {exc}"[:300]
     print(f"# streaming: {streaming}", file=sys.stderr)
 
-    payload = build_payload(times, sf, streaming, errors)
+    payload = build_payload(
+        times, sf, streaming, errors,
+        cpus=spark.sparkContext.defaultParallelism,
+    )
     # append-only per-run history so regressions surface as numbers;
     # tools/bench_diff.py prints the per-query delta of the last two
     try:

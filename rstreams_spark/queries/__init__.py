@@ -6,19 +6,22 @@
 Iteration order is DELIBERATE: the driver's correctness artifact
 covers the first ~50 insertion-order entries (r01 checked all 46
 then-existing, r02-r07 stopped at exactly 50), so ``_FRONT`` rotates
-per round. Round 12 = the r11 complement (the 53 entries outside
-CORRECTNESS_r11 — VERDICT r11 item 4), ordered: the three sf10
-attribution targets this round touches first (dedup_clusters,
-source_overlap, decontaminate_fuzzy), then strictly by driver
-staleness — distinct_count (last driver-green r7),
-map_filter/merge_take/chunk_fold (r8), the five r9 entries, then the
-r10 block. source_overlap double-dips (r11-green but an r12
-attribution target — changed-first outranks), so 50-slot arithmetic
-forces four r10-driver-green, unchanged entries to ride outside on
-the replica bridge: tpch_q6, skip_take, cycle_take,
-decontaminate_ngrams (each re-verified in this round's full oracle
-replicas at sf0.01 AND sf0.1 and in the probe sweep). The union of CORRECTNESS_r01-r12 plus per-round replica runs
-still covers every entry every round.
+per round. Round 13 (VERDICT r12 item 1) leads with the entries whose
+code is newest relative to their last driver check: the three r12
+rewrites that landed AFTER the r12 window was pinned (text_quality,
+lang_id, span_dedup — driver has never oracle-run their new code),
+the four entries outside BOTH the r11 and r12 windows (tpch_q6,
+skip_take, cycle_take, decontaminate_ngrams — replica-green every
+round but driver-stale since r10), then the queries this round's
+optimization work may touch (the minhash signature-agg consumers +
+tpch_q21, the r12 watch item), then r11-window entries by catalog
+order (driver-stale 2 rounds). The nine r11-green entries that
+50-slot arithmetic leaves outside (ann_lsh_topk(_shuffle),
+embedding_quantize, ivf_topk(_shuffle), multimodal/audio/video_meta,
+embedding_dim_stats — all unchanged since r11) ride the replica
+bridge: re-verified in this round's full oracle replica at sf0.01 and
+the probe sweep. The union of CORRECTNESS_r01-r13 plus per-round
+replica runs still covers every entry every round.
 """
 
 from __future__ import annotations
@@ -32,29 +35,29 @@ for mod in (core, tpch, textq, dedupq):
     _SQL.update(mod.SQL_ORACLES)
 
 _FRONT = [
-    # — r12 sf10 attribution targets (VERDICT r11 item 1): these are
-    #   the entries this round's perf work may touch — changed-first
-    #   outranks staleness —
-    "dedup_clusters", "source_overlap", "decontaminate_fuzzy",
-    # — stalest driver-verified (r7/r8) —
-    "distinct_count", "map_filter", "merge_take", "chunk_fold",
-    # — r9 block —
-    "fold_count", "gap_detect", "lag_window", "stream_table_join",
-    "wordcount",
-    # — r10 block: core stream shapes —
-    "asof_enrich", "latest_per_key", "session_window",
-    "pattern_followed_by", "salted_sum", "split_routes",
-    "skip_while", "take_while", "parse_json_props",
-    "ts_similarity_topk",
-    # — r10 block: TPC-H + rollup —
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q5", "tpch_q7",
-    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q14",
-    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
-    "tpch_q20", "tpch_q21", "tpch_q22", "orders_rollup",
-    # — r10 block: dedup/text/similarity tail —
-    "ann_topk", "dedup_minhash", "dedup_keep_best",
-    "dedup_winnowing", "doc_winnowing", "doc_commonness",
-    "minhash_lsh_topk", "ngram_novelty", "top_terms",
+    # — r12 rewrites the driver has never oracle-run (VERDICT r12
+    #   item 1: the round's two biggest wins were driver-invisible) —
+    "text_quality", "lang_id", "span_dedup",
+    # — outside BOTH the r11 and r12 windows (driver-stale since r10) —
+    "tpch_q6", "skip_take", "cycle_take", "decontaminate_ngrams",
+    # — entries this round's perf work may touch: the minhash
+    #   signature-agg consumers (VERDICT r12 item 4/5) + tpch_q21
+    #   (the r12 watch item) — changed-first outranks staleness —
+    "dedup_minhash", "dedup_clusters", "dedup_keep_best",
+    "minhash_lsh_topk", "decontaminate_fuzzy", "tpch_q21",
+    # — r11-window entries, driver-stale 2 rounds, catalog order —
+    "chunk_fold_timeout", "tumbling_window", "tumbling_window_gapfill",
+    "hopping_window", "hopping_window_gapfill", "interval_join",
+    "interval_join_left", "candles", "candles_rollup",
+    "strat_classify", "range_band_count", "value_percentiles",
+    "throttle_sample", "stratified_sample", "funnel_3step",
+    "cohort_retention", "twap_daily", "value_histogram",
+    "tpch_q4", "tpch_q12", "tpch_q13",
+    "dedup_exact", "incremental_dedup_exact", "text_redact",
+    "doc_fingerprint", "token_count", "quality_repetition",
+    "source_mix", "doc_chunks", "pack_sequences", "dataset_split",
+    "budget_sample", "vocab_coverage", "dedup_ngram_jaccard",
+    "dedup_simhash", "embedding_cosine_dup", "semantic_clusters",
 ]
 
 _missing = [k for k in _FRONT if k not in _ALL]

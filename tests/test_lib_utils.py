@@ -100,11 +100,14 @@ def test_bench_payload_stays_under_driver_tail_capture():
         "stateful_run_batches": [4, 4, 4],
         "stateful_batches": 4,
     }
-    line = json.dumps(build_payload(times, "0.1", streaming, {}))
+    line = json.dumps(build_payload(times, "0.1", streaming, {}, cpus=32))
     assert len(line) < 2500, f"bench artifact line is {len(line)} bytes"
     payload = json.loads(line)
     assert "draws" not in payload
     assert len(payload["queries"]) == len(full)
+    # r13 (VERDICT r12 item 2): the artifact proves the core count the
+    # session actually ran with, ending the suspect_cpus_ignored flag
+    assert payload["cpus"] == 32
 
 
 def test_bench_min_of_two_merge():
@@ -130,11 +133,12 @@ def test_bench_min_of_two_merge():
           "gate_minhash_runs": [21_500, 21_400, 21_300]}
     p1 = build_payload(
         {**{n: 123.456789 for n in full}, "q_slow1": 2.0, "q_only1": 1.0},
-        "0.1", s1, {"q_dead": "boom"})
+        "0.1", s1, {"q_dead": "boom"}, cpus=32)
     p2 = build_payload(
         {**{n: 123.456789 for n in full}, "q_slow1": 1.5},
-        "0.1", s2, {"q_only1": "flaked", "q_dead": "boom"})
+        "0.1", s2, {"q_only1": "flaked", "q_dead": "boom"}, cpus=32)
     m = merge_payloads([p1, p2])
+    assert m["cpus"] == 32                         # carried to artifact
     assert m["queries"]["q_slow1"] == 1.5          # min across runs
     assert m["queries"]["q_only1"] == 1.0          # timed in SOME run
     assert "q_only1" not in m.get("errors", {})
@@ -303,6 +307,34 @@ def test_bench_check_confirm_across_two_runs():
         run("0.1", {"a": 1.0}, {"processed_rows_per_sec": 45}),
     ])
     assert len(bad) == 1 and "processed_rows_per_sec" in bad[0]
+    # ADVICE r12: the stateless rate has two measurement bases (plain
+    # rate vs the rate-micro-batch fallback); floors only compare
+    # within one basis, so a fallback-run "collapse" against plain-
+    # rate floors is unconfirmed, as is a mixed-basis last-two pair
+    fb = {"processed_rows_per_sec": 40,
+          "stateless_fallback": "rate-micro-batch"}
+    bad, notes = check(base + [
+        run("0.1", {"a": 1.0}, dict(fb)), run("0.1", {"a": 1.0}, dict(fb))])
+    assert bad == [] and any("no baseline at basis" in n for n in notes)
+    bad, notes = check(base + [
+        run("0.1", {"a": 1.0}, dict(fb)),
+        run("0.1", {"a": 1.0}, {"processed_rows_per_sec": 45})])
+    assert bad == [] and any("different" in n for n in notes)
+    # two fallback runs vs a fallback baseline DO confirm
+    bad, _ = check(
+        [run("0.1", {"a": 1.0}, {"processed_rows_per_sec": 100,
+                                 "stateless_fallback": "rate-micro-batch"})]
+        + base + [run("0.1", {"a": 1.0}, dict(fb)),
+                  run("0.1", {"a": 1.0}, dict(fb))])
+    assert len(bad) == 1 and "processed_rows_per_sec" in bad[0]
+    # the gate rates are single-basis: the flag never splits them
+    gbase = [run("0.1", {"a": 1.0}, {"gate_minhash_docs_per_sec": 100}),
+             run("0.1", {"a": 1.1}, {"gate_minhash_docs_per_sec": 110})]
+    bad, _ = check(gbase + [
+        run("0.1", {"a": 1.0}, {"gate_minhash_docs_per_sec": 40,
+                                "stateless_fallback": "rate-micro-batch"}),
+        run("0.1", {"a": 1.0}, {"gate_minhash_docs_per_sec": 45})])
+    assert len(bad) == 1 and "gate_minhash_docs_per_sec" in bad[0]
     # too little history: notes only
     bad, notes = check([run("0.1", {"a": 1.0})] * 2)
     assert bad == [] and any("need >= 3" in n for n in notes)

@@ -119,14 +119,38 @@ def check(runs: list[dict], threshold: float = THRESHOLD,
                 f"+{abs_margin}s, confirmed)"
             )
 
+    def basis(r: dict, key: str):
+        # The stateless rate has TWO measurement bases (ADVICE r12):
+        # plain `rate` (backlog-rate) vs the `rate-micro-batch`
+        # fallback (fixed-batch). Rates are only comparable within one
+        # basis, so floors partition on the artifact's fallback flag.
+        if key != "processed_rows_per_sec":
+            return None
+        return (r.get("streaming") or {}).get("stateless_fallback")
+
     for key in STREAM_KEYS:
+        cur = [(r.get("streaming") or {}).get(key) for r in last_two]
+        if any(c is None for c in cur):
+            continue
+        cur_bases = {basis(r, key) for r in last_two}
+        if len(cur_bases) > 1:
+            notes.append(
+                f"streaming {key}: last two runs use different "
+                "measurement bases (stateless_fallback) — unconfirmed"
+            )
+            continue
+        b = cur_bases.pop()
         base_rates = [
             (r.get("streaming") or {}).get(key)
-            for r in base
+            for r in base if basis(r, key) == b
         ]
         base_rates = [x for x in base_rates if x]
-        cur = [(r.get("streaming") or {}).get(key) for r in last_two]
-        if not base_rates or any(c is None for c in cur):
+        if not base_rates:
+            if b is not None:
+                notes.append(
+                    f"streaming {key}: no baseline at basis "
+                    f"{b!r} yet — unconfirmed"
+                )
             continue
         ceil = max(base_rates)
         if all(c < ceil / threshold for c in cur):
