@@ -865,6 +865,22 @@ def connected_components_hybrid(
         .distinct()
         .select("node", F.col("node").alias("lmin"))
     )
+    if n_tasks == 1:
+        # the loop broke because the LAST contraction ran as ONE task:
+        # a single-task union-find over the whole (possibly already
+        # level-contracted) edge set IS the exact component-min
+        # labeling — every level preserves connectivity and node
+        # coverage, so the final mapping composes exactly. Phase B
+        # here would only re-derive changed == 0 through a seed
+        # aggregate plus a full propagation round (sym checkpoint,
+        # join, groupBy, count — 2-3 jobs of pure fixed overhead on a
+        # graph already labeled; r13: 0.3-0.5 s of dedup_clusters'
+        # sf0.1 time). Exactness stays pinned by the union-find
+        # property tests; multi-task contractions keep the mandatory
+        # phase B below.
+        return contracted.unionByName(universe).groupBy("node").agg(
+            F.min("lmin").alias("cluster_id")
+        )
     pairs = contracted.unionByName(universe)
     labels, changed = _min_label_rounds(pairs, "node", "lmin", label_rounds)
     if changed == 0:

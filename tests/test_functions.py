@@ -545,6 +545,26 @@ def test_hybrid_cc_empty_and_converged_paths(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_hybrid_cc_single_task_shortcircuit_labels(spark):
+    """A graph small enough for ONE contraction task takes the r13
+    fast path (no phase-B certify round) and must still label every
+    node exactly — including self-loop-only nodes, which never reach
+    the union-find (their edges are filtered) and ride in via the
+    node universe, and the component min itself."""
+    from rstreams_spark.functions.dedup import (
+        connected_components, connected_components_hybrid,
+    )
+
+    rows = [(9, 2), (2, 4), (50, 51), (7, 7), (60, 60)]
+    edges = spark.createDataFrame([Row(id1=a, id2=b) for a, b in rows])
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components_hybrid(edges).collect()}
+    assert got == {2: 2, 4: 2, 9: 2, 50: 50, 51: 50, 7: 7, 60: 60}
+    ref = {r["node"]: r["cluster_id"]
+           for r in connected_components(edges).collect()}
+    assert got == ref
+
+
 def test_decode_image_gated_on_codec():
     """decode_image is a real PIL call when the codec exists, a clean
     NotImplementedError when it doesn't — same test green both ways."""
