@@ -20,8 +20,38 @@ from pyspark.sql.types import StructType
 
 __all__ = [
     "within_window", "from_bytes", "to_bytes", "parsed_message",
-    "ensure_fanout_parallelism",
+    "ensure_fanout_parallelism", "expr_cache",
 ]
+
+
+def expr_cache() -> dict:
+    """Per-JVM memo for constructed Column EXPRESSION trees (r13).
+
+    Building a wide expression tree through py4j costs ~1 ms per
+    operator node on this host: the 64-permutation minhash aggregate
+    list alone took ~1.1 s and the LSH band/pair expressions another
+    ~0.8 s of pure driver-side construction on EVERY query build —
+    comparable to the queries' whole execution at bench scale, and
+    real overhead for any workload that submits many queries (guide
+    §7.3: planning/driver time is a bottleneck class of its own).
+
+    Columns are immutable, data-independent expression handles, so
+    trees keyed by the CONSTANTS that shaped them (num_perm, bands,
+    column names) are safely reusable across frames, queries and
+    sibling sessions. They do hold py4j references, so the cache
+    lives on the active SparkContext object and dies with it — a
+    restarted JVM can never see stale handles. No data, results or
+    file references are ever cached here."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:  # no JVM yet: nothing to attach to, skip memoizing
+        return {}
+    cache = getattr(sc, "_rstreams_expr_cache", None)
+    if cache is None:
+        cache = {}
+        sc._rstreams_expr_cache = cache
+    return cache
 
 
 def ensure_fanout_parallelism(
@@ -48,7 +78,28 @@ def ensure_fanout_parallelism(
     the local filesystem; any non-local/unreadable path falls back to
     fanning out (the conservative choice — on a real lake the input
     exceeds every threshold anyway).
+
+    The decision (and the resulting lazy frame) is memoized on the
+    input DataFrame object: ``df.rdd`` re-plans the frame on every
+    call (~0.1 s of driver work), and with table handles now shared
+    per session (queries/_util.t) the same ``df`` object is probed
+    once per (by, min_bytes) instead of once per query build. Lazy
+    plans only — no data is held.
     """
+    memo = getattr(df, "_rstreams_fanout_memo", None)
+    if memo is None:
+        memo = {}
+        df._rstreams_fanout_memo = memo
+    mkey = (by, min_bytes)
+    if mkey in memo:
+        return memo[mkey]
+    memo[mkey] = out = _fanout_uncached(df, by, min_bytes)
+    return out
+
+
+def _fanout_uncached(
+    df: DataFrame, by: str | None, min_bytes: int
+) -> DataFrame:
     n = df.sparkSession.sparkContext.defaultParallelism
     files: list | None = None
     if df.rdd.getNumPartitions() >= n:

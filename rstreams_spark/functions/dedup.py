@@ -128,11 +128,15 @@ def doc_shingles(docs: DataFrame, text_col: str, n: int, id_col: str = "doc_id")
     through with no exchange — repartitioning a full-scale corpus
     ahead of a narrow explode would move all the data for nothing.
     """
-    from .core import ensure_fanout_parallelism
+    from .core import ensure_fanout_parallelism, expr_cache
 
-    return ensure_fanout_parallelism(docs, by=id_col).select(
-        F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle")
-    )
+    cache = expr_cache()
+    key = ("doc_shingles", text_col, n)
+    col = cache.get(key)
+    if col is None:
+        col = F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle")
+        cache[key] = col
+    return ensure_fanout_parallelism(docs, by=id_col).select(F.col(id_col), col)
 
 
 def winnowing_fingerprints(
@@ -200,20 +204,27 @@ def minhash_signature(
     (minhash_lsh_topk) then shingle/hash/shuffle ONCE instead of
     running two parallel pipelines over the corpus.
     """
+    from .core import expr_cache
+
     with_h = exploded.withColumn("__h", hash64(F.col("shingle")))
-    hlo = F.col("__h").bitwiseAND(F.lit(_LO_MASK))
-    hhi = F.shiftright(F.col("__h"), 30)
-    aggs = [
-        F.min(F.pmod(F.lit(a) * hlo + F.lit(c) * hhi + F.lit(b), F.lit(P61))).alias(f"h{i}")
-        for i, (a, c, b) in enumerate(perm_coeffs(num_perm))
-    ]
-    if with_hash_set:
-        # collect_set dedups INSIDE the partial-agg buffer (smaller
-        # shuffle rows, no post-hoc array_distinct scan); the sort
-        # gives a deterministic order, and every consumer treats
-        # __shset as a SET (array_intersect sizes) — measured ~25%
-        # off the signature stage vs array_distinct∘collect_list (r8)
-        aggs.append(F.array_sort(F.collect_set("__h")).alias("__shset"))
+    cache = expr_cache()
+    key = ("sig_aggs", num_perm, with_hash_set)
+    aggs = cache.get(key)
+    if aggs is None:
+        hlo = F.col("__h").bitwiseAND(F.lit(_LO_MASK))
+        hhi = F.shiftright(F.col("__h"), 30)
+        aggs = [
+            F.min(F.pmod(F.lit(a) * hlo + F.lit(c) * hhi + F.lit(b), F.lit(P61))).alias(f"h{i}")
+            for i, (a, c, b) in enumerate(perm_coeffs(num_perm))
+        ]
+        if with_hash_set:
+            # collect_set dedups INSIDE the partial-agg buffer (smaller
+            # shuffle rows, no post-hoc array_distinct scan); the sort
+            # gives a deterministic order, and every consumer treats
+            # __shset as a SET (array_intersect sizes) — measured ~25%
+            # off the signature stage vs array_distinct∘collect_list (r8)
+            aggs.append(F.array_sort(F.collect_set("__h")).alias("__shset"))
+        cache[key] = aggs
     return with_h.groupBy(id_col).agg(*aggs)
 
 
@@ -311,10 +322,14 @@ def lsh_band_rows(
     r=num_perm/bands signature slots — native JVM hash, 8-byte
     shuffle keys, EQUALITY semantics only (the DuckDB oracle's md5
     keys bucket identically; CLAUDE.md invariant 12)."""
+    from .core import expr_cache
+
     r = num_perm // bands
-    return sig.select(
-        F.col(id_col),
-        F.explode(
+    cache = expr_cache()
+    key = ("band_explode", num_perm, bands)
+    col = cache.get(key)
+    if col is None:
+        col = F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band_idx"),
@@ -324,8 +339,11 @@ def lsh_band_rows(
                 )
                 for b in range(bands)
             ])
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_key")
+        ).alias("band")
+        cache[key] = col
+    return sig.select(F.col(id_col), col).select(
+        id_col, "band.band_idx", "band.band_key"
+    )
 
 
 def lsh_band_pairs(
@@ -367,15 +385,21 @@ def lsh_band_pairs(
         buckets = buckets.where(F.size("ids") <= bucket_cap)
     # all ordered pairs within the bucket: ids is sorted, so pairing
     # each element with its suffix gives id1 < id2
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
-            ),
+    from .core import expr_cache
+
+    cache = expr_cache()
+    pairs = cache.get(("band_pairs_expr",))
+    if pairs is None:
+        pairs = F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+                ),
+            )
         )
-    )
+        cache[("band_pairs_expr",)] = pairs
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))

@@ -338,3 +338,60 @@ def test_bench_check_confirm_across_two_runs():
     # too little history: notes only
     bad, notes = check([run("0.1", {"a": 1.0})] * 2)
     assert bad == [] and any("need >= 3" in n for n in notes)
+
+
+def test_table_handle_memo_and_rewrite_invalidation(spark, tmp_path):
+    """r13: queries/_util.t memoizes the lazy table HANDLE per session
+    keyed by (path, mtime, size) — same file returns the same object
+    (no footer re-read per query build), a REWRITTEN file misses the
+    cache and serves the new rows (regenerated probe corpora stay
+    correct within one process)."""
+    import shutil
+    import time as _time
+
+    from rstreams_spark.queries._util import t
+
+    d = tmp_path / "sfX"
+    d.mkdir()
+    spark.range(5).toDF("doc_id").write.parquet(str(d / "documents.parquet"))
+    a = t(spark, str(d), "documents")
+    b = t(spark, str(d), "documents")
+    assert a is b
+    assert a.count() == 5
+    # rewrite the file: new mtime/size -> fresh handle, fresh rows
+    shutil.rmtree(d / "documents.parquet")
+    _time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse fs
+    spark.range(7).toDF("doc_id").write.parquet(str(d / "documents.parquet"))
+    c = t(spark, str(d), "documents")
+    assert c is not a
+    assert c.count() == 7
+
+
+def test_expr_cache_reuses_trees_and_keeps_rows(spark):
+    """r13: functions/core.expr_cache memoizes constructed Column
+    trees per JVM. The minhash signature agg list is built ONCE per
+    (num_perm, with_hash_set) and reused across frames — and the
+    reused tree aggregates a second, different frame correctly."""
+    from pyspark.sql import Row
+
+    from rstreams_spark.functions.core import expr_cache
+    from rstreams_spark.functions.dedup import minhash_signature
+
+    expr_cache().pop(("sig_aggs", 8, False), None)
+    e1 = spark.createDataFrame(
+        [Row(doc_id=1, shingle="a b"), Row(doc_id=1, shingle="b c")]
+    )
+    s1 = minhash_signature(e1, 8)
+    assert ("sig_aggs", 8, False) in expr_cache()
+    cached = expr_cache()[("sig_aggs", 8, False)]
+    e2 = spark.createDataFrame(
+        [Row(doc_id=7, shingle="a b"), Row(doc_id=9, shingle="x y")]
+    )
+    s2 = minhash_signature(e2, 8)
+    assert expr_cache()[("sig_aggs", 8, False)] is cached
+    r1 = {r["doc_id"]: r["h0"] for r in s1.collect()}
+    r2 = {r["doc_id"]: r["h0"] for r in s2.collect()}
+    # same shingle "a b" under the same permutation in both frames;
+    # doc 1's min is over two shingles, doc 7's over one
+    assert set(r1) == {1} and set(r2) == {7, 9}
+    assert r1[1] <= r2[7]

@@ -246,6 +246,24 @@ CLASSES: dict[str, dict] = {
             "select * replace ((doc_id + (1::bigint << 62)) as doc_id) from t"
         ),
     },
+    # r13 class: NEGATIVE ids, order-reversed (x → -(x+1), so 0→-1,
+    # 1→-2 — distinctness preserved, id ORDER exactly reversed).
+    # Stresses every "survivor/cluster = min id" tie rule, id1<id2
+    # pair canonicalization, id-derived keys (span keys doc_id·MUL +
+    # pos, salts, LSH bucket members), and any id arithmetic where
+    # Spark's `div`/`%` (truncate toward zero) could diverge from
+    # DuckDB's `//` (floor) — the engines only agree on non-negative
+    # operands (the micros-sum helpers already guard this; id paths
+    # were never probed). Scoped to the LLM-pipeline tables; TPC-H
+    # keys are FK-coupled across 7 tables and stay positive.
+    "negative_ids": {
+        "documents": "select * replace (-(doc_id + 1) as doc_id) from t",
+        "embeddings": "select * replace (-(vec_id + 1) as vec_id) from t",
+        "events": (
+            "select * replace (-(event_id + 1) as event_id,"
+            " -(user_id + 1) as user_id) from t"
+        ),
+    },
     "const_values": {
         # maximal aggregate-value ties: every tiebreaker must hold
         "lineitem": (
