@@ -801,18 +801,22 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # assert_true raises the moment a document has ≥1e8 spans
             # (≥1.6B tokens), where doc_id·1e8+idx keys would collide
             # across documents and silently corrupt keeper selection —
-            # AND the moment doc_id itself outgrows the composite-key
+            # AND the moment |doc_id| outgrows the composite-key
             # domain (~9.2e10 ids; an r6 probe with 2^62 ids hit a raw
             # ANSI long-overflow here — loud either way, but this
-            # message says what to do). isNull() keeps every legal row
+            # message says what to do). The key is strictly monotone
+            # in lexicographic (doc_id, span_idx) for EITHER sign of
+            # doc_id while span_idx ∈ [0, MUL), so negative ids are
+            # in-domain (the r13 negative_ids probe caught the old
+            # `doc_id >= 0` clause rejecting a corpus the DuckDB twin
+            # computed correctly). isNull() keeps every legal row
             F.assert_true(
                 (F.col("span_idx") < _SPAN_KEY_MUL)
-                & (F.col("doc_id") <= (2**63 - 1) // _SPAN_KEY_MUL - 1)
-                & (F.col("doc_id") >= 0),
+                & (F.abs("doc_id") <= (2**63 - 1) // _SPAN_KEY_MUL - 1),
                 F.lit(
                     "span_dedup: (doc_id, span_idx) outside the "
                     "doc_id*1e8+idx key domain (span_idx < 1e8, "
-                    "0 <= doc_id < 9.2e10); raise _SPAN_KEY_MUL / "
+                    "|doc_id| < 9.2e10); raise _SPAN_KEY_MUL / "
                     "re-key doc ids for corpora beyond it"
                 ),
             ).isNull()
